@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark):     flagship query (the reference's gold-mart spine) on sf0.001.
+queries():        every implemented operator from SURVEY.md §2 + extensions.
+oracle_sql():     DuckDB twin of each query (dual-engine oracle, the same
+                  Spark-vs-Presto pattern the reference used for verification).
 """
 
 from __future__ import annotations
@@ -13,26 +12,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_glue_etl_sample_hist_spark.oracles import ORACLE_SQL
+from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's T1->T2 spine (silver denormalize -> 7-key
+    gold mart) over /root/testdata/sf0.001."""
+    # match the session confs the engine needs for the testdata (nanos
+    # timestamps) without rebuilding the driver-provided session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # fine: flagship tables (lineitem/orders/...) are micros/millis
+    return QUERIES["mart_sales_by_segment_product"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,79 @@
+"""Sources (reference SURVEY §2.1 S1-S4, S10-S11).
+
+The reference ingests from PostgreSQL via JDBC: full-table reads for
+dimensions (jb_de_dehancement_t0_dimension_d2s.py:66-71) and a pushdown SQL
+query for the date-bounded fact extract (jb_de_enhancement_t0_fact_d2s.py:69-82,
+noted single-connection in document/glue_t0.md:144). Spark-first rebuild:
+
+  - file sources (parquet/CSV) are the primary path; Catalyst pushes filters
+    and prunes columns/partitions at the scan, so the reference's hand-built
+    pushdown query becomes a plain ``.filter``;
+  - JDBC stays available, but ALWAYS with partitioned-read options
+    (partitionColumn/lowerBound/upperBound/numPartitions) -- the reference's
+    single-connection read followed by ``repartition(4)`` is exactly the
+    anti-pattern that stops scaling past one DB socket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, *, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV dimension source (reference ships dims as header CSVs, data/*.csv)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")  # strings, like the reference DDL
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    *,
+    connection: dict[str, str],
+    partition_column: str | None = None,
+    lower_bound: str | int | None = None,
+    upper_bound: str | int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC source with parallel partitioned reads.
+
+    ``table_or_query`` may be a table name or a parenthesized pushdown query
+    (the reference's date-bounded extract, jb_de_enhancement_t0_fact_d2s.py:72-75).
+    When partition bounds are given, Spark opens ``num_partitions`` connections
+    each reading a slice -- this replaces the reference's single-connection
+    read + repartition(4) (document/glue_t0.md:144,153).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_or_query)
+    )
+    for k, v in connection.items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()

@@ -1,0 +1,70 @@
+"""Aggregation operators (reference SURVEY §2.4 A1-A11).
+
+Every reference mart is a hash aggregate over multi-column group keys with
+sum/count (jb_de_enhancement_t2_salesbyageproducts_s2s.py:55-56); the Athena
+query set adds count(distinct), unit-scaled rounding, and count ratios
+(document/glue_t2.md:26-128).
+
+Scale notes: ``groupBy().agg()`` gives map-side partial aggregation for
+sum/count/avg for free (HashAggregate partial -> shuffle on keys -> final);
+exact countDistinct forces a second expand+shuffle, so `approx=True` swaps in
+HLL `approx_count_distinct` for the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def grouped_sales_agg(
+    df: DataFrame,
+    keys: list[str | Column],
+    amount_col: str = "amount",
+    *,
+    sum_alias: str = "total_purchase_amount",
+    count_alias: str = "count_of_purchase",
+    extra: list[Column] | None = None,
+) -> DataFrame:
+    """The reference's mart kernel: groupBy(keys).agg(sum, count) with the
+    reference's output aliases (jb_de_enhancement_t2_salesbyageproducts_s2s.py:55-56)."""
+    aggs = [
+        F.sum(amount_col).alias(sum_alias),
+        F.count(amount_col).alias(count_alias),
+    ]
+    if extra:
+        aggs.extend(extra)
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def customer_base_stats(
+    df: DataFrame,
+    group_key: str,
+    customer_col: str,
+    amount_col: str,
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """Reference A10 (document/glue_t2.md:101-113): per-group distinct
+    customers, purchase count, purchases-per-customer, and unit-scaled spend
+    averages. ``approx=True`` uses HLL for the 100 TB path (one less shuffle)."""
+    ndv: Column = (
+        F.approx_count_distinct(customer_col) if approx else F.count_distinct(customer_col)
+    ).alias("count_of_customers")
+    return df.groupBy(group_key).agg(
+        ndv,
+        F.count(customer_col).alias("count_of_purchase"),
+        F.round(
+            F.count(customer_col)
+            / (F.approx_count_distinct(customer_col) if approx else F.count_distinct(customer_col)),
+            2,
+        ).alias("purchase_per_customer"),
+        F.round(F.sum(amount_col) / F.count(customer_col) / 10000, 2).alias(
+            "amount_per_purchase_10k"
+        ),
+        F.round(
+            F.sum(amount_col)
+            / (F.approx_count_distinct(customer_col) if approx else F.count_distinct(customer_col))
+            / 10000,
+            2,
+        ).alias("amount_per_customer_10k"),
+    )

@@ -1,0 +1,479 @@
+"""The engine's declared query surface over the driver testdata star schema.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the registry
+`QUERIES` maps names to callables and `aws_glue_etl_sample_hist_spark.oracles.ORACLE_SQL`
+carries the DuckDB twin of each query (the dual-engine oracle pattern the
+reference itself used: Spark-produced parquet cross-checked with Athena SQL,
+document/glue_t1.md:30-54, glue_t2.md:26-128).
+
+Role mapping reference -> testdata (FIXTURES.md §6): purchase -> lineitem
+(+orders for date/customer), products_info -> part, customer -> customer,
+zipcode -> nation/region. Aggregate aliases follow the reference
+(total_purchase_amount / count_of_purchase,
+jb_de_enhancement_t2_salesbyageproducts_s2s.py:55-56).
+
+Float discipline: any aggregated double is rounded (2-4 dp) in BOTH engines
+so partial-aggregation order cannot flip the value hash; pass-through doubles
+are left exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .catalog import load_table
+from .functions.datetime_fns import day_name, presto_day_of_week, with_date_parts, ymd
+from .operators.joins import left_join_drop_keys
+
+# ---------------------------------------------------------------- helpers
+
+
+def _dated_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """lineitem with the reference's string-date surface: purchase_date
+    (yyyymmdd string) + substring-derived year/month/day partition columns
+    (reference P1, jb_de_enhancement_t0_fact_d2s.py:86-88)."""
+    li = load_table(spark, sf, "lineitem")
+    return with_date_parts(li.withColumn("purchase_date", ymd("l_shipdate")))
+
+
+def silver_denorm_df(spark: SparkSession, sf: str) -> DataFrame:
+    """The T1 silver wide table (reference jb_de_enhancement_t1_fulljoin_s2s.py:53-86):
+    fact left-joined to every dimension, right-side key columns dropped.
+
+    Join strategy at scale: lineitem⋈orders is fact-to-fact -> shuffle hash
+    join on l_orderkey (both sides huge at 100 TB; co-partitioning/bucketing
+    on orderkey removes this shuffle in a persisted lake). All true dimensions
+    (part, customer, nation, region) are broadcast -- the fact never shuffles
+    for them. Dimension-side pre-joins (customer⟕nation⟕region) happen first,
+    mirroring the reference's customer⟕zipcode pre-join.
+    """
+    li = _dated_lineitem(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    part = load_table(spark, sf, "part")
+
+    # dims pre-join (reference J1: customer ⟕ zipcode)
+    cust_geo = left_join_drop_keys(
+        left_join_drop_keys(customer, nation, [("c_nationkey", "n_nationkey")]),
+        region,
+        [("n_regionkey", "r_regionkey")],
+    )
+
+    wide = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .drop(orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .drop(part.p_partkey)
+        .join(F.broadcast(cust_geo), F.col("o_custkey") == cust_geo.c_custkey, "left")
+        .drop(cust_geo.c_custkey)
+    )
+    return wide.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+        "purchase_date",
+        "purchase_year",
+        "purchase_month",
+        "purchase_day",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        "n_name",
+        "r_name",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+    )
+
+
+# ------------------------------------------------- reference-parity spine
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical multi-measure hash
+    aggregate (reference A1 generalized). String-date BETWEEN filter keeps the
+    reference's lexicographic-compare semantics (P5/F2)."""
+    li = _dated_lineitem(spark, sf)
+    return (
+        li.filter(F.col("purchase_date") <= "19980902")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_bronze_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """T0 bronze ingest shape (reference S2+P1): date-bounded fact extract with
+    substring-derived partition columns. The filter is pushed into the parquet
+    scan by Catalyst -- the Spark-first replacement for the reference's
+    hand-built JDBC pushdown query (jb_de_enhancement_t0_fact_d2s.py:69-82)."""
+    li = _dated_lineitem(spark, sf)
+    return li.filter(F.col("purchase_date").between("19960101", "19961231")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "purchase_date",
+        "purchase_year",
+        "purchase_month",
+        "purchase_day",
+        F.col("l_extendedprice").alias("amount"),
+    )
+
+
+def q_silver_denorm(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 silver: the 3-chain left-join wide table (reference J1-J3)."""
+    return silver_denorm_df(spark, sf)
+
+
+def q_mart_sales_by_segment_product(spark: SparkSession, sf: str) -> DataFrame:
+    """Gold mart A1 analog: 7-key group-by sum/count
+    (reference jb_de_enhancement_t2_salesbyageproducts_s2s.py:55-56)."""
+    return (
+        silver_denorm_df(spark, sf)
+        .groupBy(
+            "purchase_year",
+            "purchase_month",
+            "c_mktsegment",
+            "p_brand",
+            "p_type",
+            "l_returnflag",
+            "n_name",
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_purchase_amount"),
+            F.count("l_extendedprice").alias("count_of_purchase"),
+        )
+    )
+
+
+def q_mart_sales_by_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Gold mart A2 analog with the reference's agg-THEN-join order (J4,
+    jb_de_enhancement_t2_salesbycustomer_s2s.py:54-78): aggregate the fact
+    first (shrinks it by orders of magnitude), then broadcast-join dims onto
+    the small result -- the hand-written 'eager aggregation' Catalyst doesn't
+    do for outer joins."""
+    li = _dated_lineitem(spark, sf)
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("o_custkey", "purchase_year", "purchase_month")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_purchase_amount"),
+            F.count("l_extendedprice").alias("count_of_purchase"),
+        )
+    )
+    cust_nat = left_join_drop_keys(customer, nation, [("c_nationkey", "n_nationkey")])
+    return (
+        agg.join(F.broadcast(cust_nat), agg.o_custkey == cust_nat.c_custkey, "left")
+        .drop(cust_nat.c_custkey)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            "purchase_year",
+            "purchase_month",
+            "c_name",
+            "c_mktsegment",
+            "n_name",
+            "total_purchase_amount",
+            "count_of_purchase",
+        )
+    )
+
+
+def q_mart_sales_by_datetime(spark: SparkSession, sf: str) -> DataFrame:
+    """Gold mart A3 analog (jb_de_enhancement_t2_salesbydatetime_s2s.py:59-82):
+    date-part keys + day-of-week columns. The reference computed day names
+    with a row-at-a-time Python UDF (U1); the engine's hot path is the
+    equivalent JVM expression (day_name/presto_day_of_week) -- the UDF
+    exemplar survives in functions.datetime_fns and its parity test."""
+    li = _dated_lineitem(spark, sf)
+    return (
+        li.groupBy(
+            "purchase_year",
+            "purchase_month",
+            "purchase_day",
+            day_name("l_shipdate").alias("day_of_week"),
+            presto_day_of_week("l_shipdate").cast("long").alias("day_num"),
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_purchase_amount"),
+            F.count("l_extendedprice").alias("count_of_purchase"),
+        )
+    )
+
+
+def q_mart_sales_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Gold mart A4 analog + the reference's multi-column mixed-direction
+    global sort before write (O1, jb_de_enhancement_t2_salesbyresidence_s2s.py:55-57)."""
+    mart = (
+        silver_denorm_df(spark, sf)
+        .groupBy("purchase_year", "purchase_month", "r_name", "n_name")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_purchase_amount"),
+            F.count("l_extendedprice").alias("count_of_purchase"),
+        )
+    )
+    return mart.orderBy(
+        F.col("purchase_year").asc(),
+        F.col("purchase_month").asc(),
+        F.col("r_name").asc(),
+        F.col("total_purchase_amount").desc(),
+        F.col("count_of_purchase").desc(),
+    )
+
+
+def q_monthly_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A5 (document/glue_t2.md:27-36): unit-scaled monthly revenue."""
+    li = _dated_lineitem(spark, sf)
+    return li.groupBy("purchase_year", "purchase_month").agg(
+        F.round(F.sum("l_extendedprice") / 1_000_000, 2).alias("revenue_musd"),
+        F.count("l_extendedprice").alias("count_of_purchase"),
+    )
+
+
+def q_weekday_hour_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A6 (document/glue_t2.md:41-52): weekday-name x hour revenue over
+    the events table. Day numbering is Presto's 1=Monday..7=Sunday -- Spark's
+    dayofweek() is 1=Sunday and must not be used (SURVEY §7.4)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy(
+        day_name("ts").alias("day_of_week"),
+        presto_day_of_week("ts").cast("long").alias("day_num"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("value").alias("count_of_events"),
+    )
+
+
+def q_product_category_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A7 (document/glue_t2.md:55-67): revenue by product category."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    joined = left_join_drop_keys(li, part, [("l_partkey", "p_partkey")])
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.round(F.sum("l_extendedprice") / 1_000_000, 2).alias("revenue_musd"),
+        F.count("l_extendedprice").alias("count_of_purchase"),
+    )
+
+
+def q_segment_category_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A8 (document/glue_t2.md:70-83): segment x category revenue with
+    the reference's ORDER BY 1,2,revenue desc."""
+    mart = (
+        silver_denorm_df(spark, sf)
+        .groupBy("c_mktsegment", "p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 1_000_000, 2).alias("revenue_musd"),
+            F.count("l_extendedprice").alias("count_of_purchase"),
+        )
+    )
+    return mart.orderBy(F.col("c_mktsegment").asc(), F.col("p_brand").asc(), F.col("revenue_musd").desc())
+
+
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A9 (document/glue_t2.md:86-97): revenue by region geography."""
+    return (
+        silver_denorm_df(spark, sf)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 1_000_000, 2).alias("revenue_musd"),
+            F.count("l_extendedprice").alias("count_of_purchase"),
+        )
+    )
+
+
+def q_customer_base_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A10 (document/glue_t2.md:101-113): distinct customers, purchase
+    counts, per-customer ratios. Exact count_distinct here (oracle-checkable);
+    operators.aggregates.customer_base_stats(approx=True) is the HLL path for
+    100 TB (one shuffle instead of two)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("count_of_customers"),
+        F.count("o_custkey").alias("count_of_purchase"),
+        F.round(F.count("o_custkey") / F.count_distinct("o_custkey"), 2).alias(
+            "purchase_per_customer"
+        ),
+        F.round(F.sum("o_totalprice") / F.count("o_custkey") / 10000, 2).alias(
+            "amount_per_purchase_10k"
+        ),
+        F.round(F.sum("o_totalprice") / F.count_distinct("o_custkey") / 10000, 2).alias(
+            "amount_per_customer_10k"
+        ),
+    )
+
+
+def q_customer_monthly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena A11 (document/glue_t2.md:116-128): per-customer monthly stats."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.withColumn("purchase_year", F.date_format("o_orderdate", "yyyy"))
+        .withColumn("purchase_month", F.date_format("o_orderdate", "MM"))
+        .groupBy("o_custkey", "purchase_year", "purchase_month")
+        .agg(
+            F.count("o_orderkey").alias("count_of_purchase"),
+            F.round(F.sum("o_totalprice") / F.count("o_orderkey") / 10000, 2).alias(
+                "amount_per_purchase_10k"
+            ),
+        )
+        .withColumnRenamed("o_custkey", "customer_id")
+    )
+
+
+def q_adhoc_join_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Athena J5/O3 (document/glue_t1.md:34-54): CTE + left joins + LIMIT 20,
+    expressed through the engine's SQL surface (spark.sql over registered
+    views). The reference sorted a subquery before joining; join output order
+    is not guaranteed in Spark or Presto, so the determinism lives in the
+    OUTER order-by over a unique key (SURVEY §7.4)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH customer_info AS (
+            SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT o.o_orderkey, o.o_orderdate_str, o.o_totalprice,
+               ci.c_name, ci.c_mktsegment, ci.n_name
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate_str
+            FROM orders
+            WHERE date_format(o_orderdate, 'yyyyMMdd') BETWEEN '19960101' AND '19961231'
+        ) o
+        LEFT JOIN customer_info ci ON o.o_custkey = ci.c_custkey
+        ORDER BY o.o_orderdate_str, o.o_orderkey
+        LIMIT 20
+        """
+    )
+
+
+def q_top_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k (O2/O3): ORDER BY + LIMIT with a unique tiebreak; Spark executes
+    this as TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    agg = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_purchase_amount"),
+        F.count("l_extendedprice").alias("count_of_purchase"),
+    )
+    return (
+        agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey, "left")
+        .drop(part.p_partkey)
+        .select("l_partkey", "p_name", "p_brand", "total_purchase_amount", "count_of_purchase")
+        .orderBy(F.col("total_purchase_amount").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------- beyond-reference relational ops
+
+
+def q_customer_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Window function (beyond reference §2.9 -- it has none): per-customer
+    running revenue across months. Explicit ROWS frame; one shuffle on the
+    partition key, sort within partitions only."""
+    monthly = (
+        load_table(spark, sf, "orders")
+        .withColumn("purchase_year", F.date_format("o_orderdate", "yyyy"))
+        .withColumn("purchase_month", F.date_format("o_orderdate", "MM"))
+        .groupBy("o_custkey", "purchase_year", "purchase_month")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_amount"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("purchase_year", "purchase_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        F.col("o_custkey").alias("customer_id"),
+        "purchase_year",
+        "purchase_month",
+        "monthly_amount",
+        F.round(F.sum("monthly_amount").over(w), 2).alias("running_amount"),
+    )
+
+
+def q_order_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations (beyond reference): customers active in both 1996 and
+    1997 (INTERSECT) and in 1996 only (EXCEPT), tagged and unioned."""
+    orders = load_table(spark, sf, "orders")
+    y = lambda yr: (
+        orders.filter(F.date_format("o_orderdate", "yyyy") == yr)
+        .select("o_custkey")
+        .distinct()
+    )
+    both = y("1996").intersect(y("1997")).withColumn("cohort", F.lit("both"))
+    only96 = y("1996").exceptAll(y("1997")).withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only96).withColumnRenamed("o_custkey", "customer_id")
+
+
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join (beyond reference): customers that never ordered, as a
+    broadcast-able left-anti join (SQL NOT EXISTS equivalent)."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey").distinct(),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "bronze_purchases": q_bronze_purchases,
+    "silver_denorm": q_silver_denorm,
+    "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
+    "mart_sales_by_customer": q_mart_sales_by_customer,
+    "mart_sales_by_datetime": q_mart_sales_by_datetime,
+    "mart_sales_by_region": q_mart_sales_by_region,
+    "monthly_revenue": q_monthly_revenue,
+    "weekday_hour_revenue": q_weekday_hour_revenue,
+    "product_category_revenue": q_product_category_revenue,
+    "segment_category_revenue": q_segment_category_revenue,
+    "region_revenue": q_region_revenue,
+    "customer_base_stats": q_customer_base_stats,
+    "customer_monthly_stats": q_customer_monthly_stats,
+    "adhoc_join_limit": q_adhoc_join_limit,
+    "top_parts": q_top_parts,
+    "customer_running_total": q_customer_running_total,
+    "order_set_ops": q_order_set_ops,
+    "customers_without_orders": q_customers_without_orders,
+}

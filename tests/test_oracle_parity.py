@@ -1,0 +1,45 @@
+"""The correctness gate, run locally: every declared query must match its
+DuckDB oracle at sf=0.01 (row count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_compare import compare, duckdb_connection
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con(sf_oracle):
+    c = duckdb_connection(sf_oracle)
+    yield c
+    c.close()
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may omit the oracle; keep the list explicit
+    allowed_missing = set()
+    assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))
+def test_query_matches_oracle(name, spark, sf_oracle, con):
+    df = QUERIES[name](spark, sf_oracle)
+    report = compare(df, con, ORACLES[name])
+    assert report["rowcount_match"], report
+    assert report["schema_match"], report
+    assert report["values_match"], report
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
