@@ -22,26 +22,27 @@ from pyspark.sql import DataFrame
 class WriterPolicy:
     """How many files to produce, stated as intent instead of a magic number.
 
-    target_file_rows: approximate rows per output file (None = let AQE decide).
-    max_files: hard cap (the tiny-mart case: cap at 1 reproduces the
-        reference's coalesce(1) without baking it into job code).
+    target_file_rows: rows per output file, enforced via the writer's
+        ``maxRecordsPerFile`` option -- splits oversized tasks WITHOUT a
+        shuffle or an extra counting pass (the scale path; AQE coalescing
+        handles the too-many-tiny-partitions direction).
+    max_files: hard cap via coalesce (the tiny-mart case: cap 1 reproduces
+        the reference's coalesce(1) without baking it into job code).
     """
 
     target_file_rows: int | None = None
     max_files: int | None = None
 
-    def shape(self, df: DataFrame, row_estimate: int | None = None) -> DataFrame:
-        n = None
-        if self.target_file_rows:
-            rows = row_estimate if row_estimate is not None else df.count()
-            n = max(1, -(-rows // self.target_file_rows))  # ceil
+    def shape(self, df: DataFrame) -> DataFrame:
         if self.max_files is not None:
-            n = min(n or self.max_files, self.max_files)
-        if n is None:
-            return df
-        # coalesce when shrinking (no shuffle); repartition when growing
-        current = df.rdd.getNumPartitions()
-        return df.coalesce(n) if n <= current else df.repartition(n)
+            # coalesce never shuffles; a cap above the partition count is a no-op
+            return df.coalesce(self.max_files)
+        return df
+
+    def writer_options(self) -> dict[str, str]:
+        if self.target_file_rows:
+            return {"maxRecordsPerFile": str(self.target_file_rows)}
+        return {}
 
 
 # reference defaults: marts are tiny -> one file (parity with coalesce(1));
@@ -57,15 +58,17 @@ def write_partitioned(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     policy: WriterPolicy | None = None,
-    row_estimate: int | None = None,
 ) -> None:
     """Partitioned parquet write. With
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session default),
     ``mode='overwrite'`` only replaces partitions present in ``df`` --
     the reference's idempotent incremental-load mechanism (S7)."""
     if policy is not None:
-        df = policy.shape(df, row_estimate)
+        df = policy.shape(df)
     writer = df.write.mode(mode)
+    if policy is not None:
+        for k, v in policy.writer_options().items():
+            writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries + the full medallion pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the end-to-end medallion pipeline wall-clock (the reference's
+comparable number: its full initial load ran 20 min on 28.6M rows / 2-4
+G.1X workers, BASELINE.md). Queries are materialized with the noop sink so
+the whole plan executes without driver-collect or disk-write skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+from aws_glue_etl_sample_hist_spark.plans.medallion import run_medallion
+from aws_glue_etl_sample_hist_spark.queries import QUERIES
+from aws_glue_etl_sample_hist_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "bronze_purchases",
+    "silver_denorm",
+    "mart_sales_by_segment_product",
+    "mart_sales_by_customer",
+    "mart_sales_by_datetime",
+    "mart_sales_by_region",
+    "monthly_revenue",
+    "weekday_hour_revenue",
+    "customer_base_stats",
+    "customer_monthly_stats",
+    "top_parts",
+    "customer_running_total",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # JVM / file-listing warmup (not timed)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
+        t0 = time.perf_counter()
+        run_medallion(spark, sf_dir, tmp)
+        pipeline_sec = round(time.perf_counter() - t0, 3)
+    timings["medallion_pipeline"] = pipeline_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "medallion_pipeline_e2e",
+                "value": pipeline_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
