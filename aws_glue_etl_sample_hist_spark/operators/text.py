@@ -1,0 +1,92 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extension,
+BASELINE.json): tokenization, quality scoring, language ID, fingerprinting.
+
+Everything here is built from JVM-side expressions (split / transform /
+aggregate / regexp) -- no Python UDFs in the hot path, so the whole stage
+stays inside whole-stage codegen and scales linearly with executors. All
+constructs have exact DuckDB equivalents, which is what lets every one of
+these ship with a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+# tiny function-word sets for the language-vote heuristic (public knowledge)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une"],
+    "es": ["el", "los", "de", "y", "un", "una", "que"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "ist"],
+}
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "is"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; `split(trim(x), '\\s+')` has the same
+    semantics in Spark and DuckDB (regexp_split_to_array)."""
+    return F.split(F.trim(col), TOKEN_PATTERN)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def sum_token_lengths(toks: Column) -> Column:
+    """Total characters across tokens via a fold -- O(n) per row, JVM-side."""
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+
+
+def stopword_count(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def subword_token_estimate(toks: Column) -> Column:
+    """BPE-ish token-count estimator: ceil(len/4) per word (the ~4 chars per
+    subword rule of thumb), summed. Deterministic, SQL-expressible; a real
+    tokenizer would slot in as a pandas_udf behind the same column contract."""
+    return F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def lang_guess(text_col: Column, toks: Column) -> Column:
+    """N-gram/function-word language vote: CJK codepoints -> zh, else the
+    stopword set with the most hits wins (ties broken by fixed precedence
+    en > fr > es > de), no hits -> 'unknown'."""
+    votes = {lang: stopword_count(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*votes.values())
+    guess = (
+        F.when(text_col.rlike(CJK_PATTERN), F.lit("zh"))
+        .when(best == 0, F.lit("unknown"))
+        .when(votes["en"] == best, F.lit("en"))
+        .when(votes["fr"] == best, F.lit("fr"))
+        .when(votes["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return guess
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """All n-token shingles as strings (docs shorter than n collapse to the
+    full text as a single shingle)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def min_shingle_fingerprint(toks: Column, n: int = 5) -> Column:
+    """Rolling-hash-style document fingerprint: min md5 over n-token shingles.
+    md5 is bit-identical across Spark/DuckDB/Presto, making the fingerprint
+    portable across engines (unlike Spark's xxhash64/hash)."""
+    return F.array_min(F.transform(word_shingles(toks, n), F.md5))

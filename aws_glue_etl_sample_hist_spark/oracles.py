@@ -238,4 +238,207 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
+    # ---------------- LLM-data-pipeline extensions ----------------
+    "text_stats": r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, lang, n_chars_measured,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+                   CAST(len(list_filter(toks,
+                        x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT)
+                        AS n_stopwords,
+                   CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                        AS sum_token_len
+            FROM t
+        )
+        SELECT doc_id, lang, n_chars_measured, n_tokens, n_distinct_tokens,
+               ROUND(n_distinct_tokens / n_tokens, 4) AS distinct_ratio,
+               ROUND(n_stopwords / n_tokens, 4)       AS stopword_ratio,
+               ROUND(sum_token_len / n_tokens, 4)     AS avg_token_len,
+               ROUND(0.4 * (n_distinct_tokens / n_tokens)
+                   + 0.3 * (1 - n_stopwords / n_tokens)
+                   + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality_score
+        FROM d
+    """,
+    "text_langid": r"""
+        WITH v AS (
+            SELECT doc_id, lang, text,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','a','of','and','is','to','in'], x))) AS v_en,
+                   len(list_filter(toks, x -> list_contains(
+                       ['le','la','les','de','et','un','une'], x))) AS v_fr,
+                   len(list_filter(toks, x -> list_contains(
+                       ['el','los','de','y','un','una','que'], x))) AS v_es,
+                   len(list_filter(toks, x -> list_contains(
+                       ['der','die','das','und','ein','zu','ist'], x))) AS v_de
+            FROM (SELECT doc_id, lang, text,
+                         regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), g AS (
+            SELECT doc_id, lang,
+                   CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                        WHEN greatest(v_en, v_fr, v_es, v_de) = 0 THEN 'unknown'
+                        WHEN v_en = greatest(v_en, v_fr, v_es, v_de) THEN 'en'
+                        WHEN v_fr = greatest(v_en, v_fr, v_es, v_de) THEN 'fr'
+                        WHEN v_es = greatest(v_en, v_fr, v_es, v_de) THEN 'es'
+                        ELSE 'de' END AS lang_guess
+            FROM v
+        )
+        SELECT doc_id, lang, lang_guess,
+               CAST(lang_guess = lang AS INTEGER) AS match_flag
+        FROM g
+    """,
+    "text_tokens": r"""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(toks,
+                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id, md5(text) AS content_hash,
+               list_min(list_transform(
+                   generate_series(1, greatest(len(toks) - 4, 1)),
+                   i -> md5(array_to_string(toks[i:i+4], ' ')))) AS min_shingle_md5
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(doc_id) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), sizes AS (
+            SELECT doc_id, COUNT(shingle) AS n FROM sh GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               sa.n AS size_a, sb.n AS size_b,
+               ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    """,
+    "dedup_minhash_lsh": r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), hashes AS (
+            SELECT doc_id, i.h AS h,
+                   MIN(CAST(('0x' || substr(md5(CAST(i.h AS VARCHAR) || ':' || shingle), 1, 8))
+                       AS BIGINT)) AS min_hash
+            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) i
+            GROUP BY 1, 2
+        ), bands AS (
+            SELECT doc_id, h // 3 AS band,
+                   string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h) AS band_sig
+            FROM hashes
+            GROUP BY 1, 2
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "dedup_simhash": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS hv
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents) t
+        ), votes AS (
+            SELECT doc_id, b.bit,
+                   SUM(CASE WHEN ((hv >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+            FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+            GROUP BY 1, 2
+        ), fp AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes
+            GROUP BY 1
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "embedding_cosine_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+                   AS cos_raw
+            FROM q JOIN e ON e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank,
+               ROUND(cos_raw, 6) AS cosine
+        FROM scored
+        QUALIFY rank <= 10
+    """,
+    "embedding_lsh_ann": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END) AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id IN (0,1,2,3,4)),
+        scored AS (
+            SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
+                   list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+                   AS cos_raw
+            FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id != q.query_id
+        )
+        SELECT query_id, bucket, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank,
+               ROUND(cos_raw, 6) AS cosine
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+    "embedding_near_dup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
 }

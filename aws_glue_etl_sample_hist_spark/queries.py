@@ -454,6 +454,134 @@ def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------ LLM-data-pipeline extensions (north star)
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document text statistics + composite quality score (length,
+    lexical diversity, stopword density) -- the quality-filter stage of a
+    training-data pipeline, all JVM expressions."""
+    from .operators.text import QUALITY_STOPWORDS, stopword_count, sum_token_lengths, tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        stopword_count(toks, QUALITY_STOPWORDS).alias("n_stopwords"),
+        sum_token_lengths(toks).alias("sum_token_len"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars_measured",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(F.col("sum_token_len") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.round(
+            0.4 * (F.col("n_distinct_tokens") / F.col("n_tokens"))
+            + 0.3 * (1 - F.col("n_stopwords") / F.col("n_tokens"))
+            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID (function-word vote + CJK codepoint check)
+    against the labeled lang column."""
+    from .operators.text import lang_guess, tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_guess(F.col("text"), toks).alias("lang_guess"),
+    ).withColumn("match_flag", (F.col("lang_guess") == F.col("lang")).cast("int"))
+
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace word count + BPE-ish subword estimate."""
+    from .operators.text import subword_token_estimate, token_count, tokens
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        subword_token_estimate(tokens(F.col("text"))).alias("n_subword_est"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprints: full-content md5 + min-shingle rolling
+    fingerprint (portable across engines -- md5, not Spark-private hashes)."""
+    from .operators.text import min_shingle_fingerprint, tokens
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        min_shingle_fingerprint(tokens(F.col("text")), 5).alias("min_shingle_md5"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content-hash group-by (operators.dedup.exact_dedup)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard via inverted-index join."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(12 hashes)+LSH(bands of 3) candidate pairs, md5 hash family."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load_table(spark, sf, "documents"), num_hashes=12, band_size=3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-32 near-dup pairs (hamming <= 3) via the 4-band pigeonhole
+    candidate generation -- exact result without the n^2 pair space."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=3)
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
+def q_embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-bucket LSH ANN: same queries, candidates restricted to the
+    query's bucket, exact rerank within it."""
+    from .operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
+    from .operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -476,4 +604,15 @@ QUERIES = {
     "customer_running_total": q_customer_running_total,
     "order_set_ops": q_order_set_ops,
     "customers_without_orders": q_customers_without_orders,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_near_dup": q_embedding_near_dup,
 }
