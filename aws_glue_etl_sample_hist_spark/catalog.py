@@ -57,10 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long nanos; floor-divide to micros (all
-        # values are post-epoch, so integer division == floor, matching the
-        # micro-truncation DuckDB applies when it reads the same file).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # TIMESTAMP(NANOS) read as long nanos; integer-divide to micros
+        # (`div`, NOT `/` -- `/` is double division and loses precision at
+        # ~1.7e18 ns, off-by-1us). All values are post-epoch, so integer
+        # division == floor, matching DuckDB's micro-truncation on read.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -441,4 +441,82 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
+    # ---------------- event-stream analytics ----------------
+    "events_windowed_agg": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, value, event_id,
+                   epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, value, us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               ROUND(SUM(value), 4) AS session_value
+        FROM numbered
+        GROUP BY 1, 2
+    """,
+    "stream_events_windowed": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "stream_events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, value, event_id,
+                   epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, value, us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(us) AS session_start_us,
+               MAX(us) AS session_end_us,
+               ROUND(SUM(value), 4) AS session_value
+        FROM numbered
+        GROUP BY 1, 2
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY 1
+    """,
 }

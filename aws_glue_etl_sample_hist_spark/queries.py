@@ -582,6 +582,76 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
 
 
+# ------------------------------------------------- event-stream analytics
+
+
+def q_events_windowed_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count / distinct users / value
+    sum. Batch twin of the streaming job (streaming/jobs.py) -- same F.window
+    semantics; at scale this is one shuffle on (window, event_type) with
+    map-side partial aggregation."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle threshold) -- see
+    operators.sessionize for the scale analysis (single user_id shuffle
+    reused by both window specs and the final agg)."""
+    from .operators.sessionize import sessionize
+
+    return sessionize(load_table(spark, sf, "events"), gap_seconds=1800)
+
+
+def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction feeding an agg --
+    all JVM-side (get_json_object), no Python in the loop."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_stream_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming twin of events_windowed_agg: readStream ->
+    watermark -> tumbling window agg -> availableNow drain (streaming/jobs.py),
+    oracle-checked against the same SQL as the batch path."""
+    from .streaming.jobs import stream_events_windowed
+
+    return stream_events_windowed(spark, sf)
+
+
+def q_stream_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator: gap sessionization via
+    applyInPandasWithState (O(1) state per user), oracle-checked against the
+    batch sessionize SQL."""
+    from .streaming.jobs import stream_events_sessionize
+
+    return stream_events_sessionize(spark, sf)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -615,4 +685,9 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_near_dup": q_embedding_near_dup,
+    "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_json_extract": q_events_json_extract,
+    "stream_events_windowed": q_stream_events_windowed,
+    "stream_events_sessionize": q_stream_events_sessionize,
 }

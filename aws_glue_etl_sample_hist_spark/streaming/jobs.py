@@ -1,0 +1,213 @@
+"""Structured Streaming surface of the engine.
+
+The reference has no true streaming (SURVEY.md §2.9) -- its analog is a
+monthly EventBridge-cron micro-batch with dynamic partition overwrite.
+Spark-first, that pattern IS `readStream` + `Trigger.AvailableNow`: process
+everything available, then stop -- identical semantics to the reference's
+scheduled incremental load, but with exactly-once checkpointing for free.
+
+Both jobs here run availableNow into a named in-memory sink and return the
+result as a plain DataFrame, so the driver's dual-engine oracle can check the
+streaming path against the same DuckDB SQL as the batch twins
+(queries.q_events_windowed_agg / q_events_sessionize). On a real cluster the
+sink would be partitioned parquet (io.sinks) and the trigger a processing-time
+interval; nothing else changes.
+
+Scale notes:
+  - windowed agg: watermark bounds state; shuffle on (window, event_type)
+    with partial aggregation map-side -- same plan shape as the batch query.
+  - sessionization: applyInPandasWithState keeps ONE state row per user
+    (open-session accumulator), so state size is O(active users), not
+    O(events). Arrow-batched, grouped on the same user_id shuffle as batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import table_path
+
+# streaming reads need an explicit schema; ts is TIMESTAMP(NANOS) on disk,
+# surfaced as long nanos under spark.sql.legacy.parquet.nanosAsLong
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FileStreamSource wants a directory or glob (a bare file path fails with
+    # "Option 'basePath' must be a directory") -- glob the single file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(table_path(sf_dir, "events") + "*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 600.0) -> DataFrame:
+    """Drain an availableNow stream into a uniquely-named memory sink and
+    return the sink's contents as a batch DataFrame.
+
+    Quirk handled: with ProcessingTimeTimeout state, availableNow never
+    self-terminates -- after the data is consumed it loops "no new data but
+    cleaning up state" batches forever (it cannot prove no future timeout
+    will fire). We detect the fully-drained condition ourselves: a completed
+    no-data batch whose state store holds zero rows, then stop() the query.
+    """
+    import time
+
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="stream_ckpt_"), "ckpt")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.monotonic() + drain_timeout
+    while time.monotonic() < deadline:
+        if q.awaitTermination(1):
+            break  # natural availableNow termination (stateless / agg jobs)
+        p = q.lastProgress
+        if not p:
+            continue
+        state_rows = sum(s.get("numRowsTotal", 0) for s in p.get("stateOperators", []))
+        if p.get("numInputRows", 0) == 0 and state_rows == 0:
+            q.stop()
+            q.awaitTermination()
+            break
+    else:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain within {drain_timeout}s")
+    return result.sparkSession.table(name)
+
+
+def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window x event_type over the event stream; watermark
+    bounds state at 1 hour of lateness. Complete output mode so the final
+    (unclosed-by-watermark) windows are emitted too -- availableNow therefore
+    produces exactly the batch answer."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            # exact countDistinct is unsupported in streaming aggs; the batch
+            # twin carries n_users, this one stays exactly oracle-comparable
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def _session_emit(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful session assembler: state = (next_seq, open session accum).
+
+    Within a micro-batch, closed sessions are emitted immediately; the still
+    open trailing session is kept in state and emitted on timeout (here: on
+    the availableNow stream end, which closes all state). O(1) state per user.
+    """
+    (user_id,) = key
+    gap_us = 1_800_000_000
+
+    if state.hasTimedOut:
+        seq, n, start_us, end_us, val = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_seq": [seq],
+                "n_events": [n],
+                "session_start_us": [start_us],
+                "session_end_us": [end_us],
+                "session_value": [round(val, 4)],
+            }
+        )
+        return
+
+    if state.exists:
+        seq, n, start_us, end_us, val = state.get
+    else:
+        seq, n, start_us, end_us, val = 0, 0, 0, 0, 0.0
+
+    out: list[tuple] = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us, v in zip(pdf["us"].to_numpy(), pdf["value"].to_numpy()):
+            us = int(us)
+            if n == 0:
+                seq, n, start_us, end_us, val = seq + 1, 1, us, us, float(v)
+            elif us - end_us > gap_us:
+                out.append((user_id, seq, n, start_us, end_us, round(val, 4)))
+                seq, n, start_us, end_us, val = seq + 1, 1, us, us, float(v)
+            else:
+                n += 1
+                end_us = us
+                val += float(v)
+
+    state.update((seq, n, start_us, end_us, val))
+    state.setTimeoutDuration(1)  # close the open session at stream end
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState) -- the unbounded-input twin of
+    operators.sessionize.sessionize; oracle-checked against the same SQL."""
+    ev = _read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id", "value"
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _session_emit,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="seq LONG, n LONG, start_us LONG, end_us LONG, val DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return _run_to_memory(sessions, "append")
