@@ -71,6 +71,7 @@ def change_day_of_week(year: str, month: str, day: str) -> str:
 
 def builtin_change_day_of_week(year: Column, month: Column, day: Column) -> Column:
     """JVM-side equivalent of `change_day_of_week` incl. the error-as-value
-    fallback, built from to_date (returns NULL on invalid) + coalesce."""
-    d = F.to_date(F.concat(year, month, day), "yyyyMMdd")
+    fallback: try_to_date (NULL on invalid -- plain to_date THROWS under the
+    ANSI-mode default of Spark 4) + coalesce."""
+    d = F.try_to_date(F.concat(year, month, day), "yyyyMMdd")
     return F.coalesce(F.date_format(d, "EEEE"), F.lit(INVALID_DATE_SENTINEL))

@@ -1,0 +1,161 @@
+"""Multimodal (image/audio/video) column handling for training-data pipelines.
+
+The reference is tables-of-strings-and-doubles only (SURVEY.md §1.3), so this
+is a north-star extension: media as opaque ``binary`` payload columns with
+typed metadata, processed by Arrow-batched Python (``mapInPandas``) -- the
+correct Spark shape for decode/feature-extract work that cannot run JVM-side.
+
+Design for 100 TB:
+  - payloads stay OPAQUE to the JVM: no shuffle ever carries decoded frames;
+    metadata (small, typed) is what joins/aggregates downstream.
+  - all Python stages are ``mapInPandas`` (per-partition Arrow batches, no
+    per-row pickling, no shuffle introduced); output schemas are fixed
+    ``StructType``s so Catalyst can prune columns through them.
+  - real decoders (PIL / ffmpeg / soundfile) are NOT in this container, so
+    ``decode_image`` is an explicit, clearly-marked stub behind an import-try;
+    the deterministic metadata path below exercises the identical plumbing
+    (binary in Arrow record batches -> pandas bytes -> typed rows out).
+
+The synthetic payload is the utf-8 encoding of ``documents.text`` (ASCII in
+the testdata, so byte offsets == char offsets -- which is what makes the
+DuckDB oracle expressible in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real image decoding is stubbed: PIL is not shipped in this container
+    from PIL import Image  # pragma: no cover  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256_hex", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def attach_fake_payload(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media_type, payload binary). Deterministic:
+    payload = utf8(text), media_type cycles by doc_id so every modality is
+    exercised. JVM-side only (F.encode), zero Python."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - explicit stub
+    """STUB: real image decode requires PIL, not present in this container.
+    The metadata path (extract_media_meta) exercises the same Spark plumbing
+    with a deterministic fake."""
+    if HAVE_PIL:
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    raise NotImplementedError(
+        "image decoding requires PIL; container ships without it -- "
+        "use extract_media_meta for the deterministic metadata path"
+    )
+
+
+def extract_media_meta(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    Deterministic fake 'decode': width/height derived from payload bytes
+    (stand-ins for a real header parse), sha256 content hash for lineage.
+    Runs as mapInPandas: one Python stage per partition, no shuffle.
+    """
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "sha256_hex": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "width": (n_bytes % 640 + 1).astype("int32"),
+                    "height": (
+                        payloads.map(lambda b: b[0] if len(b) else 0) * 3 % 480 + 1
+                    ).astype("int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(meta, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    with_payload: DataFrame,
+    frame_bytes: int = 16,
+    stride: int = 4,
+) -> DataFrame:
+    """'Video' frame sampling: treat the payload as fixed-size frames, emit
+    every stride-th frame's index + content hash. Output cardinality differs
+    from input (1 row -> n frames) -- mapInPandas handles that natively.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(
+                            payload[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    video = with_payload.filter(F.col("media_type") == "video")
+    return video.mapInPandas(frames, FRAME_SCHEMA)

@@ -476,6 +476,45 @@ ORACLE_SQL: dict[str, str] = {
         FROM numbered
         GROUP BY 1, 2
     """,
+    # ---------------- multimodal plumbing ----------------
+    # payload = utf8(text); docs are ASCII so byte offsets == char offsets
+    "multimodal_media_meta": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256_hex,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(ord(substr(text, 1, 1)) * 3 % 480 + 1 AS INTEGER) AS height
+        FROM documents
+    """,
+    "multimodal_frame_sample": """
+        WITH v AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 16 AS n_frames
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT doc_id,
+               CAST(f.i AS BIGINT) AS frame_idx,
+               md5(substr(text, CAST(f.i AS INTEGER) * 16 + 1, 16)) AS frame_md5
+        FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS i) f
+    """,
+    "multimodal_type_stats": """
+        WITH m AS (
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text)) % 640 + 1 AS width,
+                   ord(substr(text, 1, 1)) * 3 % 480 + 1 AS height
+            FROM documents
+        )
+        SELECT media_type,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               ROUND(AVG(width), 4) AS avg_width,
+               ROUND(AVG(height), 4) AS avg_height
+        FROM m
+        GROUP BY 1
+    """,
     "stream_events_windowed": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
                    AS window_start,

@@ -634,6 +634,42 @@ def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- multimodal plumbing
+
+
+def q_multimodal_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload metadata extraction via Arrow-batched mapInPandas
+    (operators.multimodal): content hash + deterministic fake header parse.
+    The real-decoder path (PIL) is stubbed; the Spark plumbing is real."""
+    from .operators.multimodal import attach_fake_payload, extract_media_meta
+
+    return extract_media_meta(attach_fake_payload(load_table(spark, sf, "documents")))
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """'Video' frame sampling: 16-byte frames, every 4th sampled; 1-row-in ->
+    n-rows-out through mapInPandas."""
+    from .operators.multimodal import attach_fake_payload, sample_frames
+
+    return sample_frames(
+        attach_fake_payload(load_table(spark, sf, "documents")), frame_bytes=16, stride=4
+    )
+
+
+def q_multimodal_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Python metadata stage feeding a JVM hash agg: per media_type payload
+    stats -- the typed-metadata-joins-downstream pattern at scale."""
+    from .operators.multimodal import attach_fake_payload, extract_media_meta
+
+    meta = extract_media_meta(attach_fake_payload(load_table(spark, sf, "documents")))
+    return meta.groupBy("media_type").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )
+
+
 def q_stream_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming twin of events_windowed_agg: readStream ->
     watermark -> tumbling window agg -> availableNow drain (streaming/jobs.py),
@@ -688,6 +724,9 @@ QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_type_stats": q_multimodal_type_stats,
     "stream_events_windowed": q_stream_events_windowed,
     "stream_events_sessionize": q_stream_events_sessionize,
 }

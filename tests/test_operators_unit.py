@@ -1,0 +1,133 @@
+"""Unit tests for the semantic traps SURVEY.md §7.4 pins (fan-out joins, null
+keys, error-as-value UDF) and the north-star operators (sessionize,
+multimodal plumbing). These run on tiny in-memory frames, complementing the
+dual-engine oracle gate in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from aws_glue_etl_sample_hist_spark.functions.datetime_fns import (
+    INVALID_DATE_SENTINEL,
+    builtin_change_day_of_week,
+    change_day_of_week,
+    presto_day_of_week,
+)
+from aws_glue_etl_sample_hist_spark.operators.joins import left_join_drop_keys
+
+
+# ---------------------------------------------------------------- join traps
+
+
+def test_left_join_fans_out_duplicate_right_keys(spark):
+    """Duplicate right-side keys multiply left rows (reference zipcode
+    short_zipcode is NOT unique, SURVEY §1.2) -- no accidental dedup."""
+    cust = spark.createDataFrame(
+        [("c1", "101"), ("c2", "202"), ("c3", None)], ["customer_id", "residence"]
+    )
+    zipc = spark.createDataFrame(
+        [("101", "Seoul"), ("101", "Seoul-B"), ("303", "Busan")],
+        ["short_zipcode", "province_city"],
+    )
+    out = left_join_drop_keys(cust, zipc, [("residence", "short_zipcode")])
+    rows = {(r.customer_id, r.province_city) for r in out.collect()}
+    # c1 fans out into 2 rows; c2 (no match) and c3 (NULL key) keep 1 null row
+    assert out.count() == 4
+    assert rows == {
+        ("c1", "Seoul"),
+        ("c1", "Seoul-B"),
+        ("c2", None),
+        ("c3", None),
+    }
+    assert "short_zipcode" not in out.columns
+
+
+def test_left_join_composite_keys(spark):
+    fact = spark.createDataFrame([("A", "01", 5.0), ("B", "99", 7.0)], ["aff", "div", "amt"])
+    dim = spark.createDataFrame([("A", "01", "Food")], ["aff", "div", "cat"])
+    out = left_join_drop_keys(fact, dim, [("aff", "aff"), ("div", "div")])
+    got = {(r.aff, r.div, r.cat) for r in out.collect()}
+    assert got == {("A", "01", "Food"), ("B", "99", None)}
+
+
+# ---------------------------------------------------------------- UDF exemplar
+
+
+def test_change_day_of_week_reference_assertion(spark):
+    """The reference's single test assertion
+    (jb_de_enhancement_t2_salesbydatetime_s2s.py:76)."""
+    df = spark.createDataFrame([("2014", "11", "12"), ("2014", "13", "40")], ["y", "m", "d"])
+    out = df.select(
+        change_day_of_week("y", "m", "d").alias("udf"),
+        builtin_change_day_of_week(F.col("y"), F.col("m"), F.col("d")).alias("builtin"),
+    ).collect()
+    assert out[0].udf == out[0].builtin == "Wednesday"
+    assert out[1].udf == out[1].builtin == INVALID_DATE_SENTINEL
+
+
+def test_presto_day_of_week_numbering(spark):
+    # 2024-01-01 is a Monday: Presto day_of_week=1, Spark dayofweek=2
+    df = spark.createDataFrame([("2024-01-01",)], ["d"])
+    row = df.select(
+        presto_day_of_week(F.to_date("d")).alias("presto"),
+        F.dayofweek(F.to_date("d")).alias("spark_native"),
+    ).collect()[0]
+    assert row.presto == 1
+    assert row.spark_native == 2
+
+
+# ---------------------------------------------------------------- sessionize
+
+
+def test_sessionize_gap_boundary(spark):
+    """gap == threshold stays in-session; gap > threshold splits."""
+    from aws_glue_etl_sample_hist_spark.operators.sessionize import sessionize
+
+    base = 1_700_000_000_000_000  # epoch micros
+    gap_us = 1800 * 1_000_000
+    rows = [
+        Row(event_id=1, user_id=1, ts_us=base, value=1.0),
+        Row(event_id=2, user_id=1, ts_us=base + gap_us, value=2.0),  # exactly gap: same
+        Row(event_id=3, user_id=1, ts_us=base + 2 * gap_us + 1, value=4.0),  # gap+1us: new
+        Row(event_id=4, user_id=2, ts_us=base, value=8.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.timestamp_micros("ts_us"))
+    out = sessionize(df, gap_seconds=1800)
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value) for r in out.collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_decode_image_is_explicit_stub():
+    from aws_glue_etl_sample_hist_spark.operators import multimodal
+
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+
+
+def test_multimodal_meta_and_frames(spark):
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        attach_fake_payload,
+        extract_media_meta,
+        sample_frames,
+    )
+
+    # doc_id 2 -> media_type 'video'; 40 chars -> 2 16-byte frames, stride 4 -> 1 sample
+    docs = spark.createDataFrame(
+        [(0, "a" * 64), (1, "b" * 10), (2, "c" * 40)], ["doc_id", "text"]
+    )
+    wp = attach_fake_payload(docs)
+    meta = {r.doc_id: r for r in extract_media_meta(wp).collect()}
+    assert meta[0].media_type == "image" and meta[1].media_type == "audio"
+    assert meta[2].media_type == "video"
+    assert meta[0].n_bytes == 64
+    assert meta[0].width == 64 % 640 + 1
+    assert meta[0].height == ord("a") * 3 % 480 + 1
+    frames = sample_frames(wp, frame_bytes=16, stride=4).collect()
+    assert [(r.doc_id, r.frame_idx) for r in frames] == [(2, 0)]
