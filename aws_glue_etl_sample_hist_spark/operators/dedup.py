@@ -107,24 +107,43 @@ def minhash_signatures(
     (doc, shingle) set explodes by num_hashes; map-side partial min keeps the
     shuffle at |docs| x num_hashes rows regardless of document length.
     """
+    wide = _minhash_wide(docs, num_hashes, shingle_n, text_col, id_col, max_df)
+    sig_structs = F.array(
+        *[
+            F.struct(F.lit(i).cast("int").alias("h"), F.col(f"mh{i}").alias("min_hash"))
+            for i in range(num_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(sig_structs).alias("s")).select(
+        "doc_id", F.col("s.h").alias("h"), F.col("s.min_hash").alias("min_hash")
+    )
+
+
+def _minhash_wide(
+    docs: DataFrame,
+    num_hashes: int,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """doc_id + mh0..mh{k-1} columns in ONE hash aggregate.
+
+    Kirsch-Mitzenmacher double hashing: ONE md5 per (doc, shingle), the
+    num_hashes family derived arithmetically -- h_i(s) = x1 + i*(2*x2+1)
+    with x1/x2 = two 32-bit words of md5(s); values stay < 2^38 so 64-bit
+    arithmetic is exact in both engines (portable oracle). All k mins are
+    aggregate columns of a single groupBy(doc): no k-times row explosion,
+    one shuffle of docs-many narrow rows (map-side partial min), and the
+    whole stage is codegen'd.
+    """
     sh = _distinct_shingles(docs, shingle_n, text_col, id_col, max_df)
-    return (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-            "shingle",
-        )
-        .select(
-            "doc_id",
-            "h",
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))), 1, 8), 16, 10
-            )
-            .cast("long")
-            .alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("min_hash"))
+    md = F.md5("shingle")
+    x1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    x2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    w = sh.select("doc_id", x1.alias("x1"), (x2 * 2 + 1).alias("step"))
+    return w.groupBy("doc_id").agg(
+        *[F.min(F.col("x1") + i * F.col("step")).alias(f"mh{i}") for i in range(num_hashes)]
     )
 
 
@@ -142,27 +161,17 @@ def minhash_lsh_pairs(
     sharing any identical band become candidates. Returns (doc_a, doc_b,
     n_shared_bands). Probability a pair with true Jaccard j surfaces:
     1 - (1 - j^band_size)^(num_hashes/band_size)."""
-    sig = minhash_signatures(
-        docs,
-        num_hashes=num_hashes,
-        shingle_n=shingle_n,
-        text_col=text_col,
-        id_col=id_col,
-        max_df=max_df,
+    wide = _minhash_wide(docs, num_hashes, shingle_n, text_col, id_col, max_df)
+    # band signatures straight from the wide row -- no second shuffle, no
+    # collect_list: band b's signature is the comma-join of its hash slots
+    n_bands = num_hashes // band_size
+    band_sigs = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("h") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "min_hash"))),
-                    lambda s: s["min_hash"].cast("string"),
-                ),
-                ",",
-            ).alias("band_sig")
-        )
-    )
+    bands = wide.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -195,26 +204,24 @@ def simhash_fingerprints(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hv"),
     )
-    # python F.shiftright/shiftleft only take int literals; the SQL functions
-    # accept column shift amounts, hence F.expr
-    votes = (
-        tok.select(
-            "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-        )
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftright(hv, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") >= 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+    # One groupBy(doc_id) with `bits` aggregate columns instead of exploding
+    # tokens x bits into (doc, bit) rows: no 32x row blow-up, a single
+    # shuffle of docs-many narrow rows, and every sum is whole-stage
+    # codegen'd. Per-bit vote sum v = 2*ones - n, so v >= 0 <=> 2*ones >= n.
+    ones = [
+        F.sum(F.shiftright("hv", b).bitwiseAND(F.lit(1))).alias(f"s{b}") for b in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    fp = sum(
+        (
+            F.when(F.col(f"s{b}") * 2 >= F.col("n"), F.lit(1 << b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-        ).alias("simhash")
+            for b in range(bits)
+        ),
+        F.lit(0).cast("long"),
     )
+    return per_doc.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -347,11 +347,14 @@ ORACLE_SQL: dict[str, str] = {
                        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                   FROM documents)
+        ), w AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS x1,
+                   CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) * 2 + 1 AS step
+            FROM sh
         ), hashes AS (
-            SELECT doc_id, i.h AS h,
-                   MIN(CAST(('0x' || substr(md5(CAST(i.h AS VARCHAR) || ':' || shingle), 1, 8))
-                       AS BIGINT)) AS min_hash
-            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) i
+            SELECT doc_id, i.h AS h, MIN(x1 + i.h * step) AS min_hash
+            FROM w CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) i
             GROUP BY 1, 2
         ), bands AS (
             SELECT doc_id, h // 3 AS band,

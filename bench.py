@@ -37,6 +37,13 @@ HEADLINE = [
     "customer_monthly_stats",
     "top_parts",
     "customer_running_total",
+    # north-star extensions: LLM-data-pipeline operators
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
+    "events_windowed_agg",
+    "events_sessionize",
 ]
 
 
