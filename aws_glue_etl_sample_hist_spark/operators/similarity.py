@@ -132,6 +132,163 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid cell.
+
+    Coarse quantizer: the first ``n_centroids`` vectors by id -- deterministic
+    and seedless, which keeps the DuckDB oracle exact. A trained quantizer
+    (pyspark.ml.clustering.KMeans on a sample) slots in by swapping this
+    centroid DataFrame; assignment/probe/rerank below are unchanged.
+
+    Scale shape: centroids are broadcast; assignment is a map-only pass over
+    the corpus (no shuffle). At rest the corpus would be written
+    partitionBy(cell) so a probe touches only its cells' files.
+    """
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    scored = F.broadcast(cent).crossJoin(
+        emb.select(F.col(id_col), F.col(vec_col))
+    ).select(
+        id_col, vec_col, "cent_id", cosine(F.col("cv"), F.col(vec_col)).alias("cent_cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest cells,
+    exact cosine rerank within them. Recall rises with nprobe (= brute force
+    at nprobe = n_centroids); cost is |probed cells| / n_centroids of the
+    corpus per query."""
+    assigned = ivf_assign(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # nprobe nearest cells per query
+    qc = F.broadcast(q).crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "cent_id", cosine(F.col("cv"), F.col("qv")).alias("qc_cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qc_cos").desc(), F.col("cent_id").asc())
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+    )
+    cand = F.broadcast(probes).join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cell"),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def cosine_scores_pandas(
+    emb: DataFrame,
+    query_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, neighbor) cosine scores via an Arrow-batched numpy kernel.
+
+    The vectorized twin of the JVM fold in `cosine`: query vectors are
+    collected once (tiny), closed over, and each corpus partition scores a
+    whole Arrow batch with one BLAS matmul -- the right shape for wide
+    vectors where per-element fold cost dominates. mapInPandas => map-only,
+    no shuffle; ranking happens downstream on the JVM."""
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n_norm = np.sqrt((n_mat * n_mat).sum(axis=1))
+            sims = (q_mat @ n_mat.T) / (q_norm[:, None] * n_norm[None, :])
+            n_ids = pdf[id_col].to_numpy()
+            nq, nn = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, nn),
+                    "neighbor_id": np.tile(n_ids, nq),
+                    "cos_raw": sims.ravel(),
+                }
+            )
+
+    out_schema = "query_id long, neighbor_id long, cos_raw double"
+    return emb.select(id_col, vec_col).mapInPandas(score, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+
+def cosine_topk_pandas(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k using the numpy scoring kernel + JVM window ranking --
+    result-identical to `cosine_topk`, different physical plan."""
+    scored = cosine_scores_pandas(emb, query_ids, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -434,6 +434,45 @@ ORACLE_SQL: dict[str, str] = {
         FROM scored
         QUALIFY rank <= 5
     """,
+    "embedding_ivf_ann": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        assigned AS (
+            SELECT e.vec_id, e.v, cent_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(cent.cv, e.v)
+                       / (sqrt(list_dot_product(cent.cv, cent.cv))
+                          * sqrt(list_dot_product(e.v, e.v))) DESC,
+                       cent_id ASC) AS rn
+            FROM e CROSS JOIN cent
+            QUALIFY rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+        probes AS (
+            SELECT query_id, qv, cent_id AS cell,
+                   row_number() OVER (PARTITION BY query_id ORDER BY
+                       list_dot_product(cent.cv, q.qv)
+                       / (sqrt(list_dot_product(cent.cv, cent.cv))
+                          * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                       cent_id ASC) AS rn
+            FROM q CROSS JOIN cent
+            QUALIFY rn <= 2
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_dot_product(p.qv, a.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v)))
+                   AS cos_raw
+            FROM probes p JOIN assigned a ON a.cell = p.cell
+            WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank,
+               ROUND(cos_raw, 6) AS cosine
+        FROM scored
+        QUALIFY rank <= 5
+    """,
     "embedding_near_dup": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -562,3 +601,16 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+# the sql_* queries are the same semantics exercised through the engine's
+# spark.sql surface (sql.py) -- their oracles are identical by construction
+for _name in (
+    "monthly_revenue",
+    "weekday_hour_revenue",
+    "region_revenue",
+    "customer_base_stats",
+):
+    ORACLE_SQL[f"sql_{_name}"] = ORACLE_SQL[_name]
+
+# numpy-kernel twin of the brute-force top-k: identical results by design
+ORACLE_SQL["embedding_cosine_topk_pandas"] = ORACLE_SQL["embedding_cosine_topk"]

@@ -575,6 +575,24 @@ def q_embedding_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_ann_topk(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
 
 
+def q_embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: 8 seeded centroid cells, probe 2, exact rerank within the
+    probed cells (operators.similarity.ivf_ann_topk)."""
+    from .operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(
+        load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=5, n_centroids=8, nprobe=2
+    )
+
+
+def q_embedding_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 via the Arrow/numpy kernel -- result-identical
+    to embedding_cosine_topk (same oracle), vectorized physical plan."""
+    from .operators.similarity import cosine_topk_pandas
+
+    return cosine_topk_pandas(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
     from .operators.similarity import near_dup_pairs
@@ -632,6 +650,38 @@ def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ------------------------------------------------- SQL surface twins
+
+
+def q_sql_monthly_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 through the SQL entry point (sql.py) -- same semantics as the
+    DataFrame twin, proving both surfaces agree."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "monthly_revenue")
+
+
+def q_sql_weekday_hour_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 via spark.sql, incl. the Presto day_of_week numbering shim."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "weekday_hour_revenue")
+
+
+def q_sql_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 via spark.sql: 4-way left-join star query."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "region_revenue")
+
+
+def q_sql_customer_base_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 via spark.sql, incl. the bigint-division ratio semantics."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "customer_base_stats")
 
 
 # ------------------------------------------------- multimodal plumbing
@@ -720,10 +770,16 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf_ann": q_embedding_ivf_ann,
+    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
     "embedding_near_dup": q_embedding_near_dup,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "sql_monthly_revenue": q_sql_monthly_revenue,
+    "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
+    "sql_region_revenue": q_sql_region_revenue,
+    "sql_customer_base_stats": q_sql_customer_base_stats,
     "multimodal_media_meta": q_multimodal_media_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_type_stats": q_multimodal_type_stats,

@@ -1,0 +1,94 @@
+"""Pipeline tests: tier cardinalities, idempotent re-runs, and month-scoped
+incremental loads under dynamic partition overwrite (reference S7 semantics,
+SURVEY.md §5 'pipeline tests')."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_etl_sample_hist_spark.plans.medallion import run_medallion
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, sf_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("medallion"))
+    timings = run_medallion(spark, sf_small, out)
+    return out, timings
+
+
+def _counts_by_month(spark, path):
+    return {
+        (r.purchase_year, r.purchase_month): r.n
+        for r in spark.read.parquet(path)
+        .groupBy("purchase_year", "purchase_month")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_tier_cardinalities(spark, sf_small, pipeline_out):
+    out, timings = pipeline_out
+    n_lineitem = spark.read.parquet(os.path.join(sf_small, "lineitem.parquet")).count()
+    bronze = spark.read.parquet(os.path.join(out, "bronze", "purchase"))
+    silver = spark.read.parquet(os.path.join(out, "silver", "purchase_all_info"))
+    # bronze is a full fact copy; all silver joins are left + unique right keys
+    # (TPC-H PKs) -> cardinality preserved, no fan-out, no row loss
+    assert bronze.count() == n_lineitem
+    assert silver.count() == n_lineitem
+    for mart in (
+        "mart_salesbybrandtype",
+        "mart_salesbysupplier",
+        "mart_salesbydatetime",
+        "mart_salesbyregion",
+    ):
+        assert spark.read.parquet(os.path.join(out, "gold", mart)).count() > 0
+    assert set(timings) == {
+        "t0.fact",
+        "t0.dims",
+        "t1.fulljoin",
+        "t2.brandtype",
+        "t2.supplier",
+        "t2.datetime",
+        "t2.region",
+    }
+
+
+def test_full_rerun_is_idempotent(spark, sf_small, pipeline_out):
+    out, _ = pipeline_out
+    before = _counts_by_month(spark, os.path.join(out, "bronze", "purchase"))
+    run_medallion(spark, sf_small, out)
+    after = _counts_by_month(spark, os.path.join(out, "bronze", "purchase"))
+    assert before == after
+    silver = spark.read.parquet(os.path.join(out, "silver", "purchase_all_info"))
+    assert silver.count() == sum(before.values())
+
+
+def test_incremental_month_overwrites_only_that_partition(spark, sf_small, pipeline_out):
+    out, _ = pipeline_out
+    bronze_path = os.path.join(out, "bronze", "purchase")
+    before = _counts_by_month(spark, bronze_path)
+    month = sorted(before)[0]
+    # write a marker file inside a DIFFERENT month's partition dir; dynamic
+    # overwrite of `month` must not touch it
+    other = sorted(before)[-1]
+    other_dir = os.path.join(
+        bronze_path, f"purchase_year={other[0]}", f"purchase_month={other[1]}"
+    )
+    marker = os.path.join(other_dir, "_marker")
+    with open(marker, "w") as f:
+        f.write("x")
+
+    run_medallion(spark, sf_small, out, months=[month[0] + month[1]])
+
+    after = _counts_by_month(spark, bronze_path)
+    assert after == before  # same data: overwrite replaced like-for-like
+    assert os.path.exists(marker)  # untouched partition dir survived
+    os.remove(marker)
+    # silver only rewrote the incremental month too
+    silver_after = _counts_by_month(
+        spark, os.path.join(out, "silver", "purchase_all_info")
+    )
+    assert silver_after == before
