@@ -350,6 +350,19 @@ def q_customer_monthly_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_customer_base_stats_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 with HLL approx_count_distinct -- the 100 TB path (one shuffle
+    instead of exact-distinct's expand+reshuffle). Sketch results are
+    engine-specific, so this entry has NO SQL oracle (rows-only check);
+    customer_base_stats is the exact, oracle-checked twin."""
+    from .operators.aggregates import customer_base_stats
+
+    return customer_base_stats(
+        load_table(spark, sf, "orders"), "o_orderpriority", "o_custkey", "o_totalprice",
+        approx=True,
+    )
+
+
 def q_adhoc_join_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Athena J5/O3 (document/glue_t1.md:34-54): CTE + left joins + LIMIT 20,
     expressed through the engine's SQL surface (spark.sql over registered
@@ -760,6 +773,7 @@ QUERIES = {
     "customer_running_total": q_customer_running_total,
     "order_set_ops": q_order_set_ops,
     "customers_without_orders": q_customers_without_orders,
+    "customer_base_stats_approx": q_customer_base_stats_approx,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,

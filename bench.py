@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
+    "embedding_ivf_ann",
+    "multimodal_media_meta",
     "events_windowed_agg",
     "events_sessionize",
 ]

@@ -22,7 +22,7 @@ def con(sf_oracle):
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
-    allowed_missing = set()
+    allowed_missing = {"customer_base_stats_approx"}  # HLL sketch is engine-specific
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
 
 
