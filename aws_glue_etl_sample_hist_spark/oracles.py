@@ -590,6 +590,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM numbered
         GROUP BY 1, 2
     """,
+    "events_type_stats_salted": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
     "events_json_extract": """
         SELECT event_type,
                COUNT(*) AS n_events,

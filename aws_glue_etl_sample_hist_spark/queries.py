@@ -665,6 +665,32 @@ def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_type_stats_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe aggregation: salted two-phase group-by on event_type (a
+    low-cardinality, skew-prone key). Decomposed partials make it
+    result-identical to the direct group-by -- shared oracle semantics."""
+    from .operators.skew import salted_agg
+
+    out = salted_agg(
+        load_table(spark, sf, "events"),
+        ["event_type"],
+        {
+            "n_events": ("count", "*"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 # ------------------------------------------------- SQL surface twins
 
 
@@ -790,6 +816,7 @@ QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "events_type_stats_salted": q_events_type_stats_salted,
     "sql_monthly_revenue": q_sql_monthly_revenue,
     "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
     "sql_region_revenue": q_sql_region_revenue,
