@@ -186,6 +186,80 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Min-label connected components over near-dup candidate pairs:
+    (node, cluster_id) where cluster_id = smallest node id in the component.
+    Singletons (no pairs) are their own cluster.
+
+    Iterative label propagation -- each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds (near-dup graphs are shallow: dup clusters are cliques-ish, so
+    2-4 rounds in practice). Each round is one shuffle join + one hash agg;
+    intermediate labels are cached and the loop is driven by a changed-count
+    action -- the standard Pregel-shaped DataFrame iteration. For adversarial
+    long-chain graphs at 100 TB, swap in large-star/small-star (alternating
+    min-propagation that halves path lengths per round).
+    """
+    a, b = pair_cols
+    e1 = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = e1.union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).cache()
+    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "label", F.col("node")
+    ).cache()
+    labels.count()
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label")).cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup resolution: n-gram Jaccard pairs -> connected components
+    -> keeper flag (cluster representative = min doc_id). The output one
+    would anti-join against the corpus to drop near-duplicates."""
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    cc = connected_components(docs, pairs.select("doc_a", "doc_b"), node_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     *,

@@ -27,14 +27,32 @@ class Stage:
 
 @dataclass
 class Pipeline:
-    """Ordered stages; tasks within a stage run in parallel, stages barrier."""
+    """Ordered stages; tasks within a stage run in parallel, stages barrier.
+
+    ``retries``/``retry_backoff_s`` mirror the reference state machine's
+    per-state Retry blocks: a failing task is re-attempted in place before
+    the failure propagates and aborts the stage barrier.
+    """
 
     stages: list[Stage] = field(default_factory=list)
     max_workers: int = 8
+    retries: int = 0
+    retry_backoff_s: float = 1.0
 
     def add_stage(self, name: str, **tasks: Callable[[], object]) -> "Pipeline":
         self.stages.append(Stage(name, list(tasks.items())))
         return self
+
+    def _run_task(self, fn: Callable[[], object]) -> object:
+        attempt = 0
+        while True:
+            try:
+                return fn()
+            except Exception:
+                attempt += 1
+                if attempt > self.retries:
+                    raise
+                time.sleep(self.retry_backoff_s * (2 ** (attempt - 1)))
 
     def run(self) -> dict[str, float]:
         """Execute; returns per-task wall seconds (keys 'stage.task')."""
@@ -44,7 +62,7 @@ class Pipeline:
                 futs = {}
                 for task_name, fn in stage.tasks:
                     start = time.perf_counter()
-                    futs[pool.submit(fn)] = (f"{stage.name}.{task_name}", start)
+                    futs[pool.submit(self._run_task, fn)] = (f"{stage.name}.{task_name}", start)
                 for fut in as_completed(futs):
                     key, start = futs[fut]
                     fut.result()  # propagate failures; barrier semantics

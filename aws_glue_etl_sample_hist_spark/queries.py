@@ -573,6 +573,27 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_pairs(load_table(spark, sf, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup resolution end-to-end: Jaccard pairs -> connected components
+    (iterative min-label propagation) -> cluster keeper flag. The iterative
+    DataFrame loop is the one legitimately non-single-SQL Spark pattern here;
+    the oracle uses a recursive CTE for the same fixpoint."""
+    from .operators.dedup import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf, "documents"), n=3, threshold=0.2)
+
+
+def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data pipeline output: quality-filtered
+    (quality_score >= 0.5) AND near-dup-resolved (cluster keepers only)
+    document set -- text_stats x dedup_clusters."""
+    stats = q_text_stats(spark, sf).select("doc_id", "lang", "quality_score")
+    keepers = q_dedup_clusters(spark, sf).filter(F.col("is_keeper") == 1).select(
+        "doc_id", "cluster_id"
+    )
+    return stats.join(keepers, "doc_id").filter(F.col("quality_score") >= 0.5)
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
     from .operators.similarity import cosine_topk
@@ -808,6 +829,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "cleaned_corpus": q_cleaned_corpus,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf_ann": q_embedding_ivf_ann,

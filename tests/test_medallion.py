@@ -92,3 +92,24 @@ def test_incremental_month_overwrites_only_that_partition(spark, sf_small, pipel
         spark, os.path.join(out, "silver", "purchase_all_info")
     )
     assert silver_after == before
+
+
+def test_pipeline_retry_and_failure_propagation():
+    from aws_glue_etl_sample_hist_spark.plans.pipeline import Pipeline
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    t = Pipeline(retries=2, retry_backoff_s=0.01).add_stage("s", flaky=flaky).run()
+    assert calls["n"] == 3 and "s.flaky" in t
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        Pipeline(retries=1, retry_backoff_s=0.01).add_stage("s", bad=always_fails).run()
