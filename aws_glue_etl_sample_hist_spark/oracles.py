@@ -674,6 +674,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM numbered
         GROUP BY 1, 2
     """,
+    "events_session_window": """
+        WITH flagged AS (
+            SELECT user_id, value, event_id,
+                   epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, value, us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(us) AS session_start_us,
+               MAX(us) + 1800000000 AS session_end_us,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+    """,
     "events_type_stats_salted": """
         SELECT event_type,
                COUNT(*) AS n_events,

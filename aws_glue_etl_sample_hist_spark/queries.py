@@ -669,6 +669,29 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return sessionize(load_table(spark, sf, "events"), gap_seconds=1800)
 
 
+def q_events_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization via the BUILT-IN F.session_window (native Spark session
+    windows, usable in batch and streaming). Boundary semantics differ from
+    operators.sessionize: an event exactly gap after the previous one starts
+    a NEW session here (window end is exclusive), vs `>` gap there -- the
+    oracle mirrors this with a >= comparison."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Semi-structured props column: JSON path extraction feeding an agg --
     all JVM-side (get_json_object), no Python in the loop."""
@@ -838,6 +861,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "events_json_extract": q_events_json_extract,
     "events_type_stats_salted": q_events_type_stats_salted,
     "sql_monthly_revenue": q_sql_monthly_revenue,
