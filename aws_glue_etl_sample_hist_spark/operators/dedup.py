@@ -215,7 +215,10 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("node")).withColumn(
         "label", F.col("node")
     ).cache()
-    labels.count()
+    # labels only ever decrease, so sum(label) strictly decreases iff any
+    # label changed: convergence needs ONE aggregate action per round, not a
+    # join-and-count against the previous labels
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -223,16 +226,12 @@ def connected_components(
         new_labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label")).cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("cluster_id")
     )
