@@ -10,9 +10,15 @@ Layout:
   io          sources (parquet/csv/jdbc) and sinks (partitioned, file-count policy)
   functions   scalar function surface (string dates, presto-compatible dow, ...)
   operators   joins / aggregates / sort / dedup / similarity / text / multimodal
-  plans       pipeline DAG runner + medallion (bronze/silver/gold) jobs
-  streaming   structured-streaming ingestion & windowed aggregation
-  jobs        the 7 reference jobs re-expressed over retail-shaped fixtures
+  plans       pipeline DAG runner + medallion (bronze/silver/gold) jobs --
+              the reference's 7-job Step Functions DAG re-expressed
+  streaming   structured-streaming ingestion, windowed aggregation, and
+              stateful sessionization
+  sql         SQL entry point: the reference's Athena query set via spark.sql
+
+Reference-shaped retail semantics (fan-out joins, null keys, Korean labels)
+are pinned end-to-end in tests/test_retail_parity.py; the full declared query
+surface lives in queries.py with DuckDB oracle twins in oracles.py.
 """
 
 __version__ = "0.1.0"
