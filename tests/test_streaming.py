@@ -25,3 +25,49 @@ def test_stream_ingest_is_exactly_once(spark, sf_small, tmp_path):
     second = stream_ingest_events(spark, sf_small, out, ckpt)
     assert second == 0
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, sf_small):
+    """Append output mode with a watermark: the availableNow run emits only
+    windows the watermark has closed -- a strict subset of the batch answer,
+    and exactly the windows whose end precedes (max event time - delay)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.streaming.jobs import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    ev = _read_events_stream(spark, sf_small).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n_events")
+    )
+    appended = _run_to_memory(agg, "append")
+
+    batch = (
+        spark.read.parquet(sf_small + "/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    full = {
+        (r.ws, r.we): r.n_events
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "n_events")
+        .collect()
+    }
+    got = {(r.ws, r.we): r.n_events for r in appended.collect()}
+
+    assert got  # something was closed and emitted
+    assert set(got) < set(full)  # strict subset: the tail window is still open
+    for k, v in got.items():
+        assert full[k] == v  # closed windows carry exact batch counts
+    # every emitted window is closed by the final watermark (1h behind max ts)
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    assert all(we <= wm for (_, we) in got)
+    # and every batch window fully before the watermark WAS emitted
+    assert all((ws, we) in got for (ws, we) in full if we <= wm)
