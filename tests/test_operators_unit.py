@@ -131,3 +131,20 @@ def test_multimodal_meta_and_frames(spark):
     assert meta[0].height == ord("a") * 3 % 480 + 1
     frames = sample_frames(wp, frame_bytes=16, stride=4).collect()
     assert [(r.doc_id, r.frame_idx) for r in frames] == [(2, 0)]
+
+
+def test_sort_and_star_denormalize_wrappers(spark):
+    from aws_glue_etl_sample_hist_spark.operators.joins import star_denormalize
+    from aws_glue_etl_sample_hist_spark.operators.sort import multi_sort, topk
+
+    fact = spark.createDataFrame(
+        [("A", 1, 30.0), ("B", 2, 10.0), ("C", 1, 20.0)], ["k", "dim_id", "amt"]
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], ["dim_id", "label"])
+    wide = star_denormalize(fact, [(dim, [("dim_id", "dim_id")])])
+    assert {(r.k, r.label) for r in wide.collect()} == {("A", "x"), ("B", "y"), ("C", "x")}
+
+    ordered = multi_sort(wide, F.col("label").asc(), F.col("amt").desc()).collect()
+    assert [(r.k) for r in ordered] == ["A", "C", "B"]
+    top1 = topk(wide, 1, F.col("amt").desc(), F.col("k").asc()).collect()
+    assert [(r.k, r.amt) for r in top1] == [("A", 30.0)]

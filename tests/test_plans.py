@@ -57,3 +57,11 @@ def test_column_pruning_through_joins(spark, sf_oracle):
     assert "l_quantity" not in plan
     assert "o_totalprice" not in plan
     assert "p_type" not in plan
+
+
+def test_topk_uses_takeordered_not_global_sort(spark, sf_oracle):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge) -- no range-partitioned global sort."""
+    plan = _plan(QUERIES["top_parts"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
