@@ -674,6 +674,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM numbered
         GROUP BY 1, 2
     """,
+    "events_daily_pivot": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               COUNT(*) FILTER (event_type = 'click')    AS click,
+               COUNT(*) FILTER (event_type = 'error')    AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (event_type = 'view')     AS view
+        FROM events
+        GROUP BY 1
+    """,
+    "events_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               CAST(GROUPING(event_date) * 2 + GROUPING(event_type) AS BIGINT) AS lvl
+        FROM events
+        GROUP BY ROLLUP(event_date, event_type)
+    """,
     "events_session_window": """
         WITH flagged AS (
             SELECT user_id, value, event_id,

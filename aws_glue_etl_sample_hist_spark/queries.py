@@ -709,6 +709,40 @@ def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_daily_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-day event counts as one column per event_type. The explicit
+    value list keeps the schema static (no extra distinct-collection job --
+    the form that scales; an unlisted pivot scans twice)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_date")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP subtotals: (date, type) -> per-date -> grand total in one pass
+    (partial aggregation handles all grouping sets in a single shuffle);
+    grouping_id disambiguates subtotal rows from natural values."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            # grouping_id is only resolvable INSIDE the rollup aggregate
+            F.grouping_id("event_date", "event_type").cast("long").alias("lvl"),
+        )
+    )
+
+
 def q_events_type_stats_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe aggregation: salted two-phase group-by on event_type (a
     low-cardinality, skew-prone key). Decomposed partials make it
@@ -863,6 +897,8 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_json_extract": q_events_json_extract,
+    "events_daily_pivot": q_events_daily_pivot,
+    "events_rollup": q_events_rollup,
     "events_type_stats_salted": q_events_type_stats_salted,
     "sql_monthly_revenue": q_sql_monthly_revenue,
     "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
