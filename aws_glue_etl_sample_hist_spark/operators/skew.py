@@ -19,6 +19,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 _COMBINE = {"sum": F.sum, "count": lambda c: F.sum(c), "min": F.min, "max": F.max}
 
 
+def salted_left_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe left equi-join: salt the big side's key into ``n_salts``
+    shards and replicate the small side once per shard, so a hot key's rows
+    spread over ``n_salts`` reducers instead of one.
+
+    The replicate-the-small-side construction keeps results exactly equal to
+    the plain join (every big row still meets every matching small row,
+    exactly once). Use when the small side is too big to broadcast AND the
+    key is skewed; AQE's skew-join handles sort-merge cases, but this works
+    for any join and under any planner. Cost: small side x n_salts.
+    """
+    salted_big = big.withColumn("_salt", (F.rand(seed=0) * n_salts).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_big.join(salted_small, [on, "_salt"], "left")
+    return out.drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -748,3 +748,6 @@ for _name in (
 
 # numpy-kernel twin of the brute-force top-k: identical results by design
 ORACLE_SQL["embedding_cosine_topk_pandas"] = ORACLE_SQL["embedding_cosine_topk"]
+
+# salted-join A7: replicate-the-small-side construction is result-identical
+ORACLE_SQL["product_category_revenue_salted"] = ORACLE_SQL["product_category_revenue"]

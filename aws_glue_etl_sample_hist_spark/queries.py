@@ -743,6 +743,21 @@ def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_product_category_revenue_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 through a salted left join (replicate-the-small-side skew defense)
+    instead of broadcast -- results identical by construction, so it shares
+    A7's oracle. The path for a skewed key whose dim is too big to broadcast."""
+    from .operators.skew import salted_left_join
+
+    li = load_table(spark, sf, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf, "part")
+    joined = salted_left_join(li, part, "p_partkey", n_salts=8)
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.round(F.sum("l_extendedprice") / 1_000_000, 2).alias("revenue_musd"),
+        F.count("l_extendedprice").alias("count_of_purchase"),
+    )
+
+
 def q_events_type_stats_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe aggregation: salted two-phase group-by on event_type (a
     low-cardinality, skew-prone key). Decomposed partials make it
@@ -900,6 +915,7 @@ QUERIES = {
     "events_daily_pivot": q_events_daily_pivot,
     "events_rollup": q_events_rollup,
     "events_type_stats_salted": q_events_type_stats_salted,
+    "product_category_revenue_salted": q_product_category_revenue_salted,
     "sql_monthly_revenue": q_sql_monthly_revenue,
     "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
     "sql_region_revenue": q_sql_region_revenue,

@@ -148,3 +148,17 @@ def test_sort_and_star_denormalize_wrappers(spark):
     assert [(r.k) for r in ordered] == ["A", "C", "B"]
     top1 = topk(wide, 1, F.col("amt").desc(), F.col("k").asc()).collect()
     assert [(r.k, r.amt) for r in top1] == [("A", 30.0)]
+
+
+def test_salted_left_join_equals_plain_join(spark):
+    from aws_glue_etl_sample_hist_spark.operators.skew import salted_left_join
+
+    # skewed big side (hot key 1), small side with a duplicate key (fan-out)
+    # and an unmatched big key (left-null row)
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 100), (3, 200)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "lab"])
+    salted = salted_left_join(big, small, "k", n_salts=4)
+    plain = big.join(small, "k", "left")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
