@@ -692,6 +692,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY ROLLUP(event_date, event_type)
     """,
+    "events_cube": """
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value,
+               CAST(GROUPING(event_type) * 2 + GROUPING(hour_of_day) AS BIGINT) AS lvl
+        FROM events
+        GROUP BY CUBE(event_type, hour_of_day)
+    """,
     "events_session_window": """
         WITH flagged AS (
             SELECT user_id, value, event_id,

@@ -758,6 +758,21 @@ def q_product_category_revenue_salted(spark: SparkSession, sf: str) -> DataFrame
     )
 
 
+def q_events_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, hour bucket): all 4 grouping sets in one pass
+    (one Expand + one shuffle), grouping_id marking subtotal rows."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts").cast("long"))
+        .cube("event_type", "hour_of_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping_id("event_type", "hour_of_day").cast("long").alias("lvl"),
+        )
+    )
+
+
 def q_events_type_stats_salted(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe aggregation: salted two-phase group-by on event_type (a
     low-cardinality, skew-prone key). Decomposed partials make it
@@ -914,6 +929,7 @@ QUERIES = {
     "events_json_extract": q_events_json_extract,
     "events_daily_pivot": q_events_daily_pivot,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
     "events_type_stats_salted": q_events_type_stats_salted,
     "product_category_revenue_salted": q_product_category_revenue_salted,
     "sql_monthly_revenue": q_sql_monthly_revenue,
