@@ -1,0 +1,79 @@
+"""Remaining coverage: writer file-count policies, the CSV source path, and
+the one LSH recall property that is a theorem rather than a probability --
+exact duplicates (identical shingle sets => identical MinHash signatures =>
+every band collides) MUST appear as candidate pairs."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from aws_glue_etl_sample_hist_spark.catalog import load_table
+from aws_glue_etl_sample_hist_spark.io.sinks import WriterPolicy, write_partitioned
+from aws_glue_etl_sample_hist_spark.io.sources import read_csv
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+
+
+def test_writer_policy_max_files_cap(spark, sf_small, tmp_path):
+    out = str(tmp_path / "one_file")
+    df = load_table(spark, sf_small, "customer").repartition(8)
+    write_partitioned(df, out, policy=WriterPolicy(max_files=1))
+    assert len(_parquet_files(out)) == 1
+
+
+def test_writer_policy_target_rows_splits_files(spark, sf_small, tmp_path):
+    out = str(tmp_path / "split_files")
+    df = load_table(spark, sf_small, "lineitem").coalesce(1)
+    n = df.count()
+    target = max(n // 4, 1)
+    write_partitioned(df, out, policy=WriterPolicy(target_file_rows=target))
+    files = _parquet_files(out)
+    # one task, maxRecordsPerFile=target -> ceil(n/target) files, no shuffle
+    assert len(files) == -(-n // target)
+
+
+def test_read_csv_strings_by_default(spark, tmp_path):
+    """The reference ships dims as header CSVs with all-varchar DDL; the CSV
+    source must not silently infer numerics."""
+    p = str(tmp_path / "dim.csv")
+    with open(p, "w") as f:
+        f.write("customer_id,residence\n00001,101\n00002,\n")
+    df = read_csv(spark, p)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    rows = {r.customer_id: r.residence for r in df.collect()}
+    assert rows == {"00001": "101", "00002": None}  # zero-padding survives
+
+
+def test_exact_duplicates_always_lsh_candidates(spark, sf_oracle):
+    """Identical texts have identical shingle sets, hence identical MinHash
+    signatures, hence collide in EVERY band: each exact-dup pair must be a
+    candidate with all 4 shared bands. (General near-dup recall is
+    probabilistic; this subset is guaranteed.)"""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    base = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    subset = base.filter(F.col("doc_id") < 20)  # deterministic, unlike limit()
+    clones = subset.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    docs = base.union(clones)
+    dup_pairs = {(i, i + 100_000) for i in range(20)}
+    # sanity: the constructed corpus really has 20 exact-dup groups
+    assert exact_dedup(docs).filter(F.col("n_copies") > 1).count() == 20
+
+    cand = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in minhash_lsh_pairs(docs, num_hashes=12, band_size=3).collect()
+    }
+    for pair in dup_pairs:
+        assert pair in cand and cand[pair] == 4, (pair, cand.get(pair))
