@@ -238,6 +238,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
+    "customer_order_ranks": """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT o_orderkey,
+               o_custkey AS customer_id,
+               c_mktsegment,
+               o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+                    AS segment_spend_rank,
+               CAST(datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS days_since_prev
+        FROM o
+        QUALIFY segment_spend_rank <= 100
+    """,
     # ---------------- LLM-data-pipeline extensions ----------------
     "text_stats": r"""
         WITH t AS (

@@ -413,6 +413,35 @@ def q_top_parts(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------- beyond-reference relational ops
 
 
+def q_customer_order_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking + offset window functions (beyond reference): per-customer
+    order sequence number, spend rank within market segment, and gap since
+    the previous order -- rank/row_number/lag share one partition shuffle."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    o = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    ).drop("c_custkey")
+    w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_seg = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("customer_id"),
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w_cust).cast("long").alias("order_seq"),
+        F.rank().over(w_seg).cast("long").alias("segment_spend_rank"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w_cust)
+        ).cast("long").alias("days_since_prev"),
+    )
+    return ranked.filter(F.col("segment_spend_rank") <= 100)
+
+
 def q_customer_running_total(spark: SparkSession, sf: str) -> DataFrame:
     """Window function (beyond reference §2.9 -- it has none): per-customer
     running revenue across months. Explicit ROWS frame; one shuffle on the
@@ -905,6 +934,7 @@ QUERIES = {
     "adhoc_join_limit": q_adhoc_join_limit,
     "top_parts": q_top_parts,
     "customer_running_total": q_customer_running_total,
+    "customer_order_ranks": q_customer_order_ranks,
     "order_set_ops": q_order_set_ops,
     "customers_without_orders": q_customers_without_orders,
     "customer_base_stats_approx": q_customer_base_stats_approx,
