@@ -244,12 +244,17 @@ def dedup_clusters(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full near-dup resolution: n-gram Jaccard pairs -> connected components
     -> keeper flag (cluster representative = min doc_id). The output one
-    would anti-join against the corpus to drop near-duplicates."""
+    would anti-join against the corpus to drop near-duplicates.
+
+    ``max_df`` forwards to the candidate generation: at scale the composed
+    path MUST set it, or one corpus-wide shingle turns candidate generation
+    into the ~n^2/8 pair bomb the module docstring warns about."""
     pairs = ngram_jaccard_pairs(
-        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col, max_df=max_df
     )
     cc = connected_components(docs, pairs.select("doc_a", "doc_b"), node_col=id_col)
     return cc.select(

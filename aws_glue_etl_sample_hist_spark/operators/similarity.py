@@ -289,24 +289,66 @@ def cosine_topk_pandas(
     )
 
 
+# 4 independent sign-LSH tables (bands) of 4 coordinate hyperplanes each,
+# spread across the vector so band bits stay uncorrelated. Recall for a pair
+# with angle t: 1 - (1 - p^4)^4 with p = 1 - t/pi -- the band count / band
+# width trade-off is exactly MinHash LSH's, tuned the same way.
+DEFAULT_NEAR_DUP_BANDS: tuple[tuple[int, ...], ...] = (
+    (1, 5, 9, 13),
+    (17, 21, 25, 29),
+    (33, 37, 41, 45),
+    (49, 53, 57, 61),
+)
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
     *,
+    band_dims: tuple[tuple[int, ...], ...] = DEFAULT_NEAR_DUP_BANDS,
+    exact: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (i < j, cosine >= threshold).
 
-    Exact all-pairs here (oracle-checkable); at scale the same filter runs
-    after `sign_bucket` candidate pruning -- pairs in different buckets can
-    still exceed the threshold, so bucketed mode trades recall for the n^2,
-    exactly like MinHash LSH trades recall for band count."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    Default (scale) path: multi-band sign LSH. Each band hashes the vector
+    to a short bit string (`sign_bucket` over that band's dims); candidates
+    are pairs sharing ANY band's full signature -- one EQUI-join on
+    (band, signature) after a posexplode, `id_a < id_b` as a post-join
+    filter, never a nested-loop condition. Then the exact cosine filter.
+    Same shape as `minhash_lsh_pairs` for text: the n^2 pair space is never
+    built, at the price of recall (a pair differing in every band is
+    missed), tunable via band count/width. Everything is deterministic, so
+    this path still ships an exact SQL oracle.
+
+    ``exact=True`` is the all-pairs form: a non-equi join Spark executes as
+    BroadcastNestedLoopJoin -- O(n^2), small-n oracle twin and recall
+    baseline ONLY, never the path for a real corpus."""
+    if exact:
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sigs = F.array(*[sign_bucket(F.col(vec_col), d) for d in band_dims])
+        banded = emb.select(
+            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("band", "sig")
+        )
+        a = banded.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "sig"
+        )
+        b = banded.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("band").alias("band_b"), F.col("sig").alias("sig_b"),
+        )
+        cand = a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        ).dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw"))
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )

@@ -15,8 +15,49 @@ which is what lets a salted query share its unsalted twin's oracle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 _COMBINE = {"sum": F.sum, "count": lambda c: F.sum(c), "min": F.min, "max": F.max}
+
+
+def salted_top_k(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    *,
+    rank_col: str = "rank",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe top-k per group over a LOW-cardinality partition key.
+
+    A plain ``rank().over(partitionBy(key))`` on a ~5-value key sorts each
+    key's ENTIRE history on one task. Two phases fix that:
+
+    1. rank within (key, salt) -- ``n_salts`` tasks per hot key -- and keep
+       local rank <= k only. Exact: a row in the global top-k has at most
+       k-1 rows ahead of it globally, so at most k-1 ahead of it within its
+       own shard, so its local rank is <= k. No survivor is lost, whatever
+       the salt assignment (rand is fine; it need not be reproducible).
+    2. rank the <= k * n_salts survivors per key -- a tiny final window.
+
+    ``order_cols`` must be a total order (include a unique tiebreaker), so
+    rank() has no ties and equals row_number() -- that is what makes the
+    local <=k cut exact. Output = input columns + ``rank_col`` (long),
+    filtered to rank <= k.
+    """
+    salt = (F.rand(seed=0) * n_salts).cast("int")
+    w_local = Window.partitionBy(*part_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_local_rn", F.row_number().over(w_local))
+        .filter(F.col("_local_rn") <= k)
+        .drop("_salt", "_local_rn")
+    )
+    w_final = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return survivors.withColumn(
+        rank_col, F.rank().over(w_final).cast("long")
+    ).filter(F.col(rank_col) <= k)
 
 
 def salted_left_join(

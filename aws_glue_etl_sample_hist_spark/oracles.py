@@ -397,11 +397,15 @@ ORACLE_SQL: dict[str, str] = {
                        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                   FROM documents)
+        ), shf AS (
+            -- max_df = 100 skew guard, mirroring dedup_clusters(max_df=100)
+            SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100)
         ), sizes AS (
-            SELECT doc_id, COUNT(shingle) AS n FROM sh GROUP BY 1
+            SELECT doc_id, COUNT(shingle) AS n FROM shf GROUP BY 1
         ), inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ), p AS (
             SELECT doc_a, doc_b
@@ -434,11 +438,15 @@ ORACLE_SQL: dict[str, str] = {
                        i -> array_to_string(toks[i:i+2], ' '))) AS shingle
             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
                   FROM documents)
+        ), shf AS (
+            -- max_df = 100 skew guard, mirroring dedup_clusters(max_df=100)
+            SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100)
         ), sizes AS (
-            SELECT doc_id, COUNT(shingle) AS n FROM sh GROUP BY 1
+            SELECT doc_id, COUNT(shingle) AS n FROM shf GROUP BY 1
         ), inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         ), p AS (
             SELECT doc_a, doc_b
@@ -587,6 +595,49 @@ ORACLE_SQL: dict[str, str] = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+    "embedding_near_dup_bucketed": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[5]  >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[9]  >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[13] >= 0 THEN '1' ELSE '0' END) AS b0,
+                   (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[21] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[29] >= 0 THEN '1' ELSE '0' END) AS b1,
+                   (CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[37] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[45] >= 0 THEN '1' ELSE '0' END) AS b2,
+                   (CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[53] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END ||
+                    CASE WHEN embedding[61] >= 0 THEN '1' ELSE '0' END) AS b3
+            FROM embeddings
+        ), cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id, b.vec_id
+            FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id, b.vec_id
+            FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
+            UNION
+            SELECT a.vec_id, b.vec_id
+            FROM e a JOIN e b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+                   6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
     """,
     # ---------------- event-stream analytics ----------------
     "events_windowed_agg": """
@@ -773,6 +824,9 @@ for _name in (
     "weekday_hour_revenue",
     "region_revenue",
     "customer_base_stats",
+    "product_category_revenue",
+    "segment_category_revenue",
+    "customer_monthly_stats",
 ):
     ORACLE_SQL[f"sql_{_name}"] = ORACLE_SQL[_name]
 

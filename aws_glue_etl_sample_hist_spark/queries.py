@@ -416,7 +416,16 @@ def q_top_parts(spark: SparkSession, sf: str) -> DataFrame:
 def q_customer_order_ranks(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking + offset window functions (beyond reference): per-customer
     order sequence number, spend rank within market segment, and gap since
-    the previous order -- rank/row_number/lag share one partition shuffle."""
+    the previous order.
+
+    The per-customer windows (row_number/lag) share one high-cardinality
+    partition shuffle -- fine at any scale. The per-SEGMENT spend rank is a
+    ~5-value partition key, so it runs through the two-phase salted top-k
+    (operators.skew.salted_top_k): local top-100 per (segment, salt), final
+    rank over the <=100*n_salts survivors -- result-identical (unique
+    tiebreaker => no ties), never a whole segment on one task."""
+    from .operators.skew import salted_top_k
+
     orders = load_table(spark, sf, "orders")
     customer = load_table(spark, sf, "customer")
     o = orders.join(
@@ -425,21 +434,33 @@ def q_customer_order_ranks(spark: SparkSession, sf: str) -> DataFrame:
         "left",
     ).drop("c_custkey")
     w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_seg = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    ranked = o.select(
+    base = o.select(
         "o_orderkey",
         F.col("o_custkey").alias("customer_id"),
         "c_mktsegment",
         "o_totalprice",
         F.row_number().over(w_cust).cast("long").alias("order_seq"),
-        F.rank().over(w_seg).cast("long").alias("segment_spend_rank"),
         F.datediff(
             "o_orderdate", F.lag("o_orderdate").over(w_cust)
         ).cast("long").alias("days_since_prev"),
     )
-    return ranked.filter(F.col("segment_spend_rank") <= 100)
+    ranked = salted_top_k(
+        base,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        100,
+        rank_col="segment_spend_rank",
+        n_salts=16,
+    )
+    return ranked.select(
+        "o_orderkey",
+        "customer_id",
+        "c_mktsegment",
+        "o_totalprice",
+        "order_seq",
+        "segment_spend_rank",
+        "days_since_prev",
+    )
 
 
 def q_customer_running_total(spark: SparkSession, sf: str) -> DataFrame:
@@ -606,10 +627,12 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup resolution end-to-end: Jaccard pairs -> connected components
     (iterative min-label propagation) -> cluster keeper flag. The iterative
     DataFrame loop is the one legitimately non-single-SQL Spark pattern here;
-    the oracle uses a recursive CTE for the same fixpoint."""
+    the oracle uses a recursive CTE for the same fixpoint. max_df=100 keeps
+    the high-DF shingle skew guard ON in the composed path (the oracle
+    carries the identical DF filter, so the check is exact at any SF)."""
     from .operators.dedup import dedup_clusters
 
-    return dedup_clusters(load_table(spark, sf, "documents"), n=3, threshold=0.2)
+    return dedup_clusters(load_table(spark, sf, "documents"), n=3, threshold=0.2, max_df=100)
 
 
 def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
@@ -657,7 +680,19 @@ def q_embedding_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4), exact all-pairs
+    form -- the small-n oracle twin and recall baseline for the bucketed
+    default path (embedding_near_dup_bucketed)."""
+    from .operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4, exact=True)
+
+
+def q_embedding_near_dup_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup via the DEFAULT scale path: sign-bucket equi-join
+    candidate generation + exact cosine filter -- no nested-loop join in the
+    plan (plan-asserted in tests/test_plans.py); oracle reproduces the same
+    bucket semantics so the check is exact, not rows-only."""
     from .operators.similarity import near_dup_pairs
 
     return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
@@ -860,6 +895,30 @@ def q_sql_customer_base_stats(spark: SparkSession, sf: str) -> DataFrame:
     return run_athena_sql(spark, sf, "customer_base_stats")
 
 
+def q_sql_product_category_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 via spark.sql (ref document/glue_t2.md:55-67): broadcast left join
+    to part, same oracle as the DataFrame twin."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "product_category_revenue")
+
+
+def q_sql_segment_category_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 via spark.sql (ref document/glue_t2.md:70-83): 4-way left-join star
+    with ordinal ORDER BY."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "segment_category_revenue")
+
+
+def q_sql_customer_monthly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A11 via spark.sql (ref document/glue_t2.md:116-128): per-customer
+    monthly purchase stats."""
+    from .sql import run_athena_sql
+
+    return run_athena_sql(spark, sf, "customer_monthly_stats")
+
+
 # ------------------------------------------------- multimodal plumbing
 
 
@@ -933,6 +992,14 @@ QUERIES = {
     "customer_monthly_stats": q_customer_monthly_stats,
     "adhoc_join_limit": q_adhoc_join_limit,
     "top_parts": q_top_parts,
+    # multimodal + streaming sit right after the reference spine: the driver
+    # records correctness rows in registry order, and these four were the
+    # ones cut when round 1's run stopped early -- never let twins starve them
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_type_stats": q_multimodal_type_stats,
+    "stream_events_windowed": q_stream_events_windowed,
+    "stream_events_sessionize": q_stream_events_sessionize,
     "customer_running_total": q_customer_running_total,
     "customer_order_ranks": q_customer_order_ranks,
     "order_set_ops": q_order_set_ops,
@@ -953,6 +1020,7 @@ QUERIES = {
     "embedding_ivf_ann": q_embedding_ivf_ann,
     "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
@@ -966,9 +1034,7 @@ QUERIES = {
     "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
     "sql_region_revenue": q_sql_region_revenue,
     "sql_customer_base_stats": q_sql_customer_base_stats,
-    "multimodal_media_meta": q_multimodal_media_meta,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "multimodal_type_stats": q_multimodal_type_stats,
-    "stream_events_windowed": q_stream_events_windowed,
-    "stream_events_sessionize": q_stream_events_sessionize,
+    "sql_product_category_revenue": q_sql_product_category_revenue,
+    "sql_segment_category_revenue": q_sql_segment_category_revenue,
+    "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
 }

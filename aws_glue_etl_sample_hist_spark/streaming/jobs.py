@@ -101,7 +101,9 @@ def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 6
     )
     deadline = time.monotonic() + drain_timeout
     while time.monotonic() < deadline:
-        if q.awaitTermination(1):
+        # sub-second poll: the drained condition shows up ~2 micro-batches in,
+        # and every second spent here counts against the driver's run budget
+        if q.awaitTermination(0.2):
             break  # natural availableNow termination (stateless / agg jobs)
         p = q.lastProgress
         if not p:
@@ -218,8 +220,14 @@ def _session_emit(
                 out.append((user_id, seq, n, start_us, end_us, round(val, 4)))
                 seq, n, start_us, end_us, val = seq + 1, 1, us, us, float(v)
             else:
+                # us <= end_us (an out-of-order arrival from a later
+                # micro-batch) folds into the open session WITHOUT regressing
+                # end_us -- the accumulator stays monotone, so cross-batch
+                # disorder within the gap can't mis-split sessions. (With the
+                # availableNow single-batch source, events are already sorted;
+                # this guard matters for genuinely unbounded input.)
                 n += 1
-                end_us = us
+                end_us = max(end_us, us)
                 val += float(v)
 
     state.update((seq, n, start_us, end_us, val))

@@ -162,3 +162,67 @@ def test_salted_left_join_equals_plain_join(spark):
     salted = salted_left_join(big, small, "k", n_salts=4)
     plain = big.join(small, "k", "left")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_top_k_equals_direct_window(spark):
+    """Two-phase salted top-k == direct rank-and-filter: a hot key with far
+    more rows than k, a small key with fewer rows than k, and a unique
+    tiebreaker (the exactness precondition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from aws_glue_etl_sample_hist_spark.operators.skew import salted_top_k
+
+    rows = [("hot", i, float((i * 37) % 101)) for i in range(500)]
+    rows += [("cold", 1000 + i, float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, ["k", "uid", "score"])
+    order = [F.col("score").desc(), F.col("uid").asc()]
+    direct = (
+        df.withColumn(
+            "rank",
+            F.rank().over(Window.partitionBy("k").orderBy(*order)).cast("long"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    salted = salted_top_k(df, ["k"], order, 10, n_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+    # the cold key keeps all its rows (fewer than k)
+    assert salted.filter(F.col("k") == "cold").count() == 3
+
+
+def test_dedup_clusters_max_df_drops_high_df_shingle(spark):
+    """max_df forwarded through dedup_clusters: a corpus-wide shared shingle
+    is the ONLY link between docs, so with the guard on (max_df below its DF)
+    candidate generation drops it and every doc becomes a singleton cluster;
+    with the guard off, the docs pair up."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"c1 c2 c3 u{i}a u{i}b u{i}c") for i in range(4)], ["doc_id", "text"]
+    )
+    # shared 3-shingle "c1 c2 c3" has DF 4; every other shingle is unique
+    pairs_off = ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+    assert pairs_off.count() > 0
+    pairs_on = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=3)
+    assert pairs_on.count() == 0
+    clusters = dedup_clusters(docs, n=3, threshold=0.1, max_df=3)
+    assert clusters.filter(F.col("is_keeper") == 1).count() == 4
+
+
+def test_near_dup_bucketed_subset_of_exact_with_recall(spark, sf_oracle):
+    """Multi-band sign-LSH near-dup: candidates are a subset of the exact
+    all-pairs answer (it can only MISS pairs, never invent them), with
+    recall >= 0.5 on the fixture at threshold 0.4."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in near_dup_pairs(emb, 0.4, exact=True).collect()}
+    buck = {(r.id_a, r.id_b) for r in near_dup_pairs(emb, 0.4).collect()}
+    assert buck <= exact
+    assert len(buck) >= 0.5 * len(exact)

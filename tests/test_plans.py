@@ -59,6 +59,27 @@ def test_column_pruning_through_joins(spark, sf_oracle):
     assert "p_type" not in plan
 
 
+def test_near_dup_bucketed_has_no_nested_loop_join(spark, sf_oracle):
+    """The default embedding near-dup path generates candidates via an
+    equi-join on (band, signature): no BroadcastNestedLoopJoin / cartesian
+    anywhere in the plan, unlike the exact all-pairs twin."""
+    plan = _plan(QUERIES["embedding_near_dup_bucketed"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # and the exact twin IS the nested-loop baseline -- the contrast proves
+    # the bucketed path actually changed the join strategy
+    exact_plan = _plan(QUERIES["embedding_near_dup"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_customer_order_ranks_salts_the_segment_window(spark, sf_oracle):
+    """The per-segment top-k must not sort whole segments on single tasks:
+    phase 1 partitions the window by (c_mktsegment, _salt), so the exchange
+    key includes the salt -- >1 task per segment at any scale."""
+    plan = _plan(QUERIES["customer_order_ranks"](spark, sf_oracle))
+    assert "_salt" in plan, plan
+
+
 def test_topk_uses_takeordered_not_global_sort(spark, sf_oracle):
     """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
     heaps + driver merge) -- no range-partitioned global sort."""
