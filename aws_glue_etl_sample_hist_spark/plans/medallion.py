@@ -46,39 +46,38 @@ def bronze_fact(spark: SparkSession, sf_dir: str, out_dir: str, months: list[str
     )
 
 
-def bronze_dims(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def bronze_dims(
+    spark: SparkSession, sf_dir: str, out_dir: str, *, include_orders: bool = True
+) -> None:
     """T0 dimension ingest (reference jb_de_dehancement_t0_dimension_d2s.py):
     full-copy small tables, unpartitioned single files. orders rides along as
-    the customer-attribution bridge (size-policied, it is fact-scale)."""
+    the customer-attribution bridge (size-policied, it is fact-scale) --
+    unless the bucketed path is writing it bucketed instead."""
     for name in DIMS:
         write_partitioned(
             load_table(spark, sf_dir, name),
             os.path.join(out_dir, "bronze", name),
             policy=MART_POLICY,
         )
-    write_partitioned(
-        load_table(spark, sf_dir, "orders"),
-        os.path.join(out_dir, "bronze", "orders"),
-        policy=None,
-    )
+    if include_orders:
+        write_partitioned(
+            load_table(spark, sf_dir, "orders"),
+            os.path.join(out_dir, "bronze", "orders"),
+            policy=None,
+        )
 
 
-def silver_join(spark: SparkSession, out_dir: str, months: list[str] | None = None) -> None:
-    """T1 full join (reference jb_de_enhancement_t1_fulljoin_s2s.py): bronze
-    fact ⟕ dims -> wide table. Reads back the partitioned bronze so partition
-    pruning applies on incremental runs (the reference's push_down_predicate)."""
-    fact = spark.read.parquet(os.path.join(out_dir, "bronze", "purchase"))
-    if months:
-        fact = fact.filter(F.concat("purchase_year", "purchase_month").isin(months))
-    dims = {n: spark.read.parquet(os.path.join(out_dir, "bronze", n)) for n in DIMS}
-    orders = spark.read.parquet(os.path.join(out_dir, "bronze", "orders"))
+def _silver_wide(fact: DataFrame, orders: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """The T1 wide-table plan, independent of where fact/orders come from
+    (plain parquet or bucketed tables -- same logical plan, different
+    physical join strategy)."""
     # dim-side pre-join first (reference J1 customer ⟕ zipcode)
     cust_geo = left_join_drop_keys(
         left_join_drop_keys(dims["customer"], dims["nation"], [("c_nationkey", "n_nationkey")]),
         dims["region"],
         [("n_regionkey", "r_regionkey")],
     )
-    # fact-to-fact bridge: shuffle hash join on the key both sides are huge on
+    # fact-to-fact bridge: the pipeline's only fact-scale join
     wide = (
         fact.join(
             orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
@@ -88,7 +87,85 @@ def silver_join(spark: SparkSession, out_dir: str, months: list[str] | None = No
     )
     wide = left_join_drop_keys(wide, dims["part"], [("l_partkey", "p_partkey")])
     wide = left_join_drop_keys(wide, dims["supplier"], [("l_suppkey", "s_suppkey")])
-    wide = left_join_drop_keys(wide, cust_geo, [("o_custkey", "c_custkey")])
+    return left_join_drop_keys(wide, cust_geo, [("o_custkey", "c_custkey")])
+
+
+def silver_join(spark: SparkSession, out_dir: str, months: list[str] | None = None) -> None:
+    """T1 full join (reference jb_de_enhancement_t1_fulljoin_s2s.py): bronze
+    fact ⟕ dims -> wide table. Reads back the partitioned bronze so partition
+    pruning applies on incremental runs (the reference's push_down_predicate).
+    The fact-to-fact bridge is a shuffle join here; the bucketed variant
+    below removes that shuffle entirely."""
+    fact = spark.read.parquet(os.path.join(out_dir, "bronze", "purchase"))
+    if months:
+        fact = fact.filter(F.concat("purchase_year", "purchase_month").isin(months))
+    dims = {n: spark.read.parquet(os.path.join(out_dir, "bronze", n)) for n in DIMS}
+    orders = spark.read.parquet(os.path.join(out_dir, "bronze", "orders"))
+    wide = _silver_wide(fact, orders, dims)
+    write_partitioned(
+        wide, os.path.join(out_dir, "silver", "purchase_all_info"),
+        partition_by=PARTITION_COLS, policy=FACT_POLICY,
+    )
+
+
+# ------------------------- bucketed-bronze variant (shuffle-free T1 join)
+
+N_BUCKETS = 32
+FACT_BKT_TABLE = "bronze_purchase_bkt"
+ORDERS_BKT_TABLE = "bronze_orders_bkt"
+
+
+def bronze_fact_bucketed(
+    spark: SparkSession, sf_dir: str, out_dir: str, months: list[str] | None = None
+) -> None:
+    """T0 fact ingest into a BUCKETED bronze: lineitem bucketed + sorted on
+    l_orderkey. Pre-shuffling the lake once at ingest means every downstream
+    join on the order key -- the silver build first of all -- runs with zero
+    exchange forever after: at 100 TB that one-time layout decision deletes
+    the pipeline's only fact-to-fact shuffle from every incremental run."""
+    from ..io.bucketing import write_bucketed_table
+
+    li = with_date_parts(
+        load_table(spark, sf_dir, "lineitem").withColumn("purchase_date", ymd("l_shipdate"))
+    )
+    if months:
+        li = li.filter(F.concat("purchase_year", "purchase_month").isin(months))
+    write_bucketed_table(
+        li, FACT_BKT_TABLE, os.path.join(out_dir, "bronze", "purchase_bkt"),
+        bucket_cols=["l_orderkey"], n_buckets=N_BUCKETS, sort_cols=["l_orderkey"],
+    )
+
+
+def bronze_orders_bucketed(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """orders bucketed + sorted on o_orderkey with the SAME bucket count as
+    the fact -- the co-location contract both join sides must agree on."""
+    from ..io.bucketing import write_bucketed_table
+
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"),
+        ORDERS_BKT_TABLE, os.path.join(out_dir, "bronze", "orders_bkt"),
+        bucket_cols=["o_orderkey"], n_buckets=N_BUCKETS, sort_cols=["o_orderkey"],
+    )
+
+
+def silver_join_bucketed(spark: SparkSession, out_dir: str) -> None:
+    """T1 full join over bucketed bronze: same logical plan as silver_join,
+    but the lineitem⋈orders bridge is a bucket-aligned sort-merge join with
+    NO exchange and NO sort (both sides pre-sorted within buckets) --
+    plan-asserted in tests/test_medallion.py. Dims still broadcast. Output
+    parquet is identical, so T2 and every oracle are untouched."""
+    fact = spark.table(FACT_BKT_TABLE)
+    orders = spark.table(ORDERS_BKT_TABLE)
+    dims = {n: spark.read.parquet(os.path.join(out_dir, "bronze", n)) for n in DIMS}
+    wide = _silver_wide(fact, orders, dims)
+    # A bucketed scan has no exchange for AQE to coalesce, so without this
+    # every one of the 32 bucket tasks would write a file into every month
+    # partition (tasks x months small files). One explicit repartition on the
+    # Hive partition key fixes the layout; the hash sub-slice keeps a huge
+    # month splittable across tasks instead of pinned to one.
+    wide = wide.repartition(
+        *PARTITION_COLS, F.pmod(F.hash("l_orderkey"), F.lit(4))
+    )
     write_partitioned(
         wide, os.path.join(out_dir, "silver", "purchase_all_info"),
         partition_by=PARTITION_COLS, policy=FACT_POLICY,
@@ -168,10 +245,36 @@ def run_medallion(
     sf_dir: str,
     out_dir: str,
     months: list[str] | None = None,
+    *,
+    bucketed: bool = False,
 ) -> dict[str, float]:
     """Run the full DAG with the reference's parallel structure
     (stepfunction.json: T0 Parallel -> T1 -> T2 Parallel). Returns per-task
-    wall seconds."""
+    wall seconds.
+
+    ``bucketed=True`` lays bronze down bucketed on the order key so the T1
+    join runs shuffle-free (the full-rebuild layout; the month-incremental
+    path keeps the Hive-partitioned bronze, whose dynamic partition
+    overwrite bucketed saveAsTable does not offer)."""
+    if bucketed:
+        pipe = (
+            Pipeline()
+            .add_stage(
+                "t0",
+                fact=lambda: bronze_fact_bucketed(spark, sf_dir, out_dir, months),
+                orders=lambda: bronze_orders_bucketed(spark, sf_dir, out_dir),
+                dims=lambda: bronze_dims(spark, sf_dir, out_dir, include_orders=False),
+            )
+            .add_stage("t1", fulljoin=lambda: silver_join_bucketed(spark, out_dir))
+            .add_stage(
+                "t2",
+                brandtype=lambda: gold_sales_by_brand_type(spark, out_dir),
+                supplier=lambda: gold_sales_by_supplier(spark, out_dir),
+                datetime=lambda: gold_sales_by_datetime(spark, out_dir),
+                region=lambda: gold_sales_by_region(spark, out_dir),
+            )
+        )
+        return pipe.run()
     pipe = (
         Pipeline()
         .add_stage(

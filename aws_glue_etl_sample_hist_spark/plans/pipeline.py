@@ -43,11 +43,16 @@ class Pipeline:
         self.stages.append(Stage(name, list(tasks.items())))
         return self
 
-    def _run_task(self, fn: Callable[[], object]) -> object:
+    def _run_task(self, fn: Callable[[], object]) -> float:
+        """Run with retries; returns the task's OWN wall seconds -- timed
+        around fn() inside the worker, so queue wait (tasks > max_workers)
+        and completion-observation delay are never charged to the task."""
         attempt = 0
         while True:
+            start = time.perf_counter()
             try:
-                return fn()
+                fn()
+                return time.perf_counter() - start
             except Exception:
                 attempt += 1
                 if attempt > self.retries:
@@ -59,12 +64,10 @@ class Pipeline:
         timings: dict[str, float] = {}
         for stage in self.stages:
             with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
-                futs = {}
-                for task_name, fn in stage.tasks:
-                    start = time.perf_counter()
-                    futs[pool.submit(self._run_task, fn)] = (f"{stage.name}.{task_name}", start)
+                futs = {
+                    pool.submit(self._run_task, fn): f"{stage.name}.{task_name}"
+                    for task_name, fn in stage.tasks
+                }
                 for fut in as_completed(futs):
-                    key, start = futs[fut]
-                    fut.result()  # propagate failures; barrier semantics
-                    timings[key] = time.perf_counter() - start
+                    timings[futs[fut]] = fut.result()  # propagate failures; barrier
         return timings

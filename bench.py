@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import tempfile
 import time
@@ -64,18 +65,37 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     QUERIES["monthly_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # median of 3 trials per query: run-to-run machine-load variance was
+    # measured at ~25%, which buried real regressions between rounds
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        trials = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            trials.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(trials), 3)
 
     with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
         t0 = time.perf_counter()
         run_medallion(spark, sf_dir, tmp)
         pipeline_sec = round(time.perf_counter() - t0, 3)
     timings["medallion_pipeline"] = pipeline_sec
+
+    # bucketed-bronze variant: the shuffle-free T1 layout (plans.medallion)
+    with tempfile.TemporaryDirectory(prefix="medallion_bkt_bench_") as tmp:
+        t0 = time.perf_counter()
+        run_medallion(spark, sf_dir, tmp, bucketed=True)
+        timings["medallion_pipeline_bucketed"] = round(time.perf_counter() - t0, 3)
+    from aws_glue_etl_sample_hist_spark.io.bucketing import drop_table
+    from aws_glue_etl_sample_hist_spark.plans.medallion import (
+        FACT_BKT_TABLE,
+        ORDERS_BKT_TABLE,
+    )
+    drop_table(spark, FACT_BKT_TABLE)
+    drop_table(spark, ORDERS_BKT_TABLE)
 
     print(
         json.dumps(
