@@ -237,6 +237,93 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_iterations: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") -- the
+    adversarial-graph path: path lengths roughly halve every round, so a
+    diameter-D chain converges in O(log D) rounds where plain min-label
+    propagation needs O(D). Same output contract as `connected_components`:
+    (node, cluster_id = component min); use this when near-dup graphs can
+    chain (A~B~C~... without A~C), e.g. templated spam corpora.
+
+    large-star: every node hooks its LARGER neighbors onto the minimum of
+    its neighborhood (incl. itself) -- long tails fold toward minima without
+    ever disconnecting the graph. small-star: every node and its smaller
+    neighbors all hook onto the neighborhood minimum -- flattens what
+    large-star folded. Both are one groupBy-min + one join per round, all
+    JVM; at fixpoint the edge set is exactly node -> component-min stars.
+    Convergence probe = (edge count, sum(src), sum(dst)) triple, one tiny
+    aggregate action per round like `connected_components`'s label-sum."""
+    a, b = pair_cols
+    # each round references the previous edge set several times (sym = e ∪
+    # reverse(e), then two joins), so lineage grows EXPONENTIALLY with
+    # rounds if only cached -- localCheckpoint truncates the plan per round,
+    # which is what makes O(log n) rounds on a long chain feasible at all
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe = e.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("u"), F.lit(0)), F.coalesce(F.sum("v"), F.lit(0))
+    ).collect()[0]
+    prev = tuple(probe)
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min(neighborhood(u) ∪ {u}); larger neighbors -> m
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(mins, "u")
+            .select("u", "v", F.least("u", "mv").alias("m"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every edge now points downward (v < u), so the group is
+        # exactly the smaller-neighborhood; u and all its parents -> min
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mv"))
+        hooked = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        new_e = (
+            hooked.union(mins2.select("u", F.col("mv").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        probe = new_e.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("u"), F.lit(0)), F.coalesce(F.sum("v"), F.lit(0))
+        ).collect()[0]
+        cur = tuple(probe)
+        e = new_e
+        if cur == prev:
+            break
+        prev = cur
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(e.groupBy("u").agg(F.min("v").alias("label")).withColumnRenamed("u", "node"),
+              "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
+    return (labels, rounds) if return_rounds else labels
+
+
 def dedup_clusters(
     docs: DataFrame,
     *,

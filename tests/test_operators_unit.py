@@ -226,3 +226,37 @@ def test_near_dup_bucketed_subset_of_exact_with_recall(spark, sf_oracle):
     buck = {(r.id_a, r.id_b) for r in near_dup_pairs(emb, 0.4).collect()}
     assert buck <= exact
     assert len(buck) >= 0.5 * len(exact)
+
+
+def test_star_cc_matches_label_propagation_on_fixture(spark, sf_oracle):
+    """Large-star/small-star CC produces the identical (node, cluster_id)
+    labeling as the min-label propagation path on the real near-dup graph."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    lab = connected_components(docs, pairs)
+    star = connected_components_star(docs, pairs)
+    assert sorted(map(tuple, lab.collect())) == sorted(map(tuple, star.collect()))
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    """A 256-node path graph (diameter 255) is the adversarial case: plain
+    min-label propagation needs ~255 rounds; star contraction must finish in
+    O(log n) -- well under 12 -- with every node labeled by the chain head."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.dedup import connected_components_star
+
+    n = 256
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+    labels, rounds = connected_components_star(nodes, chain, return_rounds=True)
+    assert rounds <= 12, rounds
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
