@@ -132,26 +132,82 @@ def lsh_ann_topk(
     )
 
 
-def ivf_assign(
+def seeded_centroids(
     emb: DataFrame,
     n_centroids: int,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Coarse quantizer, seedless form: the first ``n_centroids`` vectors by
+    id as (cent_id, cv) -- deterministic, which keeps the DuckDB oracle
+    exact. The quality path is `kmeans_centroids`; both satisfy the same
+    centroid-DataFrame contract."""
+    return emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    *,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained coarse quantizer: pyspark.ml KMeans fit on a (sampled) pass
+    over the corpus, returned under the same (cent_id, cv) contract as
+    `seeded_centroids` -- assignment/probe/rerank are unchanged downstream.
+
+    Scale shape: training touches only the sample (at 10^9+ vectors fit on
+    ~1% -- KMeans quality saturates fast), the model is n_centroids x dim
+    floats on the driver, and the returned centroid table is tiny -- it
+    broadcasts exactly like the seeded one. Not SQL-reproducible, so queries
+    built on it are registered rows-only; the seeded twin keeps the exact
+    oracle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # spherical KMeans: train on L2-normalized vectors, because downstream
+    # assignment is by COSINE -- euclidean centroids of unnormalized data
+    # collapse toward the mean and their directions are noise
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+    )
+    data = emb.select(array_to_vector(unit).alias("features"))
+    if sample_fraction < 1.0:
+        data = data.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cent_id long, cv array<double>",
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int,
+    *,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid cell.
 
-    Coarse quantizer: the first ``n_centroids`` vectors by id -- deterministic
-    and seedless, which keeps the DuckDB oracle exact. A trained quantizer
-    (pyspark.ml.clustering.KMeans on a sample) slots in by swapping this
-    centroid DataFrame; assignment/probe/rerank below are unchanged.
-
-    Scale shape: centroids are broadcast; assignment is a map-only pass over
-    the corpus (no shuffle). At rest the corpus would be written
-    partitionBy(cell) so a probe touches only its cells' files.
+    ``centroids`` is any (cent_id, cv) DataFrame -- `seeded_centroids`
+    (default; oracle-exact) or `kmeans_centroids` (trained). Scale shape:
+    centroids are broadcast; assignment is a map-only pass over the corpus
+    (no shuffle). At rest the corpus would be written partitionBy(cell) so a
+    probe touches only its cells' files.
     """
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    cent = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     )
     scored = F.broadcast(cent).crossJoin(
         emb.select(F.col(id_col), F.col(vec_col))
@@ -173,17 +229,21 @@ def ivf_ann_topk(
     *,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest cells,
     exact cosine rerank within them. Recall rises with nprobe (= brute force
     at nprobe = n_centroids); cost is |probed cells| / n_centroids of the
-    corpus per query."""
-    assigned = ivf_assign(emb, n_centroids, id_col=id_col, vec_col=vec_col)
-    cent = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    corpus per query. ``centroids`` swaps in a trained quantizer
+    (`kmeans_centroids`) behind the same plan shape."""
+    cent = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     )
+    assigned = ivf_assign(emb, n_centroids, centroids=cent, id_col=id_col, vec_col=vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

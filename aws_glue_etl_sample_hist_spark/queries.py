@@ -671,6 +671,19 @@ def q_embedding_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_ann_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (pyspark.ml KMeans, seeded)
+    behind the same centroid contract as the seeded twin. KMeans isn't
+    SQL-reproducible, so this entry is rows-only; embedding_ivf_ann keeps
+    the oracle-exact check, and the recall test
+    (tests/test_operators_unit.py) pins trained >= seeded on the fixture."""
+    from .operators.similarity import ivf_ann_topk, kmeans_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    cent = kmeans_centroids(emb, 8, seed=42)
+    return ivf_ann_topk(emb, [0, 1, 2, 3, 4], k=5, n_centroids=8, nprobe=2, centroids=cent)
+
+
 def q_embedding_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 via the Arrow/numpy kernel -- result-identical
     to embedding_cosine_topk (same oracle), vectorized physical plan."""
@@ -1018,6 +1031,7 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf_ann": q_embedding_ivf_ann,
+    "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
     "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,

@@ -260,3 +260,37 @@ def test_star_cc_long_chain_converges_in_log_rounds(spark):
     assert rounds <= 12, rounds
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_trained_ivf_recall_at_least_seeded(spark, sf_oracle):
+    """KMeans-trained coarse quantizer: recall@5 vs the exact brute-force
+    top-5 must be at least the seeded (first-n-by-id) quantizer's -- the
+    whole point of training the centroids."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    # query ids DISJOINT from the seeded quantizer's first-8 seeds: a query
+    # that IS a centroid gets a cell centered on itself, which inflates the
+    # seeded recall artificially (measured 0.92 vs 0.4 honest)
+    qids = [100, 101, 102, 103, 104]
+    truth = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, qids, k=5).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_ann_topk(
+                emb, qids, k=5, n_centroids=8, nprobe=2, centroids=centroids
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seeded = recall(None)
+    trained = recall(kmeans_centroids(emb, 8, seed=42))
+    assert trained >= seeded, (trained, seeded)

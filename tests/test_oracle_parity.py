@@ -22,7 +22,10 @@ def con(sf_oracle):
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
-    allowed_missing = {"customer_base_stats_approx"}  # HLL sketch is engine-specific
+    allowed_missing = {
+        "customer_base_stats_approx",  # HLL sketch is engine-specific
+        "embedding_ivf_ann_trained",  # KMeans quantizer not SQL-reproducible
+    }
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
 
 
