@@ -92,3 +92,36 @@ def min_shingle_fingerprint(toks: Column, n: int = 5) -> Column:
     md5 is bit-identical across Spark/DuckDB/Presto, making the fingerprint
     portable across engines (unlike Spark's xxhash64/hash)."""
     return F.array_min(F.transform(word_shingles(toks, n), F.md5))
+
+
+def tfidf_top_terms(docs, k: int = 3, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k characteristic terms per document by tf-idf (ln(N/df) idf).
+
+    Inverted-index shape: explode to (doc, term), one groupBy for term
+    frequencies, one for document frequencies (broadcast back -- the
+    vocabulary is tiny next to the corpus), window top-k per doc. The
+    per-doc window partitions on the HIGH-cardinality doc key, so no
+    low-cardinality window skew. N arrives via a broadcast 1-row aggregate,
+    not a driver action, so the whole plan stays lazy. Scores are rounded
+    to 6 dp in both engines, which absorbs ln() last-ulp differences."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -330,6 +330,50 @@ ORACLE_SQL: dict[str, str] = {
                      regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents)
     """,
+    "text_tfidf_top_terms": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df,
+               ROUND(tf * ln(n_docs / df), 6) AS tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY ROUND(tf * ln(n_docs / df), 6) DESC, term ASC
+               ) AS BIGINT) AS rank
+        FROM tf JOIN dfreq USING (term), nd
+        QUALIFY rank <= 3
+    """,
+    "corpus_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 < 100000
+    """,
+    "corpus_sample_stratified": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000
+              < (CASE WHEN lang = 'en' THEN 100000 ELSE 500000 END)
+    """,
+    "corpus_shard_pack": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                     - n_tokens) // 5000 AS BIGINT) AS shard
+        FROM t
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                MIN(doc_id) AS keeper_doc_id,

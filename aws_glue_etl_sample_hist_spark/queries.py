@@ -711,6 +711,50 @@ def q_embedding_near_dup_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
 
 
+def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Uniform 10% deterministic hash sample (operators.sampling.hash_sample):
+    map-only, reproducible across runs/engines/partitionings -- which is why
+    it ships an exact oracle where rand(seed) could not."""
+    from .operators.sampling import hash_sample
+
+    return hash_sample(load_table(spark, sf, "documents"), 0.1).select("doc_id", "lang")
+
+
+def q_corpus_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample the dominant language
+    (en 10%), keep half of the rest -- the rebalancing step of a training
+    mix. One CASE over the stratum column, still map-only."""
+    from .operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        load_table(spark, sf, "documents"),
+        {"en": 0.1},
+        strata_col="lang",
+        default_fraction=0.5,
+    ).select("doc_id", "lang")
+
+
+def q_corpus_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing (operators.sampling.pack_shards): assign
+    docs in id order to 5000-token shards via the two-level parallel prefix
+    sum -- the global running total without a one-task global window."""
+    from .operators.sampling import pack_shards
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_shards(docs, 5000).select("doc_id", "n_tokens", "cum_tokens", "shard")
+
+
+def q_text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf (operators.text
+    .tfidf_top_terms): inverted-index groupBys + high-cardinality window."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf, "documents"), k=3)
+
+
 # ------------------------------------------------- event-stream analytics
 
 
@@ -1022,6 +1066,10 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "corpus_sample": q_corpus_sample,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_shard_pack": q_corpus_shard_pack,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
