@@ -790,6 +790,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM numbered
         GROUP BY 1, 2
     """,
+    "stream_events_dedup": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    "quality_quantiles_by_lang": r"""
+        WITH q AS (
+            SELECT lang,
+                   ROUND(0.4 * (len(list_distinct(toks)) / len(toks))
+                       + 0.3 * (1 - len(list_filter(toks,
+                             x -> list_contains(['the','a','of','and','is'], x)))
+                             / len(toks))
+                       + 0.3 * least(len(toks) / 100.0, 1.0), 4) AS quality_score
+            FROM (SELECT lang,
+                         regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(quantile_cont(quality_score, 0.5), 6) AS p50,
+               ROUND(quantile_cont(quality_score, 0.9), 6) AS p90
+        FROM q
+        GROUP BY 1
+    """,
     "events_daily_pivot": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date,
                COUNT(*) FILTER (event_type = 'click')    AS click,

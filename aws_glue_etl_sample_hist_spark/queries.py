@@ -1030,6 +1030,48 @@ def q_stream_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_sessionize(spark, sf)
 
 
+def q_stream_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exactly-once dedup (at-least-once repair): source unioned
+    with itself -> dropDuplicates(event_id) in watermark-bounded state ->
+    agg; the oracle is the SINGLE-copy batch answer, so any state slip
+    (dropped or double-kept event) fails the hash."""
+    from .streaming.jobs import stream_events_dedup_agg
+
+    return stream_events_dedup_agg(spark, sf)
+
+
+def q_quality_quantiles_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-language quantiles (p50/p90) of the document quality score
+    -- linear-interpolated percentile, matching DuckDB's quantile_cont. The
+    exact form needs a per-group sort; the approx twin below is the 100 TB
+    path (fixed-size sketches, one pass)."""
+    stats = q_text_stats(spark, sf).select("lang", "quality_score")
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(quality_score, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(quality_score, 0.9)"), 6).alias("p90"),
+        )
+    )
+
+
+def q_quality_quantiles_by_lang_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile twin: KLL/GK-style sketch, single pass, bounded
+    memory per group -- the quantile you actually run at 100 TB. Sketch
+    output is engine-specific, so rows-only (the exact twin carries the
+    oracle), mirroring the HLL count-distinct pair."""
+    stats = q_text_stats(spark, sf).select("lang", "quality_score")
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("approx_percentile(quality_score, 0.5, 1000)"), 6).alias("p50"),
+            F.round(F.expr("approx_percentile(quality_score, 0.9, 1000)"), 6).alias("p90"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1057,6 +1099,7 @@ QUERIES = {
     "multimodal_type_stats": q_multimodal_type_stats,
     "stream_events_windowed": q_stream_events_windowed,
     "stream_events_sessionize": q_stream_events_sessionize,
+    "stream_events_dedup": q_stream_events_dedup,
     "customer_running_total": q_customer_running_total,
     "customer_order_ranks": q_customer_order_ranks,
     "order_set_ops": q_order_set_ops,
@@ -1070,6 +1113,8 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_shard_pack": q_corpus_shard_pack,
+    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
+    "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

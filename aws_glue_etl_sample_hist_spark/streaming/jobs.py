@@ -175,6 +175,22 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_events_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the source is read TWICE and unioned
+    (every event arrives as a duplicate), dropDuplicates on event_id keeps
+    one copy per key in watermark-bounded state, and the downstream agg must
+    equal the single-copy batch answer -- which is exactly what the oracle
+    checks. This is the at-least-once-delivery repair stage of a real
+    ingest: state is O(events within the watermark), not O(stream)."""
+    ev = _read_events_stream(spark, sf_dir).unionByName(_read_events_stream(spark, sf_dir))
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def _session_emit(
     key: tuple,
     batches: Iterator[pd.DataFrame],

@@ -77,3 +77,36 @@ def test_exact_duplicates_always_lsh_candidates(spark, sf_oracle):
     }
     for pair in dup_pairs:
         assert pair in cand and cand[pair] == 4, (pair, cand.get(pair))
+
+
+def test_minhash_lsh_cross_checks_spark_ml(spark, sf_oracle):
+    """Cross-validation against pyspark.ml.feature.MinHashLSH on the same
+    shingle sets: both probabilistic candidate generators, exact-filtered to
+    the true Jaccard>=0.2 pairs, must each recover >=85% of the exact
+    inverted-index answer -- two independent implementations agreeing pins
+    the operator's semantics, not just its self-consistency. (Spark-ML's
+    approxSimilarityJoin exact-filters internally; ours filters via the
+    ngram_jaccard truth set.)"""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from aws_glue_etl_sample_hist_spark.operators.text import tokens, word_shingles
+
+    docs = load_table(spark, sf_oracle, "documents")
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()}
+    mine = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, num_hashes=12, band_size=3).collect()}
+    sh = docs.select("doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"))
+    feat = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh).transform(sh)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(feat)
+    ml = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in mh.approxSimilarityJoin(feat, feat, 0.8, distCol="dist").collect()
+        if r["datasetA"]["doc_id"] < r["datasetB"]["doc_id"]
+    }
+    assert len(mine & truth) / len(truth) >= 0.85
+    assert len(ml & truth) / len(truth) >= 0.85

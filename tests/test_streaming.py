@@ -71,3 +71,24 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, sf_small):
     assert all(we <= wm for (_, we) in got)
     # and every batch window fully before the watermark WAS emitted
     assert all((ws, we) in got for (ws, we) in full if we <= wm)
+
+
+def test_stream_dedup_collapses_doubled_source_to_batch_answer(spark, sf_small):
+    """The dedup job reads the source twice (every event duplicated); its
+    aggregate must equal the single-copy batch aggregate -- state kept one
+    copy per event_id and dropped exactly the duplicates."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.streaming.jobs import stream_events_dedup_agg
+
+    got = stream_events_dedup_agg(spark, sf_small)
+    want = (
+        load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
