@@ -94,6 +94,38 @@ def min_shingle_fingerprint(toks: Column, n: int = 5) -> Column:
     return F.array_min(F.transform(word_shingles(toks, n), F.md5))
 
 
+def repetition_stats(docs, n: int = 2, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Repetition quality signals per document (the duplicate-n-gram family
+    of corpus filters): total/distinct shingle counts, duplicate-shingle
+    ratio, and the most-frequent shingle's share. Boilerplate, keyword
+    stuffing, and degenerate generations all light up these ratios.
+
+    Shape: explode WITH duplicates (frequency is the signal) -> one
+    groupBy(doc, shingle) with map-side partial counts -> one per-doc agg.
+    Both shuffles key on high-cardinality (doc, shingle) / doc -- no skew."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_shingles"), 4).alias("dup_ratio"),
+            "top_count",
+            F.round(F.col("top_count") / F.col("n_shingles"), 4).alias("top_ratio"),
+        )
+    )
+
+
 def tfidf_top_terms(docs, k: int = 3, *, text_col: str = "text", id_col: str = "doc_id"):
     """Top-k characteristic terms per document by tf-idf (ln(N/df) idf).
 

@@ -349,6 +349,26 @@ ORACLE_SQL: dict[str, str] = {
         FROM tf JOIN dfreq USING (term), nd
         QUALIFY rank <= 3
     """,
+    "text_repetition": r"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 1)),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), per AS (
+            SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               SUM(cnt) AS n_shingles,
+               COUNT(*) AS n_distinct,
+               ROUND(1 - COUNT(*) / SUM(cnt), 4) AS dup_ratio,
+               MAX(cnt) AS top_count,
+               ROUND(MAX(cnt) / SUM(cnt), 4) AS top_ratio
+        FROM per
+        GROUP BY 1
+    """,
     "corpus_sample": """
         SELECT doc_id, lang FROM documents
         WHERE CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))

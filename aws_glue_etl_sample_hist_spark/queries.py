@@ -747,6 +747,15 @@ def q_corpus_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
     return pack_shards(docs, 5000).select("doc_id", "n_tokens", "cum_tokens", "shard")
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc repetition signals (duplicate-bigram ratio, top-shingle
+    share) -- the boilerplate/degeneracy corpus filters
+    (operators.text.repetition_stats)."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf, "documents"), n=2)
+
+
 def q_text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per doc by tf-idf (operators.text
     .tfidf_top_terms): inverted-index groupBys + high-cardinality window."""
@@ -1110,6 +1119,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_repetition": q_text_repetition,
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_shard_pack": q_corpus_shard_pack,
