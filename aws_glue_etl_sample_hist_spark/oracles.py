@@ -810,6 +810,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM numbered
         GROUP BY 1, 2
     """,
+    "events_asof_last_order": """
+        WITH r AS (
+            SELECT o_custkey AS user_id,
+                   CAST(o_orderdate AS TIMESTAMP) AS ots,
+                   MAX(o_orderkey) AS last_order_key,
+                   ROUND(arg_max(o_totalprice, o_orderkey), 2) AS last_order_price
+            FROM orders
+            GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, r.last_order_key, r.last_order_price
+        FROM events e ASOF LEFT JOIN r
+            ON e.user_id = r.user_id AND e.ts >= r.ots
+    """,
     "stream_events_dedup": """
         SELECT event_type,
                COUNT(*) AS n_events,

@@ -764,6 +764,38 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf, "documents"), k=3)
 
 
+def q_events_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of (point-in-time) join: each event picks up the user's most
+    recent order ON OR BEFORE the event timestamp -- the no-future-leakage
+    feature join (operators.asof.asof_join: union-tag + carry-forward
+    window, ONE shuffle, no nested-loop range probe). Orders are
+    pre-reduced to one deterministic row per (user, day); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("last_order_key"),
+            F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_order_price"),
+        )
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="ots",
+        value_cols=["last_order_key", "last_order_price"],
+    )
+    return out.select("event_id", "user_id", "last_order_key", "last_order_price")
+
+
 # ------------------------------------------------- event-stream analytics
 
 
@@ -1123,6 +1155,7 @@ QUERIES = {
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_shard_pack": q_corpus_shard_pack,
+    "events_asof_last_order": q_events_asof_last_order,
     "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
     "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
     "dedup_exact": q_dedup_exact,

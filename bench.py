@@ -47,6 +47,10 @@ HEADLINE = [
     "multimodal_media_meta",
     "events_windowed_agg",
     "events_sessionize",
+    "embedding_near_dup_bucketed",
+    "corpus_shard_pack",
+    "text_tfidf_top_terms",
+    "events_asof_last_order",
 ]
 
 

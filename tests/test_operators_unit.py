@@ -294,3 +294,40 @@ def test_trained_ivf_recall_at_least_seeded(spark, sf_oracle):
     seeded = recall(None)
     trained = recall(kmeans_centroids(emb, 8, seed=42))
     assert trained >= seeded, (trained, seeded)
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """As-of join: >= tie included, latest-prior wins, no-prior-row -> null
+    (left) or dropped (inner); and the plan is one key-shuffle window --
+    never a nested-loop range join."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 5, "c"), (2, 50, "d")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (3, 1, 999.0)], ["k", "rt", "val"]
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", value_cols=["val"]
+    )
+    got = {(r.k, r.t): r.val for r in out.collect()}
+    assert got == {
+        (1, 10): 100.0,  # tie: rt == t is visible (>= semantics)
+        (1, 25): 200.0,  # latest prior among several
+        (1, 5): None,    # before any right row
+        (2, 50): None,   # key with no right rows at all
+    }
+    inner = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        value_cols=["val"], how="inner",
+    )
+    assert inner.count() == 2
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(k" in plan
