@@ -142,10 +142,14 @@ def tfidf_top_terms(docs, k: int = 3, *, text_col: str = "text", id_col: str = "
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    # the 1-row corpus count joins the VOCAB-sized frame (|V| x 1 nested
+    # loop -- the standard scalar join), never the corpus-sized tf frame;
+    # idf lands per term once, then broadcasts into tf
+    with_idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", "df", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(with_idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
     )
     from pyspark.sql.window import Window
 
