@@ -110,3 +110,37 @@ def test_minhash_lsh_cross_checks_spark_ml(spark, sf_oracle):
     }
     assert len(mine & truth) / len(truth) >= 0.85
     assert len(ml & truth) / len(truth) >= 0.85
+
+
+def test_compact_dir_merges_small_files_preserving_data(spark, sf_small, tmp_path):
+    """Compaction: a 64-small-file directory collapses to the target file
+    count with identical rows; partitioned layout variant keeps its dirs."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.io.sinks import compact_dir
+
+    path = str(tmp_path / "events_frag")
+    ev = load_table(spark, sf_small, "events")
+    checksum = ev.agg(F.count("*"), F.round(F.sum("value"), 4)).collect()[0]
+    ev.repartition(64).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 64
+
+    stats = compact_dir(spark, path, target_file_rows=10_000_000)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    after = spark.read.parquet(path)
+    assert after.agg(F.count("*"), F.round(F.sum("value"), 4)).collect()[0] == checksum
+
+    # partitioned variant: one file per partition dir afterwards
+    ppath = str(tmp_path / "events_part")
+    ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd")).repartition(16).write.partitionBy(
+        "d"
+    ).parquet(ppath)
+    before = len(glob.glob(os.path.join(ppath, "**", "*.parquet"), recursive=True))
+    stats2 = compact_dir(spark, ppath, target_file_rows=10_000_000, partition_by=["d"])
+    assert stats2["files_after"] < before
+    assert spark.read.parquet(ppath).count() == checksum[0]
