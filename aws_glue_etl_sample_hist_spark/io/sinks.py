@@ -93,6 +93,40 @@ def compact_dir(
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
 
 
+def upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """MERGE (upsert by key) into a Hive-partitioned parquet table without a
+    table format: CDC batches land in an ordinary parquet lake with IO
+    proportional to the TOUCHED partitions, never the table.
+
+    Plan: semi-join the table scan to the updates' distinct partition values
+    (partition pruning keeps the read to those directories), anti-join away
+    old versions of updated keys, union the updates, and dynamic-partition-
+    overwrite -- untouched partitions are never read or written (reference
+    S7 semantics extended from replace-partition to replace-row).
+
+    The merged frame is localCheckpoint'd before the write because source
+    and destination are the same directory; at petabyte scale stage to a
+    sibling directory and swap instead (same plan, different landing)."""
+    from pyspark.sql import functions as F
+
+    parts = updates.select(*partition_cols).distinct()
+    existing = spark.read.parquet(path).join(
+        F.broadcast(parts), partition_cols, "left_semi"
+    )
+    keep = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = keep.unionByName(updates).localCheckpoint(eager=True)
+    write_partitioned(merged, path, partition_by=partition_cols, mode="overwrite")
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -823,6 +823,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e ASOF LEFT JOIN r
             ON e.user_id = r.user_id AND e.ts >= r.ots
     """,
+    "stream_events_purchase_follow": """
+        SELECT p.user_id,
+               c.event_id AS click_event_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+               ROUND(p.value, 4) AS purchase_value
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+    """,
     "stream_events_dedup": """
         SELECT event_type,
                COUNT(*) AS n_events,

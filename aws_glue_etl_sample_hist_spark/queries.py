@@ -1071,6 +1071,16 @@ def q_stream_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_sessionize(spark, sf)
 
 
+def q_stream_events_purchase_follow(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream time-interval join (attribution): purchases matched to
+    the same user's clicks in the preceding 30 min, both sides live
+    watermarked streams -- state-store equi+range join, never a nested
+    loop. Oracle is the identical batch join."""
+    from .streaming.jobs import stream_events_purchase_follow
+
+    return stream_events_purchase_follow(spark, sf)
+
+
 def q_stream_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming exactly-once dedup (at-least-once repair): source unioned
     with itself -> dropDuplicates(event_id) in watermark-bounded state ->
@@ -1141,6 +1151,7 @@ QUERIES = {
     "stream_events_windowed": q_stream_events_windowed,
     "stream_events_sessionize": q_stream_events_sessionize,
     "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_purchase_follow": q_stream_events_purchase_follow,
     "customer_running_total": q_customer_running_total,
     "customer_order_ranks": q_customer_order_ranks,
     "order_set_ops": q_order_set_ops,

@@ -191,6 +191,52 @@ def stream_events_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_events_purchase_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join: purchases joined to the SAME user's
+    clicks in the preceding 30 minutes -- the attribution join, as two live
+    streams. Watermarks on both sides bound the join state (clicks are held
+    only until no purchase can reach back to them); the join condition is an
+    equi-key plus a time range, which Spark executes as a state-store
+    lookup, never a nested loop. Aggregated per event_type pair so the
+    oracle compare stays small."""
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("c_id").alias("click_event_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+    # inner stream-stream joins emit each match as soon as both sides have
+    # arrived (only the STATE cleanup waits for the watermark), so the
+    # availableNow drain equals the batch join row-for-row
+    return _run_to_memory(joined, "append")
+
+
 def _session_emit(
     key: tuple,
     batches: Iterator[pd.DataFrame],

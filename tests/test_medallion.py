@@ -162,3 +162,44 @@ def test_bucketed_medallion_matches_and_t1_join_is_shuffle_free(
     finally:
         drop_table(spark, FACT_BKT_TABLE)
         drop_table(spark, ORDERS_BKT_TABLE)
+
+
+def test_upsert_partitioned_touches_only_affected_partitions(spark, sf_small, tmp_path):
+    """CDC upsert: update one row + insert one row in a single partition;
+    that partition's rows are replaced by key, every other partition's
+    directory (marker file) and data survive byte-untouched."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.io.sinks import upsert_partitioned, write_partitioned
+
+    path = str(tmp_path / "events_lake")
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(ev, path, partition_by=["event_date"])
+    days = sorted(r.event_date for r in ev.select("event_date").distinct().collect())
+    target, other = days[0], days[-1]
+    marker = os.path.join(path, f"event_date={other}", "_marker")
+    with open(marker, "w") as f:
+        f.write("x")
+
+    victim = ev.filter(F.col("event_date") == target).orderBy("event_id").limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [
+            (victim.event_id, victim.ts, victim.user_id, "corrected", 99.5, victim.props, target),
+            (10_000_001, victim.ts, victim.user_id, "late_arrival", 1.25, victim.props, target),
+        ],
+        ev.schema,
+    )
+    before_total = ev.count()
+    upsert_partitioned(
+        spark, path, updates, key_cols=["event_id"], partition_cols=["event_date"]
+    )
+
+    after = spark.read.parquet(path)
+    assert after.count() == before_total + 1  # one update in place, one insert
+    got = {r.event_id: (r.event_type, r.value) for r in
+           after.filter(F.col("event_date") == target)
+           .filter(F.col("event_id").isin([victim.event_id, 10_000_001])).collect()}
+    assert got[victim.event_id] == ("corrected", 99.5)
+    assert got[10_000_001] == ("late_arrival", 1.25)
+    assert os.path.exists(marker)  # untouched partition dir survived
