@@ -172,18 +172,34 @@ def silver_join_bucketed(spark: SparkSession, out_dir: str) -> None:
     )
 
 
-def _read_silver(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "silver", "purchase_all_info"))
+def _read_silver(
+    spark: SparkSession, out_dir: str, months: list[str] | None = None
+) -> DataFrame:
+    silver = spark.read.parquet(os.path.join(out_dir, "silver", "purchase_all_info"))
+    if months:
+        silver = silver.filter(F.concat("purchase_year", "purchase_month").isin(months))
+    return silver
 
 
 def _write_mart(df: DataFrame, out_dir: str, name: str) -> None:
-    write_partitioned(df, os.path.join(out_dir, "gold", name), policy=MART_POLICY)
+    """Marts are Hive-partitioned by month like every other tier, so an
+    incremental month replaces ONLY its mart partitions (dynamic overwrite)
+    -- incremental materialized-view maintenance: every mart's group key
+    contains (year, month), so recomputing just the touched months from the
+    month-pruned silver is exact, and a nightly run aggregates one month of
+    silver instead of the whole table."""
+    write_partitioned(
+        df, os.path.join(out_dir, "gold", name),
+        partition_by=PARTITION_COLS, policy=MART_POLICY,
+    )
 
 
-def gold_sales_by_brand_type(spark: SparkSession, out_dir: str) -> None:
+def gold_sales_by_brand_type(
+    spark: SparkSession, out_dir: str, months: list[str] | None = None
+) -> None:
     """T2 mart A1 analog (jb_de_enhancement_t2_salesbyageproducts_s2s.py)."""
     df = (
-        _read_silver(spark, out_dir)
+        _read_silver(spark, out_dir, months)
         .groupBy("purchase_year", "purchase_month", "l_returnflag", "p_brand", "p_type")
         .agg(
             F.sum("l_extendedprice").alias("total_purchase_amount"),
@@ -193,9 +209,11 @@ def gold_sales_by_brand_type(spark: SparkSession, out_dir: str) -> None:
     _write_mart(df, out_dir, "mart_salesbybrandtype")
 
 
-def gold_sales_by_supplier(spark: SparkSession, out_dir: str) -> None:
+def gold_sales_by_supplier(
+    spark: SparkSession, out_dir: str, months: list[str] | None = None
+) -> None:
     """T2 mart A2 analog (agg-then-join, jb_de_enhancement_t2_salesbycustomer_s2s.py)."""
-    silver = _read_silver(spark, out_dir)
+    silver = _read_silver(spark, out_dir, months)
     agg = silver.groupBy("l_suppkey", "purchase_year", "purchase_month").agg(
         F.sum("l_extendedprice").alias("total_purchase_amount"),
         F.count("l_extendedprice").alias("count_of_purchase"),
@@ -203,9 +221,11 @@ def gold_sales_by_supplier(spark: SparkSession, out_dir: str) -> None:
     _write_mart(agg, out_dir, "mart_salesbysupplier")
 
 
-def gold_sales_by_datetime(spark: SparkSession, out_dir: str) -> None:
+def gold_sales_by_datetime(
+    spark: SparkSession, out_dir: str, months: list[str] | None = None
+) -> None:
     """T2 mart A3 analog with day-of-week columns (jb_de_enhancement_t2_salesbydatetime_s2s.py)."""
-    silver = _read_silver(spark, out_dir)
+    silver = _read_silver(spark, out_dir, months)
     df = silver.groupBy(
         "purchase_year",
         "purchase_month",
@@ -219,10 +239,12 @@ def gold_sales_by_datetime(spark: SparkSession, out_dir: str) -> None:
     _write_mart(df, out_dir, "mart_salesbydatetime")
 
 
-def gold_sales_by_region(spark: SparkSession, out_dir: str) -> None:
+def gold_sales_by_region(
+    spark: SparkSession, out_dir: str, months: list[str] | None = None
+) -> None:
     """T2 mart A4 analog with the pre-write multi-column sort
     (jb_de_enhancement_t2_salesbyresidence_s2s.py:55-57)."""
-    silver = _read_silver(spark, out_dir)
+    silver = _read_silver(spark, out_dir, months)
     df = (
         silver.groupBy("purchase_year", "purchase_month", "r_name", "n_name")
         .agg(
@@ -268,10 +290,10 @@ def run_medallion(
             .add_stage("t1", fulljoin=lambda: silver_join_bucketed(spark, out_dir))
             .add_stage(
                 "t2",
-                brandtype=lambda: gold_sales_by_brand_type(spark, out_dir),
-                supplier=lambda: gold_sales_by_supplier(spark, out_dir),
-                datetime=lambda: gold_sales_by_datetime(spark, out_dir),
-                region=lambda: gold_sales_by_region(spark, out_dir),
+                brandtype=lambda: gold_sales_by_brand_type(spark, out_dir, months),
+                supplier=lambda: gold_sales_by_supplier(spark, out_dir, months),
+                datetime=lambda: gold_sales_by_datetime(spark, out_dir, months),
+                region=lambda: gold_sales_by_region(spark, out_dir, months),
             )
         )
         return pipe.run()
@@ -285,10 +307,10 @@ def run_medallion(
         .add_stage("t1", fulljoin=lambda: silver_join(spark, out_dir, months))
         .add_stage(
             "t2",
-            brandtype=lambda: gold_sales_by_brand_type(spark, out_dir),
-            supplier=lambda: gold_sales_by_supplier(spark, out_dir),
-            datetime=lambda: gold_sales_by_datetime(spark, out_dir),
-            region=lambda: gold_sales_by_region(spark, out_dir),
+            brandtype=lambda: gold_sales_by_brand_type(spark, out_dir, months),
+            supplier=lambda: gold_sales_by_supplier(spark, out_dir, months),
+            datetime=lambda: gold_sales_by_datetime(spark, out_dir, months),
+            region=lambda: gold_sales_by_region(spark, out_dir, months),
         )
     )
     return pipe.run()

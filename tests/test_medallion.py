@@ -92,6 +92,24 @@ def test_incremental_month_overwrites_only_that_partition(spark, sf_small, pipel
         spark, os.path.join(out, "silver", "purchase_all_info")
     )
     assert silver_after == before
+    # gold marts are month-partitioned as well: the incremental run replaced
+    # ONLY the target month's mart partitions (marker in another month's dir
+    # survives) -- incremental materialized-view maintenance
+    mart_dir = os.path.join(out, "gold", "mart_salesbybrandtype")
+    mart_marker = os.path.join(
+        mart_dir, f"purchase_year={other[0]}", f"purchase_month={other[1]}", "_m"
+    )
+    with open(mart_marker, "w") as f:
+        f.write("x")
+    run_medallion(spark, sf_small, out, months=[month[0] + month[1]])
+    assert os.path.exists(mart_marker)
+    os.remove(mart_marker)
+    mart_months = {
+        (r.purchase_year, r.purchase_month)
+        for r in spark.read.parquet(mart_dir)
+        .select("purchase_year", "purchase_month").distinct().collect()
+    }
+    assert mart_months == set(before)  # full mart coverage preserved
 
 
 def test_pipeline_retry_and_failure_propagation():
