@@ -930,6 +930,43 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# training_corpus = cleaned_corpus MINUS the higher id of every banded
+# embedding near-dup pair: composed from the two proven oracle blocks by
+# injecting the anti-filter into cleaned_corpus's final WHERE (an OR over
+# band equalities is set-equivalent to the Spark path's band UNION)
+_EMB_BANDED = """SELECT vec_id, embedding::DOUBLE[] AS v,
+       (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[5]  >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[9]  >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[13] >= 0 THEN '1' ELSE '0' END) AS b0,
+       (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[21] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[29] >= 0 THEN '1' ELSE '0' END) AS b1,
+       (CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[37] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[45] >= 0 THEN '1' ELSE '0' END) AS b2,
+       (CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[53] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END ||
+        CASE WHEN embedding[61] >= 0 THEN '1' ELSE '0' END) AS b3
+    FROM embeddings"""
+
+_EMB_LOSERS = f"""SELECT DISTINCT eb.vec_id
+    FROM ({_EMB_BANDED}) ea JOIN ({_EMB_BANDED}) eb
+      ON (ea.b0 = eb.b0 OR ea.b1 = eb.b1 OR ea.b2 = eb.b2 OR ea.b3 = eb.b3)
+     AND ea.vec_id < eb.vec_id
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+          >= 0.4"""
+
+ORACLE_SQL["training_corpus"] = ORACLE_SQL["cleaned_corpus"].replace(
+    "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5",
+    "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5\n"
+    f"          AND q.doc_id NOT IN ({_EMB_LOSERS})",
+)
+
 # the sql_* queries are the same semantics exercised through the engine's
 # spark.sql surface (sql.py) -- their oracles are identical by construction
 for _name in (

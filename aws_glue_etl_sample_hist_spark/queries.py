@@ -646,6 +646,24 @@ def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return stats.join(keepers, "doc_id").filter(F.col("quality_score") >= 0.5)
 
 
+def q_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The WHOLE training-data pipeline composed end-to-end: quality filter
+    (>= 0.5) AND text near-dup cluster keepers (n-gram Jaccard + connected
+    components, max_df guard on) AND embedding near-dup removal (banded
+    sign-LSH pairs; the higher doc_id of each pair is dropped via one
+    left_anti join). Everything upstream is oracle-checked individually;
+    this entry pins that the composition stays exact."""
+    from .operators.similarity import near_dup_pairs
+
+    base = q_cleaned_corpus(spark, sf)
+    losers = (
+        near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return base.join(losers, "doc_id", "left_anti")
+
+
 def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
     from .operators.similarity import cosine_topk
@@ -1175,6 +1193,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "cleaned_corpus": q_cleaned_corpus,
+    "training_corpus": q_training_corpus,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf_ann": q_embedding_ivf_ann,
