@@ -777,6 +777,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM m
         GROUP BY 1
     """,
+    "multimodal_byte_features": """
+        WITH c AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   list_transform(generate_series(1, length(text)),
+                                  i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS codes
+            FROM documents
+        )
+        SELECT doc_id, media_type,
+               CAST(len(codes) AS BIGINT) AS n_bytes,
+               CAST(len(list_filter(codes, x -> x < 64)) AS BIGINT) AS b_q1,
+               CAST(len(list_filter(codes, x -> x >= 64 AND x < 128)) AS BIGINT) AS b_q2,
+               CAST(len(list_filter(codes, x -> x >= 128 AND x < 192)) AS BIGINT) AS b_q3,
+               CAST(len(list_filter(codes, x -> x >= 192)) AS BIGINT) AS b_q4,
+               printf('%.4f', list_avg(codes)) AS mean_byte
+        FROM c
+    """,
     "stream_events_windowed": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
                    AS window_start,

@@ -1071,6 +1071,16 @@ def q_multimodal_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_byte_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Signal-level feature extraction over binary payloads: vectorized
+    numpy byte-histogram + mean per payload through Arrow mapInPandas
+    (operators.multimodal.extract_byte_features) -- the featurizer shape a
+    real embed/spectrogram stage takes."""
+    from .operators.multimodal import attach_fake_payload, extract_byte_features
+
+    return extract_byte_features(attach_fake_payload(load_table(spark, sf, "documents")))
+
+
 def q_stream_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming twin of events_windowed_agg: readStream ->
     watermark -> tumbling window agg -> availableNow drain (streaming/jobs.py),
@@ -1166,6 +1176,7 @@ QUERIES = {
     "multimodal_media_meta": q_multimodal_media_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_type_stats": q_multimodal_type_stats,
+    "multimodal_byte_features": q_multimodal_byte_features,
     "stream_events_windowed": q_stream_events_windowed,
     "stream_events_sessionize": q_stream_events_sessionize,
     "stream_events_dedup": q_stream_events_dedup,
