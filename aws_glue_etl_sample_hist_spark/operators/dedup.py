@@ -186,6 +186,48 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY n-token
+    shingle with an eval/benchmark set -- the train/test-leak scrub every
+    LLM corpus needs before training.
+
+    Scale shape: the benchmark's distinct shingles are tiny next to the
+    corpus -> broadcast; the corpus side is scanned once, joined map-side,
+    and aggregated on the high-cardinality doc key. The corpus never
+    shuffles its text -- only (doc_id, matched-shingle) survivors move."""
+    doc_sh = _distinct_shingles(docs, n, text_col, id_col, None)
+    bench_sh = (
+        _distinct_shingles(benchmark, n, text_col, id_col, None)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
+                "n_contaminated_shingles"
+            ),
+            (F.coalesce("n_contaminated_shingles", F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -349,6 +349,26 @@ ORACLE_SQL: dict[str, str] = {
         FROM tf JOIN dfreq USING (term), nd
         QUALIFY rank <= 3
     """,
+    "corpus_decontamination": r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 1)),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), hits AS (
+            SELECT a.doc_id, COUNT(*) AS n
+            FROM (SELECT * FROM sh WHERE doc_id >= 10) a
+            JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10) b USING (shingle)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(hits.n, 0) AS n_contaminated_shingles,
+               CAST(COALESCE(hits.n, 0) > 0 AS INTEGER) AS is_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
     "text_repetition": r"""
         WITH sh AS (
             SELECT doc_id,

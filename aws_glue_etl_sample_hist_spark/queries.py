@@ -646,6 +646,19 @@ def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return stats.join(keepers, "doc_id").filter(F.col("quality_score") >= 0.5)
 
 
+def q_corpus_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-9 stand in for a held-out eval
+    set; every other doc is flagged if it shares any 5-gram with them
+    (operators.dedup.contamination_flags -- broadcast benchmark shingles,
+    corpus text never shuffles)."""
+    from .operators.dedup import contamination_flags
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return contamination_flags(corpus, bench, n=5)
+
+
 def q_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The WHOLE training-data pipeline composed end-to-end: quality filter
     (>= 0.5) AND text near-dup cluster keepers (n-gram Jaccard + connected
@@ -1205,6 +1218,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "cleaned_corpus": q_cleaned_corpus,
     "training_corpus": q_training_corpus,
+    "corpus_decontamination": q_corpus_decontamination,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf_ann": q_embedding_ivf_ann,
