@@ -86,3 +86,32 @@ def test_topk_uses_takeordered_not_global_sort(spark, sf_oracle):
     plan = _plan(QUERIES["top_parts"](spark, sf_oracle))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+# queries where a nested-loop join is DELIBERATE and bounded: one side is a
+# broadcast of O(1)-O(10) rows (query vectors, centroids, a 1-row corpus
+# count) or the query IS the documented all-pairs exact twin
+NESTED_LOOP_WHITELIST = {
+    "embedding_cosine_topk",       # broadcast 5 query vectors x corpus (exact baseline)
+    "embedding_cosine_topk_pandas",  # same contract, numpy kernel
+    "embedding_ivf_ann",           # crossJoin(broadcast(<=8 centroids)): assignment pass
+    "embedding_ivf_ann_trained",   # same with trained centroids
+    "embedding_near_dup",          # the documented all-pairs small-n exact twin
+    "text_tfidf_top_terms",        # |vocab| x 1-row corpus count (scalar join)
+}
+
+
+def test_no_accidental_nested_loop_or_cartesian_in_any_query(spark, sf_small):
+    """Engine-wide plan guard: EVERY registered batch query must be free of
+    BroadcastNestedLoopJoin / CartesianProduct unless it is on the explicit,
+    justified whitelist -- a new query that accidentally introduces an
+    unbounded non-equi join fails here, not on a 100 TB cluster."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # constructing the DF runs the stream; covered elsewhere
+        plan = _plan(fn(spark, sf_small))
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            if name not in NESTED_LOOP_WHITELIST:
+                offenders[name] = True
+    assert not offenders, f"unjustified nested-loop joins in: {sorted(offenders)}"
