@@ -349,6 +349,33 @@ def cosine_topk_pandas(
     )
 
 
+def quantize_int8_summary(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization per vector (the 4x storage / memory-bandwidth
+    compression step of a serving index): scale = 127 / max|x|, q_i =
+    floor(x_i * scale + 0.5) -- floor(+0.5) instead of round() because its
+    half-up semantics are bit-identical across engines, which round()'s
+    half-even is not guaranteed to be.
+
+    Pure JVM transform, map-only. Output summarizes the quantized vector as
+    (scale, L1 norm, md5 of the comma-joined values) -- the md5 pins every
+    quantized component exactly while keeping the oracle compare scalar."""
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(arr, F.abs))
+    scale = F.lit(127.0) / mx
+    q = F.transform(arr, lambda x: F.floor(x * scale + 0.5).cast("long"))
+    return emb.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.md5(F.concat_ws(",", F.transform(q, lambda x: x.cast("string")))).alias("q_md5"),
+    )
+
+
 # 4 independent sign-LSH tables (bands) of 4 coordinate hyperplanes each,
 # spread across the vector so band bits stay uncorrelated. Recall for a pair
 # with angle t: 1 - (1 - p^4)^4 with p = 1 - t/pi -- the band count / band

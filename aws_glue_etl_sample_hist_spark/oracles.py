@@ -680,6 +680,22 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
+    "embedding_quantize_int8": """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, mx,
+                   list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS qv
+            FROM e
+        )
+        SELECT vec_id,
+               ROUND(127.0 / mx, 6) AS scale,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+               md5(array_to_string(qv, ',')) AS q_md5
+        FROM q
+    """,
     "embedding_near_dup_bucketed": """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

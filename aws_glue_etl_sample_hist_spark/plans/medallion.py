@@ -148,7 +148,9 @@ def bronze_orders_bucketed(spark: SparkSession, sf_dir: str, out_dir: str) -> No
     )
 
 
-def silver_join_bucketed(spark: SparkSession, out_dir: str) -> None:
+def silver_join_bucketed(
+    spark: SparkSession, out_dir: str, *, slices_per_month: int = 1
+) -> None:
     """T1 full join over bucketed bronze: same logical plan as silver_join,
     but the lineitem⋈orders bridge is a bucket-aligned sort-merge join with
     NO exchange and NO sort (both sides pre-sorted within buckets) --
@@ -161,11 +163,17 @@ def silver_join_bucketed(spark: SparkSession, out_dir: str) -> None:
     # A bucketed scan has no exchange for AQE to coalesce, so without this
     # every one of the 32 bucket tasks would write a file into every month
     # partition (tasks x months small files). One explicit repartition on the
-    # Hive partition key fixes the layout; the hash sub-slice keeps a huge
-    # month splittable across tasks instead of pinned to one.
-    wide = wide.repartition(
-        *PARTITION_COLS, F.pmod(F.hash("l_orderkey"), F.lit(4))
-    )
+    # Hive partition key fixes the layout. ``slices_per_month`` > 1 adds a
+    # hash sub-slice so a 100 TB month spreads over several tasks (the
+    # within-task file SIZE is already bounded by FACT_POLICY's
+    # maxRecordsPerFile); 1 keeps exactly one task/file per month, which
+    # wins while months are small.
+    if slices_per_month > 1:
+        wide = wide.repartition(
+            *PARTITION_COLS, F.pmod(F.hash("l_orderkey"), F.lit(slices_per_month))
+        )
+    else:
+        wide = wide.repartition(*PARTITION_COLS)
     write_partitioned(
         wide, os.path.join(out_dir, "silver", "purchase_all_info"),
         partition_by=PARTITION_COLS, policy=FACT_POLICY,

@@ -723,6 +723,15 @@ def q_embedding_cosine_topk_pandas(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_pandas(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4], k=10)
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization summary per embedding (scale, L1, md5 of the
+    quantized vector) -- operators.similarity.quantize_int8_summary; every
+    quantized component is pinned by the md5, scalar oracle compare."""
+    from .operators.similarity import quantize_int8_summary
+
+    return quantize_int8_summary(load_table(spark, sf, "embeddings"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.4), exact all-pairs
     form -- the small-n oracle twin and recall baseline for the bucketed
@@ -1226,6 +1235,7 @@ QUERIES = {
     "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
