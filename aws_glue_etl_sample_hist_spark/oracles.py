@@ -349,6 +349,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM tf JOIN dfreq USING (term), nd
         QUALIFY rank <= 3
     """,
+    "text_bigram_lm": r"""
+        WITH bg AS (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+            FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), c AS (
+            SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1 HAVING COUNT(*) >= 3
+        ), s AS (
+            SELECT split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2, n
+            FROM c
+        ), t AS (
+            SELECT w1, CAST(SUM(n) AS BIGINT) AS w1_n FROM s GROUP BY 1
+        )
+        SELECT s.w1, s.w2, s.n, ROUND(s.n / t.w1_n, 6) AS p_cond
+        FROM s JOIN t ON s.w1 = t.w1
+    """,
     "corpus_decontamination": r"""
         WITH sh AS (
             SELECT DISTINCT doc_id,

@@ -646,6 +646,34 @@ def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return stats.join(keepers, "doc_id").filter(F.col("quality_score") >= 0.5)
 
 
+def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram language-model statistics: count and conditional
+    probability p(w2|w1) for every bigram seen >= 3 times -- the n-gram-LM
+    table (perplexity filters, synthetic-text detectors, OOV scoring).
+    Shape: one explode (duplicates kept -- frequency IS the signal), one
+    groupBy on the bigram, a window-free conditional via a second groupBy
+    broadcast back on w1. All JVM."""
+    from .operators.text import tokens, word_shingles
+
+    docs = load_table(spark, sf, "documents")
+    bg = docs.select(
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 3
+    )
+    split = counts.select(
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part("bigram", F.lit(" "), F.lit(2)).alias("w2"),
+        "n",
+    )
+    w1_tot = split.groupBy("w1").agg(F.sum("n").alias("w1_n"))
+    return (
+        split.join(F.broadcast(w1_tot), "w1")
+        .select("w1", "w2", "n", F.round(F.col("n") / F.col("w1_n"), 6).alias("p_cond"))
+    )
+
+
 def q_corpus_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: docs 0-9 stand in for a held-out eval
     set; every other doc is flagged if it shares any 5-gram with them
@@ -1214,6 +1242,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "text_repetition": q_text_repetition,
+    "text_bigram_lm": q_text_bigram_lm,
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_shard_pack": q_corpus_shard_pack,
