@@ -175,6 +175,38 @@ def extract_byte_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.mapInPandas(feats, FEATURE_SCHEMA)
 
 
+THUMB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("thumb_n_bytes", LongType()),
+        StructField("thumb_md5", StringType()),
+    ]
+)
+
+
+def resize_thumbnail(with_payload: DataFrame, stride: int = 8) -> DataFrame:
+    """'Resize' stage: downsample each payload by keeping every stride-th
+    byte (the deterministic stand-in for a real thumbnail/resample -- a PIL
+    `Image.resize` or audio decimation slots in behind the same schema and
+    batch shape). Output carries the thumb's size + md5, so every
+    downsampled byte is pinned by the oracle without shipping binaries
+    through the compare."""
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                t = bytes(payload[::stride])
+                rows.append(
+                    (doc_id, mt, len(payload), len(t), hashlib.md5(t).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+    return with_payload.mapInPandas(thumbs, THUMB_SCHEMA)
+
+
 def sample_frames(
     with_payload: DataFrame,
     frame_bytes: int = 16,

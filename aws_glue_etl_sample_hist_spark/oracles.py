@@ -832,6 +832,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM m
         GROUP BY 1
     """,
+    "multimodal_thumbnail": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(len(generate_series(1, length(text), 8)) AS BIGINT) AS thumb_n_bytes,
+               md5(array_to_string(list_transform(
+                   generate_series(1, length(text), 8),
+                   i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS thumb_md5
+        FROM documents
+    """,
     "multimodal_byte_features": """
         WITH c AS (
             SELECT doc_id,

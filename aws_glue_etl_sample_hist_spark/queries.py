@@ -1121,6 +1121,15 @@ def q_multimodal_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
+    """'Resize' stage over binary payloads: every-8th-byte downsample via
+    Arrow mapInPandas (operators.multimodal.resize_thumbnail); a real
+    PIL resize slots in behind the same schema. Thumb md5 pins every byte."""
+    from .operators.multimodal import attach_fake_payload, resize_thumbnail
+
+    return resize_thumbnail(attach_fake_payload(load_table(spark, sf, "documents")))
+
+
 def q_multimodal_byte_features(spark: SparkSession, sf: str) -> DataFrame:
     """Signal-level feature extraction over binary payloads: vectorized
     numpy byte-histogram + mean per payload through Arrow mapInPandas
@@ -1227,6 +1236,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_type_stats": q_multimodal_type_stats,
     "multimodal_byte_features": q_multimodal_byte_features,
+    "multimodal_thumbnail": q_multimodal_thumbnail,
     "stream_events_windowed": q_stream_events_windowed,
     "stream_events_sessionize": q_stream_events_sessionize,
     "stream_events_dedup": q_stream_events_dedup,
