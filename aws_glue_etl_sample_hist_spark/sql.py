@@ -53,7 +53,9 @@ ATHENA_SQL: dict[str, str] = {
         FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1, 2
     """,
-    # A8 segment x category (document/glue_t2.md:70-83), ORDER BY 1,2,rev desc
+    # A8 segment x category (document/glue_t2.md:70-83): the reference
+    # orders by its 6th column (count_of_purchase) descending -- here that
+    # column is ordinal 4
     "segment_category_revenue": """
         SELECT c.c_mktsegment, p.p_brand,
                ROUND(SUM(l.l_extendedprice) / 1000000, 2) AS revenue_musd,
@@ -63,7 +65,7 @@ ATHENA_SQL: dict[str, str] = {
         LEFT JOIN part p     ON l.l_partkey = p.p_partkey
         LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
-        ORDER BY 1, 2, 3 DESC
+        ORDER BY 1, 2, 4 DESC
     """,
     # A9 region revenue (document/glue_t2.md:86-97)
     "region_revenue": """
