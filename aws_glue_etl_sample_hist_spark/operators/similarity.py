@@ -365,7 +365,10 @@ def quantize_int8_summary(
     (scale, L1 norm, md5 of the comma-joined values) -- the md5 pins every
     quantized component exactly while keeping the oracle compare scalar."""
     arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    mx = F.array_max(F.transform(arr, F.abs))
+    # all-zero vector guard: max|x| = 0 would cascade 127/0 -> inf -> NaN
+    # quantized values; the epsilon clamps scale and quantizes zeros to zeros
+    # (the oracle carries the identical greatest(), so the check stays exact)
+    mx = F.greatest(F.array_max(F.transform(arr, F.abs)), F.lit(1e-12))
     scale = F.lit(127.0) / mx
     q = F.transform(arr, lambda x: F.floor(x * scale + 0.5).cast("long"))
     return emb.select(

@@ -702,7 +702,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_quantize_int8": """
         WITH e AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,
-                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+                   greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))),
+                            1e-12) AS mx
             FROM embeddings
         ), q AS (
             SELECT vec_id, mx,
