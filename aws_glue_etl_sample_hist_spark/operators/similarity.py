@@ -44,7 +44,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # all-zero vector guard, mirroring quantize_int8_summary: norm=0 would
+    # give 0/0 -> NaN, and Spark sorts NaN ABOVE every number in window
+    # ORDER BY while other engines differ -- a zero embedding in real data
+    # would silently rank as everyone's best neighbor. The epsilon clamps
+    # the denominator so a zero vector scores cosine 0 against everything.
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))
 
 
 def cosine_topk(
@@ -173,11 +178,15 @@ def kmeans_centroids(
 
     # spherical KMeans: train on L2-normalized vectors, because downstream
     # assignment is by COSINE -- euclidean centroids of unnormalized data
-    # collapse toward the mean and their directions are noise
-    unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+    # collapse toward the mean and their directions are noise. The norm is
+    # selected as a column FIRST: referencing norm(vec) inside the transform
+    # lambda re-evaluates the full O(d) fold per element, O(d^2) per row.
+    with_norm = emb.select(
+        F.col(vec_col).alias("_v"),
+        F.greatest(norm(F.col(vec_col)), F.lit(1e-12)).alias("_n"),
     )
-    data = emb.select(array_to_vector(unit).alias("features"))
+    unit = F.transform(F.col("_v"), lambda x: x.cast("double") / F.col("_n"))
+    data = with_norm.select(array_to_vector(unit).alias("features"))
     if sample_fraction < 1.0:
         data = data.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
@@ -308,7 +317,10 @@ def cosine_scores_pandas(
         for pdf in batches:
             n_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             n_norm = np.sqrt((n_mat * n_mat).sum(axis=1))
-            sims = (q_mat @ n_mat.T) / (q_norm[:, None] * n_norm[None, :])
+            # same zero-vector guard as the JVM `cosine`: clamp the
+            # denominator so an all-zero embedding scores 0.0, not NaN
+            denom = np.maximum(q_norm[:, None] * n_norm[None, :], 1e-12)
+            sims = (q_mat @ n_mat.T) / denom
             n_ids = pdf[id_col].to_numpy()
             nq, nn = sims.shape
             yield pd.DataFrame(

@@ -331,3 +331,50 @@ def test_asof_join_semantics_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(k" in plan
+
+
+def test_cosine_zero_vector_never_nan(spark):
+    """An all-zero embedding must score cosine 0.0 -- never NaN -- in every
+    cosine consumer (top-k, sign-bucket ANN, IVF ANN, near-dup, numpy
+    kernel). Spark sorts NaN ABOVE every number in a window ORDER BY, so an
+    unguarded zero vector would rank as everyone's best neighbor and
+    silently diverge from any other engine's ordering."""
+    import math
+    import random
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+        ivf_ann_topk,
+        lsh_ann_topk,
+        near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(64)]) for i in range(6)]
+    rows.append((6, [0.0] * 64))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    topk = cosine_topk(emb, [0, 6], k=6).collect()
+    assert topk and all(not math.isnan(r.cosine) for r in topk)
+    # zero vector as the QUERY: every neighbor scores exactly 0.0
+    assert {r.cosine for r in topk if r.query_id == 6} == {0.0}
+    # zero vector as a NEIGHBOR: scores 0.0, ranking below every
+    # positive-cosine neighbor (an unguarded NaN would take rank 1)
+    z = [r for r in topk if r.query_id == 0 and r.neighbor_id == 6]
+    pos = sum(1 for r in topk if r.query_id == 0 and r.cosine > 0.0)
+    assert z and z[0].cosine == 0.0 and z[0].rank == pos + 1
+
+    pd_topk = cosine_topk_pandas(emb, [0, 6], k=6).collect()
+    assert pd_topk and all(not math.isnan(r.cosine) for r in pd_topk)
+    assert {r.cosine for r in pd_topk if r.query_id == 6} == {0.0}
+
+    ann = lsh_ann_topk(emb, [0, 6], k=6).collect()
+    assert ann and all(not math.isnan(r.cosine) for r in ann)
+
+    ivf = ivf_ann_topk(emb, [0, 6], k=6, n_centroids=2, nprobe=2).collect()
+    assert ivf and all(not math.isnan(r.cosine) for r in ivf)
+
+    for exact in (True, False):
+        pairs = near_dup_pairs(emb, 0.0, exact=exact).collect()
+        assert all(not math.isnan(r.cosine) for r in pairs)
