@@ -43,21 +43,36 @@ def customer_base_stats(
     amount_col: str,
     *,
     approx: bool = False,
+    presto_int_division: bool = False,
 ) -> DataFrame:
     """Reference A10 (document/glue_t2.md:101-113): per-group distinct
     customers, purchase count, purchases-per-customer, and unit-scaled spend
-    averages. ``approx=True`` uses HLL for the 100 TB path (one less shuffle)."""
+    averages. ``approx=True`` uses HLL for the 100 TB path (one less shuffle).
+
+    ``presto_int_division``: in the reference's Athena/Presto SQL,
+    count/count(distinct) is BIGINT / BIGINT -- INTEGER division (7/2 = 3),
+    a fidelity trap SURVEY §2.4 A10 flags. The default keeps true division
+    (pinned by the repo's DuckDB oracle); flip this on to reproduce the
+    reference's Presto answer bit-for-bit. Only the count ratio is affected:
+    the amount ratios divide a DOUBLE sum, real division in every engine."""
     ndv: Column = (
         F.approx_count_distinct(customer_col) if approx else F.count_distinct(customer_col)
     ).alias("count_of_customers")
+    ndv_expr = (
+        F.approx_count_distinct(customer_col) if approx else F.count_distinct(customer_col)
+    )
+    if presto_int_division and not approx:
+        # Spark's `div` is the exact bigint-division twin of Presto's `/`
+        # on two bigints (truncation; counts are non-negative so == floor)
+        ratio: Column = F.expr(
+            f"count({customer_col}) div count(distinct {customer_col})"
+        )
+    else:
+        ratio = F.round(F.count(customer_col) / ndv_expr, 2)
     return df.groupBy(group_key).agg(
         ndv,
         F.count(customer_col).alias("count_of_purchase"),
-        F.round(
-            F.count(customer_col)
-            / (F.approx_count_distinct(customer_col) if approx else F.count_distinct(customer_col)),
-            2,
-        ).alias("purchase_per_customer"),
+        ratio.alias("purchase_per_customer"),
         F.round(F.sum(amount_col) / F.count(customer_col) / 10000, 2).alias(
             "amount_per_purchase_10k"
         ),

@@ -374,6 +374,7 @@ def dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Full near-dup resolution: n-gram Jaccard pairs -> connected components
     -> keeper flag (cluster representative = min doc_id). The output one
@@ -381,11 +382,21 @@ def dedup_clusters(
 
     ``max_df`` forwards to the candidate generation: at scale the composed
     path MUST set it, or one corpus-wide shingle turns candidate generation
-    into the ~n^2/8 pair bomb the module docstring warns about."""
+    into the ~n^2/8 pair bomb the module docstring warns about.
+
+    ``algorithm`` picks the CC backend: ``minlabel`` (default -- O(diameter)
+    rounds, right for the shallow clique-ish graphs near-dup thresholds
+    produce) or ``star`` (large-star/small-star, O(log diameter) -- pick it
+    for corpora that CHAIN, e.g. templated spam where A~B~C~... without
+    A~C). Both produce identical (node, cluster_id = component min) labels,
+    so the choice never changes the answer, only the round count."""
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
     pairs = ngram_jaccard_pairs(
         docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col, max_df=max_df
     )
-    cc = connected_components(docs, pairs.select("doc_a", "doc_b"), node_col=id_col)
+    cc_fn = connected_components if algorithm == "minlabel" else connected_components_star
+    cc = cc_fn(docs, pairs.select("doc_a", "doc_b"), node_col=id_col)
     return cc.select(
         id_col,
         "cluster_id",

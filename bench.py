@@ -51,6 +51,7 @@ HEADLINE = [
     "corpus_shard_pack",
     "text_tfidf_top_terms",
     "events_asof_last_order",
+    "stream_events_dedup",
 ]
 
 

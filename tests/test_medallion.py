@@ -177,6 +177,32 @@ def test_bucketed_medallion_matches_and_t1_join_is_shuffle_free(
             assert "Exchange" not in plan, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+        # auto slices_per_month: with a file-size target smaller than the
+        # biggest month, the silver write must fan a month out over >1 task
+        # (>1 file in that month's partition directory) -- the 100x-scale
+        # behavior, exercised by shrinking the target instead of the data --
+        # and the silver rows must be byte-identical to the single-slice run
+        import glob
+
+        from aws_glue_etl_sample_hist_spark.plans.medallion import (
+            PARTITION_COLS,
+            silver_join_bucketed,
+        )
+
+        biggest = max(
+            r["count"]
+            for r in spark.table(FACT_BKT_TABLE).groupBy(*PARTITION_COLS).count().collect()
+        )
+        silver_join_bucketed(spark, out, rows_per_slice=max(1, biggest // 3))
+        silver_dir = os.path.join(out, "silver", "purchase_all_info")
+        per_month_files = [
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(silver_dir, "purchase_year=*", "purchase_month=*"))
+        ]
+        assert max(per_month_files) > 1, per_month_files
+        c = sorted(map(tuple, spark.read.parquet(silver_dir).select(*cols).collect()))
+        assert c == b
     finally:
         drop_table(spark, FACT_BKT_TABLE)
         drop_table(spark, ORDERS_BKT_TABLE)

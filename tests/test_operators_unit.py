@@ -378,3 +378,72 @@ def test_cosine_zero_vector_never_nan(spark):
     for exact in (True, False):
         pairs = near_dup_pairs(emb, 0.0, exact=exact).collect()
         assert all(not math.isnan(r.cosine) for r in pairs)
+
+
+def test_dedup_clusters_algorithm_knob_identical_labels(spark, sf_oracle):
+    """The CC backend is a knob, not a semantic choice: minlabel and
+    large-star/small-star must emit identical (doc_id, cluster_id,
+    is_keeper) labels on the real documents table."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_oracle, "documents")
+    minlabel = {
+        (r.doc_id, r.cluster_id, r.is_keeper)
+        for r in dedup_clusters(docs, max_df=100).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id, r.is_keeper)
+        for r in dedup_clusters(docs, max_df=100, algorithm="star").collect()
+    }
+    assert minlabel == star
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup_clusters(docs, algorithm="labelprop")
+
+
+def test_decode_image_real_pil_slot_in(spark):
+    """Runs ONLY where PIL exists (skips in this container): proves the
+    decode stub's contract -- decode_image returns a real Image, and a
+    PIL resize drops into the exact mapInPandas batch shape / THUMB_SCHEMA
+    the deterministic thumbnail stage uses -- the day the dependency
+    appears, with no code changes."""
+    from aws_glue_etl_sample_hist_spark.operators import multimodal
+
+    if not multimodal.HAVE_PIL:
+        pytest.skip("PIL not installed in this container")
+
+    import hashlib
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    # driver-side contract: decode returns an Image with the real size
+    img = multimodal.decode_image(png_bytes(20, 10, (1, 2, 3)))
+    assert img.size == (20, 10)
+
+    # executor-side contract: PIL decode+resize behind THUMB_SCHEMA
+    payloads = [(0, "image", png_bytes(20, 10, (1, 2, 3))),
+                (1, "image", png_bytes(64, 64, (9, 9, 9)))]
+    wp = spark.createDataFrame(payloads, "doc_id long, media_type string, payload binary")
+
+    def pil_thumbs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                im = multimodal.decode_image(bytes(payload))
+                thumb = im.resize((max(1, im.width // 4), max(1, im.height // 4)))
+                t = thumb.tobytes()
+                rows.append((doc_id, mt, len(payload), len(t), hashlib.md5(t).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in multimodal.THUMB_SCHEMA.fields])
+
+    out = {r.doc_id: r for r in wp.mapInPandas(pil_thumbs, multimodal.THUMB_SCHEMA).collect()}
+    assert out[0].thumb_n_bytes == 5 * 2 * 3  # 20x10 RGB -> 5x2 thumb
+    assert out[1].thumb_n_bytes == 16 * 16 * 3
+    assert all(len(r.thumb_md5) == 32 for r in out.values())

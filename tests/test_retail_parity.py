@@ -163,3 +163,32 @@ def test_partitioned_write_dynamic_month_overwrite(spark, retail, tmp_path):
     )
     after = spark.read.parquet(out)
     assert after.count() == 8  # like-for-like replacement, no loss, no dupes
+
+
+def test_a10_presto_integer_division_variant(retail):
+    """SURVEY §2.4 A10 flags that Athena/Presto computes
+    count(customer_id)/count(distinct customer_id) as BIGINT / BIGINT --
+    INTEGER division. The engine's default keeps true division (pinned by
+    the DuckDB oracle); `presto_int_division=True` must reproduce the
+    reference's truncating answer. Affiliate A: 4 purchases / 3 distinct
+    customers -> Presto 1, true 1.33. NULL customer_id stays excluded from
+    both counts (affiliate B: 1/1)."""
+    from aws_glue_etl_sample_hist_spark.operators.aggregates import customer_base_stats
+
+    purchase = retail["purchase"]
+
+    default = {
+        r.affiliate: r.purchase_per_customer
+        for r in customer_base_stats(
+            purchase, "affiliate", "customer_id", "amount"
+        ).collect()
+    }
+    assert default == {"A": 1.33, "B": 1.0}
+
+    presto = {
+        r.affiliate: r.purchase_per_customer
+        for r in customer_base_stats(
+            purchase, "affiliate", "customer_id", "amount", presto_int_division=True
+        ).collect()
+    }
+    assert presto == {"A": 1, "B": 1}
