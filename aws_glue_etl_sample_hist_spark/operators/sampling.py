@@ -67,6 +67,72 @@ def stratified_hash_sample(
     return df.filter(sample_hash(F.col(key_col), salt) < thr)
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: the
+    order-randomization step before a training run, without `rand()`
+    (whose Spark output depends on the physical partitioning).
+
+    Every row gets a reproducible draw (`sample_hash`), shard =
+    draw mod n_shards, and a position within its shard ordered by
+    (draw, key). Shard sizes are ~uniform; the within-shard window
+    partitions on the shard key, so pick n_shards so a shard fits a task
+    (corpus_bytes / ~1 GB) -- the parallelism knob IS the shard count,
+    there is no global single-task sort at any size. Re-running with a new
+    salt reshuffles; same salt reproduces byte-identical shards."""
+    draw = sample_hash(F.col(key_col), salt)
+    w = Window.partitionBy("shard").orderBy(F.col("draw").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("draw", draw)
+        .withColumn("shard", F.pmod(F.col("draw"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    shares: dict[str, float],
+    token_budget: int,
+    *,
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Training-mixture resampling: hit a global ``token_budget`` with a
+    target share per stratum (the ' % code / % web / % books' dial of a
+    pretraining mix). Per stratum, keep fraction = min(1, budget*share /
+    stratum_tokens), applied as a deterministic hash draw -- so the sample
+    is reproducible and engine-portable like every other sampler here.
+
+    The per-stratum token totals come from one tiny aggregate joined back
+    by broadcast -- the plan stays lazy, no driver collect. Expected kept
+    tokens per stratum = budget*share (exact in expectation; the hash draw
+    gives binomial concentration around it)."""
+    totals = df.groupBy(strata_col).agg(F.sum(weight_col).alias("_stratum_tokens"))
+    # default share 0.0, NOT null: least() SKIPS nulls in both Spark and
+    # DuckDB, so a null threshold would quietly become SAMPLE_MOD and keep
+    # out-of-spec strata in full -- share 0 makes them drop, as the mixture
+    # semantics require
+    share: Column = F.lit(0.0)
+    for value, s in sorted(shares.items()):
+        share = F.when(F.col(strata_col) == value, F.lit(float(s))).otherwise(share)
+    thr = F.least(
+        F.lit(SAMPLE_MOD),
+        F.floor(F.lit(float(token_budget)) * share / F.col("_stratum_tokens") * SAMPLE_MOD),
+    )
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(sample_hash(F.col(key_col), salt) < thr)
+        .drop("_stratum_tokens")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     budget: int,

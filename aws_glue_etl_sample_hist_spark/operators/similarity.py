@@ -286,6 +286,60 @@ def ivf_ann_topk(
     )
 
 
+def cell_stats(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    *,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-diversity report over the embedding space: assign every
+    vector to its IVF cell and summarize each cell -- member count, share
+    of the corpus, mean/min cosine-to-centroid (how tight the cell is).
+    The coverage dashboard of a training corpus: cells with huge counts are
+    over-represented topics (dedup/downsample candidates), near-empty cells
+    are coverage gaps, low mean-cosine cells are incoherent catch-alls.
+
+    Shape: `ivf_assign`'s broadcast map-only pass keeps the per-vector
+    cosine, then ONE groupBy(cell) -- at 10^9 vectors this is a scan plus
+    an 8-to-4096-row aggregate. Seeded centroids keep it oracle-exact;
+    a trained quantizer drops in via ``centroids``."""
+    cent = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    )
+    scored = F.broadcast(cent).crossJoin(emb.select(F.col(id_col), F.col(vec_col))).select(
+        id_col, "cent_id", cosine(F.col("cv"), F.col(vec_col)).alias("cent_cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cent_id").alias("cell"), "cent_cos")
+    )
+    n_total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cent_cos"), 6).alias("mean_cos"),
+            F.round(F.min("cent_cos"), 6).alias("min_cos"),
+            F.min(id_col).alias("min_vec_id"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "cell",
+            "n_members",
+            F.round(F.col("n_members") / F.col("n_total"), 6).alias("share"),
+            "mean_cos",
+            "min_cos",
+            "min_vec_id",
+        )
+    )
+
+
 def cosine_scores_pandas(
     emb: DataFrame,
     query_ids: list[int],

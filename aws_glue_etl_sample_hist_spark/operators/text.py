@@ -126,6 +126,146 @@ def repetition_stats(docs, n: int = 2, *, text_col: str = "text", id_col: str = 
     )
 
 
+# PII patterns: kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) -- \b, char classes, bounded repeats; no lookarounds/backrefs
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b",
+}
+
+
+def chunk_documents(
+    docs,
+    window: int = 32,
+    stride: int = 16,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token-window chunking: split each document into overlapping
+    ``window``-token chunks every ``stride`` tokens (the context-length
+    packing step between a cleaned corpus and a tokenizer -- long docs
+    become several training rows, the tail is kept as a short final chunk).
+
+    Shape: one JVM `sequence` of chunk starts + one explode -- row count
+    grows by ~n_tokens/stride, no shuffle. chunk_idx = (start-1)/stride is
+    derived arithmetic (not posexplode ordinals), so the oracle computes it
+    from the same generate_series. Each chunk's exact text is pinned by
+    md5."""
+    toks = tokens(F.col(text_col))
+    # stop = 1 + ceil((n - window)/stride) * stride: the last start is the
+    # FIRST one whose window reaches the end of the doc, so the tail tokens
+    # always land in a (short) final chunk -- a plain (n - window + 1) stop
+    # silently drops up to stride-1 trailing tokens whenever stride doesn't
+    # divide (n - window)
+    starts = F.sequence(
+        F.lit(1),
+        (
+            F.ceil(F.greatest(F.size(toks) - window, F.lit(0)) / stride) * stride + 1
+        ).cast("int"),
+        F.lit(stride),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.least(F.lit(window), F.size("_toks") - F.col("start") + 1)
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice("_toks", F.col("start"), F.lit(window))))
+            .alias("chunk_md5"),
+        )
+    )
+
+
+def pii_redact(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """PII scrub pass (the compliance stage every training corpus goes
+    through before the tokenizer sees it): count and mask emails / IPv4s /
+    phone numbers per document. Pure JVM regexp_count/regexp_replace --
+    map-only, no shuffle, linear in bytes. Patterns are deliberately in the
+    Java∩RE2 common dialect so the identical regex runs in the oracle.
+
+    Output pins every redacted byte via md5(redacted) without shipping the
+    text through the compare; counts make the scrub auditable (how much PII
+    a source contains is itself a curation signal). Ordering of the
+    replace chain is fixed (email -> ipv4 -> phone) since masks must not
+    themselves be re-matched."""
+    redacted = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def token_dedup_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition trim: first-occurrence token dedup (the
+    intra-doc counterpart of corpus-level dedup -- boilerplate menus,
+    keyword stuffing, and looping generations repeat the same tokens many
+    times). `array_distinct` preserves FIRST-occurrence order, so the
+    trimmed document is deterministic and md5-pinnable. All JVM array ops,
+    map-only."""
+    toks = tokens(F.col(text_col))
+    kept = F.array_distinct(toks)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(1 - F.size(kept) / F.size(toks), 4).alias("trim_ratio"),
+        F.md5(F.concat_ws(" ", kept)).alias("dedup_md5"),
+    )
+
+
+def doc_perplexity(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document perplexity under the corpus's own bigram LM -- the
+    n-gram-LM quality filter (CCNet-style): documents whose token
+    transitions are unusual for the corpus score high and get reviewed or
+    dropped. p(w2|w1) = n(bigram)/n(w1) over the full corpus; per doc,
+    avg_logp = mean ln p over its bigram OCCURRENCES (duplicates count) and
+    ppl = exp(-avg_logp).
+
+    Shape: one corpus-wide bigram count (vocab-sized, broadcast back), one
+    (doc, bigram) explode, one per-doc agg. Self-scoring means every doc
+    bigram exists in the LM, so no smoothing term clouds the oracle; a
+    held-out LM would broadcast-join exactly the same way with an OOV
+    floor."""
+    bg_occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), 2)).alias("bigram"),
+    )
+    lm = bg_occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w1_tot = lm.select(
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"), "n"
+    ).groupBy("w1").agg(F.sum("n").alias("w1_n"))
+    probs = lm.select(
+        "bigram", F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"), "n"
+    ).join(F.broadcast(w1_tot), "w1").select(
+        # ln(n / w1_n) in exactly this shape -- the oracle computes the
+        # identical expression, so the doubles agree to the last bit
+        "bigram", F.log(F.col("n") / F.col("w1_n")).alias("logp")
+    )
+    return (
+        bg_occ.join(F.broadcast(probs), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+        )
+    )
+
+
 def tfidf_top_terms(docs, k: int = 3, *, text_col: str = "text", id_col: str = "doc_id"):
     """Top-k characteristic terms per document by tf-idf (ln(N/df) idf).
 

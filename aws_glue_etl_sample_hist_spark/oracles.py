@@ -1013,6 +1013,155 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1
     """,
+    # ---- round-3 LLM-pipeline additions ----
+    "stream_events_cdc_lake": """
+        SELECT event_id, event_type,
+               ROUND(CASE WHEN event_type = 'purchase' THEN value * 2
+                          ELSE value END, 4) AS value,
+               CAST(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END AS BIGINT)
+                   AS version
+        FROM events
+    """,
+    "text_pii_redact": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                        || ' call 010-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(t2,
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+                   AS n_ipv4,
+               CAST(len(regexp_extract_all(t2,
+                    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ipv4>', 'g'),
+                    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<phone>', 'g')) AS redacted_md5
+        FROM t
+    """,
+    "corpus_chunk": r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1,
+                       CAST(ceil(greatest(len(toks) - 32, 0) / 16.0) * 16 + 1
+                            AS BIGINT), 16)) AS start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
+               CAST(least(32, len(toks) - start + 1) AS BIGINT) AS chunk_tokens,
+               md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
+        FROM s
+    """,
+    "text_token_dedup": r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), k AS (
+            SELECT doc_id, toks,
+                   list_filter(toks, (x, i) -> list_position(toks, x) = i) AS kept
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               ROUND(1 - len(kept) / len(toks), 4) AS trim_ratio,
+               md5(array_to_string(kept, ' ')) AS dedup_md5
+        FROM k
+    """,
+    "text_perplexity": r"""
+        WITH bg AS (
+            SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), c AS (
+            SELECT split_part(bigram, ' ', 1) AS w1, bigram, COUNT(*) AS n
+            FROM bg GROUP BY 1, 2
+        ), w1t AS (
+            SELECT w1, CAST(SUM(n) AS BIGINT) AS w1_n FROM c GROUP BY 1
+        ), probs AS (
+            SELECT c.bigram, ln(c.n / w1t.w1_n) AS logp
+            FROM c JOIN w1t USING (w1)
+        )
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(logp), 6) AS avg_logp,
+               ROUND(exp(-AVG(logp)), 4) AS ppl
+        FROM bg JOIN probs USING (bigram)
+        GROUP BY 1
+    """,
+    "corpus_shuffle": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 AS draw
+            FROM documents
+        )
+        SELECT doc_id, draw,
+               CAST(draw % 8 AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY draw % 8
+                    ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM t
+    """,
+    "corpus_mixture": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+        ), tot AS (
+            SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens
+            FROM d GROUP BY 1
+        ), thr AS (
+            SELECT lang,
+                   least(1000000, floor(10000.0 * (CASE lang WHEN 'en' THEN 0.5
+                        WHEN 'zh' THEN 0.2 WHEN 'fr' THEN 0.3 ELSE 0.0 END)
+                        / stratum_tokens * 1000000)) AS thr
+            FROM tot
+        )
+        SELECT d.doc_id, d.lang, d.n_tokens
+        FROM d JOIN thr USING (lang)
+        WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 < thr
+    """,
+    "embedding_cell_stats": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   list_dot_product(c.cv, e.v)
+                   / greatest(sqrt(list_dot_product(c.cv, c.cv))
+                              * sqrt(list_dot_product(e.v, e.v)), 1e-12) AS cent_cos
+            FROM e CROSS JOIN c
+        ), a AS (
+            SELECT vec_id, cent_id AS cell, cent_cos
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cent_cos DESC, cent_id ASC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ), n AS (SELECT COUNT(*) AS n_total FROM e)
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(COUNT(*) / n.n_total, 6) AS share,
+               ROUND(AVG(cent_cos), 6) AS mean_cos,
+               ROUND(MIN(cent_cos), 6) AS min_cos,
+               MIN(vec_id) AS min_vec_id
+        FROM a CROSS JOIN n
+        GROUP BY cell, n.n_total
+    """,
 }
 
 # training_corpus = cleaned_corpus MINUS the higher id of every banded

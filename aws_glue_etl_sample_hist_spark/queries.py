@@ -1210,6 +1210,100 @@ def q_quality_quantiles_by_lang_approx(spark: SparkSession, sf: str) -> DataFram
     )
 
 
+def q_text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (operators.text.pii_redact): the corpus text carries no
+    PII, so the query deterministically plants one email / IPv4 / phone per
+    document from doc_id arithmetic, then counts and masks them -- the scrub
+    is exercised on every row and the oracle rebuilds the identical
+    enriched text. Map-only JVM regexp; redacted bytes pinned by md5."""
+    from .operators.text import pii_redact
+
+    docs = load_table(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call 010-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return pii_redact(docs.withColumn("text", enriched))
+
+
+def q_corpus_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (operators.text.chunk_documents): 32-token
+    windows every 16 tokens; long docs fan out into overlapping training
+    rows, tails kept. One sequence+explode, no shuffle."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(load_table(spark, sf, "documents"), window=32, stride=16)
+
+
+def q_text_token_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition trim (operators.text.token_dedup_stats):
+    first-occurrence token dedup, trimmed text pinned by md5. Map-only."""
+    from .operators.text import token_dedup_stats
+
+    return token_dedup_stats(load_table(spark, sf, "documents"))
+
+
+def q_text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc perplexity under the corpus bigram LM
+    (operators.text.doc_perplexity) -- the n-gram-LM quality filter."""
+    from .operators.text import doc_perplexity
+
+    return doc_perplexity(load_table(spark, sf, "documents"))
+
+
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards
+    (operators.sampling.shuffle_shards): hash draw -> shard + in-shard
+    position; reproducible across runs/engines/partitionings, unlike
+    rand()."""
+    from .operators.sampling import shuffle_shards
+
+    return shuffle_shards(load_table(spark, sf, "documents"), 8).select(
+        "doc_id", "draw", "shard", "pos"
+    )
+
+
+def q_corpus_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture resampling (operators.sampling.mixture_sample):
+    10k-token budget split en 50% / zh 20% / fr 30%; strata outside the
+    spec drop out. Per-stratum keep fractions derive from one broadcast
+    aggregate -- lazy end to end."""
+    from .operators.sampling import mixture_sample
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return mixture_sample(
+        docs, {"en": 0.5, "zh": 0.2, "fr": 0.3}, 10_000
+    ).select("doc_id", "lang", "n_tokens")
+
+
+def q_stream_events_cdc_lake(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC into the parquet lake (streaming.jobs): foreachBatch +
+    idempotent by-key MERGE; two availableNow runs prove insert then
+    update-in-place. Oracle = final lake state (purchases doubled at v2)."""
+    from .streaming.jobs import stream_events_cdc_lake
+
+    return stream_events_cdc_lake(spark, sf)
+
+
+def q_embedding_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-diversity report over embedding space
+    (operators.similarity.cell_stats): per-IVF-cell counts, corpus share,
+    cosine tightness. Seeded centroids keep the oracle exact."""
+    from .operators.similarity import cell_stats
+
+    return cell_stats(load_table(spark, sf, "embeddings"), 8)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1222,7 +1316,16 @@ QUERIES = {
     # of recorded sql_* twins, salted twins, the exact O(n^2) near-dup
     # baseline, batch-events variants) -- they stay registered and
     # oracle-checked via tests, just outside the driver's 50-row window.
-    # --- block 1: never-driver-recorded entries (25) ---
+    # --- block 1: never-driver-recorded entries (round-3 additions first,
+    #     then the round-2 set) ---
+    "text_pii_redact": q_text_pii_redact,
+    "corpus_chunk": q_corpus_chunk,
+    "text_token_dedup": q_text_token_dedup,
+    "text_perplexity": q_text_perplexity,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_mixture": q_corpus_mixture,
+    "embedding_cell_stats": q_embedding_cell_stats,
+    "stream_events_cdc_lake": q_stream_events_cdc_lake,
     "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
     "training_corpus": q_training_corpus,
     "corpus_decontamination": q_corpus_decontamination,
@@ -1248,24 +1351,16 @@ QUERIES = {
     "sql_product_category_revenue": q_sql_product_category_revenue,
     "sql_segment_category_revenue": q_sql_segment_category_revenue,
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
-    # --- block 2: reference-spine keepers (25) ---
+    # --- block 2: reference-spine keepers ---
     "pricing_summary": q_pricing_summary,
-    "bronze_purchases": q_bronze_purchases,
     "silver_denorm": q_silver_denorm,
     "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
     "mart_sales_by_customer": q_mart_sales_by_customer,
-    "mart_sales_by_datetime": q_mart_sales_by_datetime,
-    "mart_sales_by_region": q_mart_sales_by_region,
     "adhoc_join_limit": q_adhoc_join_limit,
     "multimodal_media_meta": q_multimodal_media_meta,
-    "multimodal_type_stats": q_multimodal_type_stats,
-    "stream_events_windowed": q_stream_events_windowed,
     "stream_events_sessionize": q_stream_events_sessionize,
     "text_stats": q_text_stats,
     "text_langid": q_text_langid,
-    "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
-    "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -1274,7 +1369,15 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_lsh_ann": q_embedding_lsh_ann,
     "embedding_ivf_ann": q_embedding_ivf_ann,
-    # --- block 3: twins already driver-green in r01 AND r02 (25) ---
+    # --- block 3: twins/spine already driver-green in r01 AND r02 ---
+    "bronze_purchases": q_bronze_purchases,
+    "mart_sales_by_datetime": q_mart_sales_by_datetime,
+    "mart_sales_by_region": q_mart_sales_by_region,
+    "multimodal_type_stats": q_multimodal_type_stats,
+    "stream_events_windowed": q_stream_events_windowed,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
     "monthly_revenue": q_monthly_revenue,
     "weekday_hour_revenue": q_weekday_hour_revenue,
     "product_category_revenue": q_product_category_revenue,

@@ -237,6 +237,65 @@ def stream_events_purchase_follow(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(joined, "append")
 
 
+def stream_events_cdc_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the parquet lake via foreachBatch -- the pattern
+    for sinks Structured Streaming can't express declaratively (MERGE):
+    each micro-batch becomes one idempotent `upsert_partitioned` call, so
+    the checkpoint's exactly-once batch ids + the by-key merge give a lake
+    that converges even under batch replays.
+
+    Two availableNow runs against ONE lake prove both merge paths:
+      run 1  every event lands as version 1 (the insert path);
+      run 2  a correction stream -- every purchase re-arrives with value
+             doubled, version 2 -- replaces exactly those keys in place
+             (the update path); all other rows survive untouched.
+    The oracle is the final lake state: purchases at 2x/v2, the rest at
+    1x/v1. IO per batch is proportional to the TOUCHED partitions, never
+    the lake (upsert_partitioned prunes by the updates' partition values)."""
+    lake = tempfile.mkdtemp(prefix="cdc_lake_") + "/events"
+
+    def _upsert(batch: DataFrame, _batch_id: int) -> None:
+        latest = (
+            batch.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+            .withColumn("version", F.col("version").cast("long"))
+        )
+        if os.path.isdir(lake):
+            from ..io.sinks import upsert_partitioned
+
+            upsert_partitioned(
+                spark, lake, latest,
+                key_cols=["event_id"], partition_cols=["event_date"],
+            )
+        else:
+            from ..io.sinks import write_partitioned
+
+            write_partitioned(latest, lake, partition_by=["event_date"])
+
+    def _run(source: DataFrame) -> None:
+        ckpt = os.path.join(tempfile.mkdtemp(prefix="cdc_ckpt_"), "ckpt")
+        q = (
+            source.writeStream.foreachBatch(_upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run(_read_events_stream(spark, sf_dir).withColumn("version", F.lit(1)))
+    _run(
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("version", F.lit(2))
+    )
+    return spark.read.parquet(lake).select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "version",
+    )
+
+
 def _session_emit(
     key: tuple,
     batches: Iterator[pd.DataFrame],

@@ -447,3 +447,80 @@ def test_decode_image_real_pil_slot_in(spark):
     assert out[0].thumb_n_bytes == 5 * 2 * 3  # 20x10 RGB -> 5x2 thumb
     assert out[1].thumb_n_bytes == 16 * 16 * 3
     assert all(len(r.thumb_md5) == 32 for r in out.values())
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunking edges: a doc shorter than the window yields ONE full-doc
+    chunk; a 40-token doc at window=32/stride=16 yields starts 1,17 with a
+    17..40 tail chunk of 24 tokens; chunk_idx is dense from 0."""
+    from aws_glue_etl_sample_hist_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(40))), (1, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_tokens)
+        for r in chunk_documents(docs, window=32, stride=16).collect()
+    )
+    assert rows == [(0, 0, 32), (0, 1, 24), (1, 0, 3)]
+
+
+def test_pii_redact_counts_and_masking(spark):
+    """Each PII kind is counted and masked; clean text passes through with
+    zero counts and its own (unchanged-text) md5."""
+    import hashlib
+
+    from aws_glue_etl_sample_hist_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-1.org and 192.168.0.1 then call 010-1234-5678 ok"),
+            (1, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 1)
+    assert out[0].redacted_md5 == hashlib.md5(
+        b"mail <email> and <ipv4> then call <phone> ok"
+    ).hexdigest()
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (0, 0, 0)
+    assert out[1].redacted_md5 == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_shuffle_shards_partition_of_corpus(spark):
+    """Every row lands in exactly one shard, positions are dense 1..n per
+    shard, and the same salt reproduces the identical layout."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = shuffle_shards(df, 4).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+    again = shuffle_shards(df, 4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mixture_sample_budget_and_dropout(spark):
+    """Strata outside the mixture spec drop out entirely; a stratum whose
+    total tokens fit inside budget*share is kept in full (fraction clamps
+    at 1); an oversized stratum is subsampled to ~budget*share tokens."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "en", 10) for i in range(500)]          # 5000 en tokens
+    rows += [(1000 + i, "fr", 10) for i in range(20)]   # 200 fr tokens
+    rows += [(2000 + i, "de", 10) for i in range(50)]   # de not in spec
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = mixture_sample(df, {"en": 0.5, "fr": 0.5}, 1000).collect()
+    langs = {r.lang for r in out}
+    assert "de" not in langs
+    fr = [r for r in out if r.lang == "fr"]
+    assert len(fr) == 20  # 1000*0.5 >= 200 tokens -> keep all
+    en_tokens = sum(r.n_tokens for r in out if r.lang == "en")
+    assert 250 <= en_tokens <= 750  # target 500, binomial spread

@@ -96,6 +96,7 @@ NESTED_LOOP_WHITELIST = {
     "embedding_cosine_topk_pandas",  # same contract, numpy kernel
     "embedding_ivf_ann",           # crossJoin(broadcast(<=8 centroids)): assignment pass
     "embedding_ivf_ann_trained",   # same with trained centroids
+    "embedding_cell_stats",        # same assignment pass + 1-row corpus-count scalar join
     "embedding_near_dup",          # the documented all-pairs small-n exact twin
     "text_tfidf_top_terms",        # |vocab| x 1-row corpus count (scalar join)
 }
