@@ -43,6 +43,53 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """JSON-lines source (the interchange format LLM corpora actually ship
+    as -- one document object per line). ALWAYS pass a schema in production:
+    schema inference is a full extra pass over the data, and a permissive
+    explicit schema also gives `_corrupt_record` isolation for free."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink -- the export format for tokenizer/training consumers
+    that do not read parquet. Compresses poorly and loses types; use it at
+    the EDGE of the lake only, never between tiers."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, *, schema: StructType | None = None) -> DataFrame:
+    """ORC source: the other columnar lake format (Hive-ecosystem tables).
+    Same predicate-pushdown / column-pruning behavior as parquet under
+    Catalyst; supported so a user migrating an ORC lake need not convert
+    first."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -144,3 +144,39 @@ def test_compact_dir_merges_small_files_preserving_data(spark, sf_small, tmp_pat
     stats2 = compact_dir(spark, ppath, target_file_rows=10_000_000, partition_by=["d"])
     assert stats2["files_after"] < before
     assert spark.read.parquet(ppath).count() == checksum[0]
+
+
+def test_jsonl_round_trip_with_schema(spark, sf_small, tmp_path):
+    """JSON-lines edge-of-lake export: write documents as jsonl, read back
+    with an explicit schema -- rows and values survive byte-for-byte."""
+    from aws_glue_etl_sample_hist_spark.io.sources import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_orc_round_trip_partitioned_with_pushdown(spark, sf_small, tmp_path):
+    """ORC lake support: Hive-partitioned write, identical data back, and a
+    partition filter prunes to one directory at the scan (the same
+    PartitionFilters machinery as parquet)."""
+    from aws_glue_etl_sample_hist_spark.io.sources import read_orc, write_orc
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    a = sorted((r.doc_id, r.text) for r in docs.collect())
+    b = sorted((r.doc_id, r.text) for r in back.collect())
+    assert a == b
+    one = back.filter(F.col("lang") == "en")
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
