@@ -227,19 +227,10 @@ def token_dedup_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def doc_perplexity(docs, *, text_col: str = "text", id_col: str = "doc_id"):
-    """Per-document perplexity under the corpus's own bigram LM -- the
-    n-gram-LM quality filter (CCNet-style): documents whose token
-    transitions are unusual for the corpus score high and get reviewed or
-    dropped. p(w2|w1) = n(bigram)/n(w1) over the full corpus; per doc,
-    avg_logp = mean ln p over its bigram OCCURRENCES (duplicates count) and
-    ppl = exp(-avg_logp).
-
-    Shape: one corpus-wide bigram count (vocab-sized, broadcast back), one
-    (doc, bigram) explode, one per-doc agg. Self-scoring means every doc
-    bigram exists in the LM, so no smoothing term clouds the oracle; a
-    held-out LM would broadcast-join exactly the same way with an OOV
-    floor."""
+def bigram_lm(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus bigram LM as a (bigram, logp) table: p(w2|w1) =
+    n(bigram)/n(w1). Vocab-sized -- at corpus scale this is the TRAINED
+    ARTIFACT you persist once and broadcast into every scoring run."""
     bg_occ = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(tokens(F.col(text_col)), 2)).alias("bigram"),
@@ -248,15 +239,36 @@ def doc_perplexity(docs, *, text_col: str = "text", id_col: str = "doc_id"):
     w1_tot = lm.select(
         F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"), "n"
     ).groupBy("w1").agg(F.sum("n").alias("w1_n"))
-    probs = lm.select(
+    return lm.select(
         "bigram", F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"), "n"
     ).join(F.broadcast(w1_tot), "w1").select(
         # ln(n / w1_n) in exactly this shape -- the oracle computes the
         # identical expression, so the doubles agree to the last bit
         "bigram", F.log(F.col("n") / F.col("w1_n")).alias("logp")
     )
+
+
+def doc_perplexity(docs, *, lm=None, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document perplexity under a bigram LM -- the n-gram-LM quality
+    filter (CCNet-style): documents whose token transitions are unusual for
+    the LM's training corpus score high and get reviewed or dropped. Per
+    doc, avg_logp = mean ln p over its bigram OCCURRENCES (duplicates
+    count) and ppl = exp(-avg_logp).
+
+    ``lm=None`` self-scores: the LM is built from ``docs`` in the same
+    plan, which scans the corpus twice (once for the LM, once to score) --
+    fine for a one-shot audit, and every doc bigram exists in the LM so no
+    smoothing term clouds the oracle. At 100 TB pass a PERSISTED
+    `bigram_lm` table instead: scoring then reads the corpus once and
+    broadcast-joins the vocab-sized LM; unseen bigrams would take an OOV
+    floor via the join's null branch."""
+    bg_occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), 2)).alias("bigram"),
+    )
+    probs = lm if lm is not None else bigram_lm(docs, text_col=text_col, id_col=id_col)
     return (
-        bg_occ.join(F.broadcast(probs), "bigram")
+        bg_occ.join(F.broadcast(probs.select("bigram", "logp")), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -524,3 +524,16 @@ def test_mixture_sample_budget_and_dropout(spark):
     assert len(fr) == 20  # 1000*0.5 >= 200 tokens -> keep all
     en_tokens = sum(r.n_tokens for r in out if r.lang == "en")
     assert 250 <= en_tokens <= 750  # target 500, binomial spread
+
+
+def test_doc_perplexity_precomputed_lm_equals_self_scored(spark, sf_oracle):
+    """The at-scale scoring path (persisted bigram_lm broadcast into the
+    scorer) must equal the one-shot self-scored path exactly."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.text import bigram_lm, doc_perplexity
+
+    docs = load_table(spark, sf_oracle, "documents")
+    self_scored = sorted(map(tuple, doc_perplexity(docs).collect()))
+    lm = bigram_lm(docs)
+    with_lm = sorted(map(tuple, doc_perplexity(docs, lm=lm).collect()))
+    assert self_scored == with_lm

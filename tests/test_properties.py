@@ -71,3 +71,39 @@ def test_sessionize_matches_python_reference(spark, gaps_by_user):
         for r in sessionize(df, gap_seconds=GAP_S).collect()
     }
     assert got == _reference_sessions(gaps_by_user)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    window=st.integers(min_value=2, max_value=40),
+    data=st.data(),
+)
+def test_chunking_covers_every_token_with_exact_overlap(spark, n_tokens, window, data):
+    """Property: token-window chunking covers EVERY token (the tail is
+    never dropped), non-final chunks are exactly min(window, remaining)
+    tokens, and chunk indices are dense from 0."""
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    from aws_glue_etl_sample_hist_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r.chunk_idx, r.chunk_tokens)
+        for r in chunk_documents(docs, window=window, stride=stride).collect()
+    )
+    # chunk i covers tokens [i*stride, i*stride + chunk_tokens)
+    covered = set()
+    for idx, ct in rows:
+        assert ct >= 1
+        start = idx * stride
+        covered |= set(range(start, start + ct))
+        if (idx, ct) != rows[-1]:
+            assert ct == min(window, n_tokens - start)
+    assert covered == set(range(n_tokens))
+    # dense chunk indices
+    assert [i for i, _ in rows] == list(range(len(rows)))

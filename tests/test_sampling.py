@@ -68,3 +68,30 @@ def test_pack_shards_window_partitions_by_bucket_not_single_task(spark):
     # only global (SinglePartition) exchange is over the tiny bucket totals
     assert "_bucket" in plan
     assert "hashpartitioning(_bucket" in plan
+
+
+def test_shuffle_shards_partitioned_export_layout(spark, sf_small, tmp_path):
+    """The end of the pipeline: shuffled shards exported as a
+    Hive-partitioned lake (partition dir per shard), reading back complete
+    and per-shard ordered by pos. This is the layout a training loader
+    consumes shard-by-shard."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.io.sinks import write_partitioned
+    from aws_glue_etl_sample_hist_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    sharded = shuffle_shards(docs, 4)
+    out = str(tmp_path / "shards")
+    write_partitioned(sharded, out, partition_by=["shard"])
+    dirs = sorted(os.path.basename(d) for d in glob.glob(os.path.join(out, "shard=*")))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # within a shard directory, pos is dense from 1 (loader contract)
+    one = back.filter(F.col("shard") == 0).select("pos").collect()
+    assert sorted(r.pos for r in one) == list(range(1, len(one) + 1))
