@@ -508,3 +508,198 @@ def near_dup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    *,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering-then-pruning. Every vector is assigned to
+    its nearest centroid cell (`ivf_assign`); within each cell, pairs with
+    cosine >= ``threshold`` are duplicates and the HIGHER id of each pair
+    is marked -- so each duplicate chain keeps exactly its lowest id, a
+    deterministic stand-in for SemDeDup's keep-one-per-group rule.
+
+    The clustering is what makes this scale: candidate pairs are generated
+    by an EQUI-join on the cell key (cost sum over cells of |cell|^2, vs
+    n^2 all-pairs), the exact trade the paper makes -- cross-cell
+    duplicates are unseen by construction. With `seeded_centroids`
+    (default) the whole operator is SQL-reproducible; a trained
+    `kmeans_centroids` quantizer drops in via ``centroids`` for balanced
+    cells at corpus scale.
+
+    Returns one row per vector: (vec_id, cell, is_dup)."""
+    assigned = ivf_assign(
+        emb, n_centroids, centroids=centroids, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("cell").alias("cell_b")
+    )
+    dup_ids = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col).alias("vec_id"), "cell")
+        .join(F.broadcast(dup_ids), F.col("vec_id") == F.col("dup_id"), "left")
+        .select("vec_id", "cell", F.col("dup_id").isNotNull().alias("is_dup"))
+    )
+
+
+# ------------------------------------------------------------------ PQ
+
+PQ_SUBSPACES = 4
+PQ_CODES = 16
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length array columns, as a
+    left-to-right JVM fold (same association order as the oracle's indexed
+    list_transform + list_sum)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Seeded product-quantization codebook (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the dimension into
+    ``m`` contiguous subspaces; subspace ``s``'s codebook is the s-th
+    sub-vector of the first ``n_codes`` vectors by id. Deterministic (the
+    PQ analog of `seeded_centroids`), so every query built on it keeps an
+    exact SQL oracle; a k-means-per-subspace trainer could replace this
+    behind the same nested-list contract.
+
+    The collect is calibration-scale (n_codes rows), mirroring the 5-query
+    collect in `cosine_scores_pandas` -- never corpus-scale."""
+    rows = sorted(
+        emb.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    dim = len(rows[0][1])
+    sub = dim // m
+    return [
+        [[float(x) for x in r[1][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    *,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: each vector becomes ``m`` small code ids (the
+    argmin-L2 codebook entry per subspace) -- a 64-float embedding
+    compresses to 4 bytes here, the memory trick that lets billion-vector
+    indexes fit in RAM.
+
+    Scale shape: the codebook is a LITERAL nested-array expression
+    (m x n_codes x sub_dim floats), so encoding is map-only whole-stage
+    codegen over the corpus -- no join, no shuffle, nothing data-sized on
+    the driver. Ties in the argmin break to the lowest code id via
+    `array_position`'s first-match rule, matching the oracle's
+    (dist, code_id) sort.
+
+    Returns (vec_id, codes array<long>, recon_err, code_md5): recon_err is
+    the summed squared quantization error (the fidelity metric PQ papers
+    report); code_md5 pins the exact code assignment."""
+    cb = codebook if codebook is not None else pq_codebook(
+        emb, m, n_codes, id_col=id_col, vec_col=vec_col
+    )
+    sub = len(cb[0][0])
+    vec = F.col(vec_col)
+    code_cols, err_cols = [], []
+    for s in range(m):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(x) for x in code]) for code in cb[s]]
+        )
+        subvec = F.slice(vec, s * sub + 1, sub)
+        dists = F.transform(cb_lit, lambda code: _l2sq(subvec, code))
+        best = F.array_min(dists)
+        code_cols.append((F.array_position(dists, best) - 1).cast("long"))
+        err_cols.append(best)
+    total_err = err_cols[0]
+    for e in err_cols[1:]:
+        total_err = total_err + e
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*code_cols).alias("codes"),
+        F.round(total_err, 6).alias("recon_err"),
+        F.md5(F.concat_ws(",", *[c.cast("string") for c in code_cols])).alias("code_md5"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries stay exact, corpus vectors are
+    represented only by their PQ codes; distance(query, doc) = sum over
+    subspaces of L2^2(query sub-vector, codebook[doc's code]) -- the ADC
+    estimator of Jegou et al. 2011, ranked ascending.
+
+    Scale shape: the corpus side carries ONLY (vec_id, codes) -- the
+    encoded table one would persist at rest; full vectors never re-enter
+    the search. The broadcast query side x encoded corpus is the same
+    bounded nested-loop contract as `cosine_topk` (O(queries) rows), and
+    the per-row distance is a literal-codebook lookup via element_at --
+    no join against a codebook table, no shuffle before the top-k
+    window."""
+    cb = pq_codebook(emb, m, n_codes, id_col=id_col, vec_col=vec_col)
+    sub = len(cb[0][0])
+    codes = pq_codes(emb, m, n_codes, codebook=cb, id_col=id_col, vec_col=vec_col)
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    joined = F.broadcast(q).join(
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes"),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    adc = None
+    for s in range(m):
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in code]) for code in cb[s]])
+        qsub = F.slice(F.col("qv"), s * sub + 1, sub)
+        code_vec = F.element_at(cb_lit, (F.element_at(F.col("codes"), s + 1) + 1).cast("int"))
+        d = _l2sq(qsub, code_vec)
+        adc = d if adc is None else adc + d
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_raw").asc(), F.col("neighbor_id").asc())
+    return (
+        joined.select("query_id", "neighbor_id", adc.alias("adc_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc_raw", 6).alias("adc_dist"))
+    )

@@ -313,3 +313,141 @@ def tfidf_top_terms(docs, k: int = 3, *, text_col: str = "text", id_col: str = "
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# Gopher-style quality rule thresholds (Rae et al. 2021 "Scaling Language
+# Models" appendix A; C4's numeric/symbol screens): public heuristics, tuned
+# here as defaults a caller can override per-corpus.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_NUMERIC_FRAC = 0.2
+
+
+def gopher_quality(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = GOPHER_MIN_TOKENS,
+    max_tokens: int = GOPHER_MAX_TOKENS,
+    min_mean_word_len: float = GOPHER_MIN_MEAN_WORD_LEN,
+    max_mean_word_len: float = GOPHER_MAX_MEAN_WORD_LEN,
+    min_stopword_hits: int = GOPHER_MIN_STOPWORD_HITS,
+    max_numeric_frac: float = GOPHER_MAX_NUMERIC_FRAC,
+):
+    """Gopher-style rule-based quality filter: per-document rule flags plus
+    the conjunctive keep decision. The four rule families are the public
+    Gopher/C4 heuristics -- document length bounds, mean-word-length band
+    (screens minified/garbage text), required function-word presence
+    (screens non-linguistic token streams), and numeric-token share
+    (screens tables/serial dumps).
+
+    Emitting the individual flags (not just `keep`) is deliberate: at
+    curation time the per-rule rejection rates ARE the report a corpus
+    owner reads before choosing thresholds.
+
+    Shape: every signal is a JVM array/regexp expression over the token
+    array -- map-only, no shuffle, whole-stage codegen end to end."""
+    toks = tokens(F.col(text_col))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(sum_token_lengths(toks) / F.size(toks), 4).alias("mean_word_len"),
+        stopword_count(toks, QUALITY_STOPWORDS).alias("stopword_hits"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.rlike(r"^[0-9]+$"))) / F.size(toks), 4
+        ).alias("numeric_frac"),
+    )
+    rules = out.select(
+        "*",
+        ((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)).alias(
+            "r_word_count"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("r_mean_word_len"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("r_stopwords"),
+        (F.col("numeric_frac") <= max_numeric_frac).alias("r_numeric"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_stopwords")
+            & F.col("r_numeric")
+        ).alias("keep"),
+    )
+
+
+def strip_repeated_chunks(
+    docs,
+    window: int = 16,
+    max_df: int = 2,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-level boilerplate removal at chunk granularity (the
+    paragraph-dedup stage of CCNet/RefinedWeb, adapted to token windows):
+    split each document into NON-overlapping ``window``-token chunks, count
+    each distinct chunk's document frequency across the corpus, strip every
+    chunk appearing in >= ``max_df`` documents, and reassemble the
+    surviving text in order. Headers, footers, cookie banners, and shared
+    template paragraphs vanish while each document's unique content stays.
+
+    Scale shape: one explode to (doc, chunk) rows, one groupBy on the
+    HIGH-cardinality chunk hash for document frequencies, and the
+    boilerplate set (df >= max_df is tiny by construction -- it IS the
+    repeated matter) broadcasts back as a left join marker. Reassembly is
+    a per-doc groupBy: collect_list of (idx, chunk) structs, array_sort,
+    concat -- order restored without a window. Nothing corpus-sized ever
+    sits on the driver.
+
+    Non-overlapping windows (stride == window) make reassembly exact: the
+    chunks partition the token list, so concatenating kept chunks in index
+    order is the document minus its boilerplate."""
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window)
+    )
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.explode(starts).alias("start"),
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / window).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_toks", F.col("start"), F.lit(window))).alias("chunk"),
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("chunk_df"))
+        .filter(F.col("chunk_df") >= max_df)
+    )
+    marked = chunks.join(F.broadcast(hot), "chunk", "left")
+    kept_struct = F.when(
+        F.col("chunk_df").isNull(), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )  # no otherwise: hot chunks yield NULL, which collect_list drops
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("chunk_df").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.md5(
+                F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s.chunk))
+            ).alias("clean_md5"),
+        )
+    )

@@ -1162,6 +1162,138 @@ ORACLE_SQL: dict[str, str] = {
         FROM a CROSS JOIN n
         GROUP BY cell, n.n_total
     """,
+    "text_gopher_quality": r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ROUND(list_sum(list_transform(toks, x -> len(x))) / len(toks), 4)
+                       AS mean_word_len,
+                   CAST(len(list_filter(toks,
+                        x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT)
+                       AS stopword_hits,
+                   ROUND(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+                         / len(toks), 4) AS numeric_frac
+            FROM t
+        ), r AS (
+            SELECT *,
+                   (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_word_len,
+                   (stopword_hits >= 2) AS r_stopwords,
+                   (numeric_frac <= 0.2) AS r_numeric
+            FROM s
+        )
+        SELECT *, (r_word_count AND r_mean_word_len AND r_stopwords AND r_numeric)
+                  AS keep
+        FROM r
+    """,
+    "corpus_strip_boilerplate": r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[start:start+15], ' ') AS chunk
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks), 1), 16)) AS start
+                  FROM t)
+        ), hot AS (
+            SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+        ), m AS (
+            SELECT c.doc_id, c.chunk_idx, c.chunk, hot.chunk IS NOT NULL AS is_hot
+            FROM c LEFT JOIN hot USING (chunk)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN is_hot THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE NOT is_hot), '')) AS clean_md5
+        FROM m GROUP BY doc_id
+    """,
+    "embedding_semantic_dedup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+        a AS (
+            SELECT vec_id, v, cent_id AS cell
+            FROM (SELECT e.vec_id, e.v, c.cent_id,
+                         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             list_dot_product(c.cv, e.v)
+                             / greatest(sqrt(list_dot_product(c.cv, c.cv))
+                                        * sqrt(list_dot_product(e.v, e.v)), 1e-12) DESC,
+                             c.cent_id ASC) AS rn
+                  FROM e CROSS JOIN c)
+            WHERE rn = 1
+        ), dup AS (
+            SELECT DISTINCT b.vec_id AS dup_id
+            FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+            WHERE list_dot_product(x.v, b.v)
+                  / greatest(sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.4
+        )
+        SELECT a.vec_id, a.cell, dup.dup_id IS NOT NULL AS is_dup
+        FROM a LEFT JOIN dup ON a.vec_id = dup.dup_id
+    """,
+    "embedding_pq_codes": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 16),
+        enc AS (
+            SELECT vec_id, s, code_id, dist
+            FROM (
+                SELECT e.vec_id, s.s, cb.code_id,
+                       list_sum(list_transform(generate_series(1, 16),
+                           i -> (e.v[s.s * 16 + i] - cb.cv[s.s * 16 + i]) ^ 2)) AS dist,
+                       row_number() OVER (PARTITION BY e.vec_id, s.s
+                            ORDER BY list_sum(list_transform(generate_series(1, 16),
+                                i -> (e.v[s.s * 16 + i] - cb.cv[s.s * 16 + i]) ^ 2)) ASC,
+                                cb.code_id ASC) AS rn
+                FROM e
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+                CROSS JOIN cb
+            )
+            WHERE rn = 1
+        )
+        SELECT vec_id,
+               list(code_id ORDER BY s) AS codes,
+               ROUND(SUM(dist), 6) AS recon_err,
+               md5(string_agg(CAST(code_id AS VARCHAR), ',' ORDER BY s)) AS code_md5
+        FROM enc GROUP BY vec_id
+    """,
+    "embedding_pq_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (SELECT vec_id AS code_id, v AS cv FROM e WHERE vec_id < 16),
+        enc AS (
+            SELECT vec_id, s, code_id
+            FROM (
+                SELECT e.vec_id, s.s, cb.code_id,
+                       row_number() OVER (PARTITION BY e.vec_id, s.s
+                            ORDER BY list_sum(list_transform(generate_series(1, 16),
+                                i -> (e.v[s.s * 16 + i] - cb.cv[s.s * 16 + i]) ^ 2)) ASC,
+                                cb.code_id ASC) AS rn
+                FROM e
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+                CROSS JOIN cb
+            )
+            WHERE rn = 1
+        ), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+        adc AS (
+            SELECT q.query_id, enc.vec_id AS neighbor_id,
+                   SUM(list_sum(list_transform(generate_series(1, 16),
+                       i -> (q.qv[enc.s * 16 + i] - cb.cv[enc.s * 16 + i]) ^ 2)))
+                       AS adc_raw
+            FROM q JOIN enc ON enc.vec_id != q.query_id
+            JOIN cb ON cb.code_id = enc.code_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_raw ASC, neighbor_id ASC) AS BIGINT) AS rank,
+               ROUND(adc_raw, 6) AS adc_dist
+        FROM adc
+        QUALIFY rank <= 5
+    """,
 }
 
 # training_corpus = cleaned_corpus MINUS the higher id of every banded

@@ -1304,20 +1304,78 @@ def q_embedding_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
     return cell_stats(load_table(spark, sf, "embeddings"), 8)
 
 
+def q_text_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality filter
+    (operators.text.gopher_quality): per-rule flags (length band, mean
+    word length, stopword presence, numeric share) + conjunctive keep.
+    Map-only JVM expressions end to end."""
+    from .operators.text import gopher_quality
+
+    return gopher_quality(load_table(spark, sf, "documents"))
+
+
+def q_corpus_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level boilerplate removal
+    (operators.text.strip_repeated_chunks): non-overlapping 16-token
+    chunks, corpus-wide chunk document-frequency, chunks in >=2 docs
+    stripped, per-doc text reassembled in order and md5-pinned. One
+    high-cardinality chunk groupBy + a broadcast hot-set join."""
+    from .operators.text import strip_repeated_chunks
+
+    return strip_repeated_chunks(load_table(spark, sf, "documents"))
+
+
+def q_embedding_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators.similarity.semantic_dedup): cluster with seeded
+    IVF centroids, within-cell cosine>=0.4 pairs mark the higher id as
+    duplicate. Candidates come from an equi-join on the cell key -- the
+    clustering bound that makes semantic dedup tractable at corpus
+    scale."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf, "embeddings"))
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encode (operators.similarity.pq_codes): 4
+    subspaces x 16 seeded codes; each vector compresses to 4 code ids
+    (md5-pinned) + squared reconstruction error. The codebook is a literal
+    expression, so encoding is map-only whole-stage codegen -- no join, no
+    shuffle."""
+    from .operators.similarity import pq_codes
+
+    return pq_codes(load_table(spark, sf, "embeddings"))
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance search (operators.similarity.pq_adc_topk):
+    queries 0-4 ranked against the PQ-ENCODED corpus (codes only, full
+    vectors never re-enter the search), distance = summed subspace L2^2 to
+    the coded centroids, k=5 ascending."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4])
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
     # registry order IS driver recording order, and the driver records
     # exactly the FIRST 50 entries. Round-3 rotation (VERDICT r2 item 1):
-    # the 25 entries that had no driver row in r01/r02 (the 7 sql_*
-    # Athena twins + 18 round-2 operators) come FIRST so CORRECTNESS_r03
-    # certifies them, followed by 25 reference-spine keepers. The tail
-    # 25 are twins already driver-green in BOTH r01 and r02 (DF versions
-    # of recorded sql_* twins, salted twins, the exact O(n^2) near-dup
-    # baseline, batch-events variants) -- they stay registered and
-    # oracle-checked via tests, just outside the driver's 50-row window.
+    # entries with no prior driver row come FIRST (round-3 additions,
+    # then the never-recorded round-2 set incl. the 7 sql_* Athena
+    # twins), followed by reference-spine keepers up to the 50-row
+    # window. Everything past slot 50 is already driver-green in r01
+    # and/or r02 (spine twins, salted twins, the exact O(n^2) near-dup
+    # baseline, batch-events variants) -- those stay registered and
+    # oracle-checked via tests, just outside the driver's window.
     # --- block 1: never-driver-recorded entries (round-3 additions first,
     #     then the round-2 set) ---
+    "text_gopher_quality": q_text_gopher_quality,
+    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "embedding_pq_topk": q_embedding_pq_topk,
     "text_pii_redact": q_text_pii_redact,
     "corpus_chunk": q_corpus_chunk,
     "text_token_dedup": q_text_token_dedup,

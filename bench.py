@@ -52,6 +52,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "events_asof_last_order",
     "stream_events_dedup",
+    "text_gopher_quality",
+    "corpus_strip_boilerplate",
+    "embedding_semantic_dedup",
+    "embedding_pq_topk",
 ]
 
 

@@ -537,3 +537,130 @@ def test_doc_perplexity_precomputed_lm_equals_self_scored(spark, sf_oracle):
     lm = bigram_lm(docs)
     with_lm = sorted(map(tuple, doc_perplexity(docs, lm=lm).collect()))
     assert self_scored == with_lm
+
+
+# ------------------------------------------------- gopher quality rules
+
+
+def test_gopher_quality_each_rule_fires_independently(spark):
+    from aws_glue_etl_sample_hist_spark.operators.text import gopher_quality
+
+    good = " ".join(["the", "and"] + ["word"] * 60)  # 62 tokens, stopwords, alpha
+    short = "the and tiny doc"  # < 50 tokens
+    longwords = " ".join(["the", "and"] + ["hyperconcatenated"] * 60)  # mwl > 10
+    nostop = " ".join(["word"] * 60)  # 0 stopword hits
+    numeric = " ".join(["the", "and"] + ["123"] * 30 + ["word"] * 30)  # >20% digits
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, longwords), (3, nostop), (4, numeric)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[0].keep
+    assert not out[1].keep and not out[1].r_word_count
+    assert not out[2].keep and not out[2].r_mean_word_len
+    assert not out[3].keep and not out[3].r_stopwords
+    assert not out[4].keep and not out[4].r_numeric
+    # each failing doc fails ONLY its targeted rule (plus any length overlap)
+    assert out[2].r_stopwords and out[2].r_numeric and out[2].r_word_count
+    assert out[4].r_stopwords and out[4].r_mean_word_len and out[4].r_word_count
+
+
+# ------------------------------------------------- boilerplate chunk strip
+
+
+def test_strip_repeated_chunks_removes_shared_keeps_unique(spark):
+    import hashlib
+
+    from aws_glue_etl_sample_hist_spark.operators.text import strip_repeated_chunks
+
+    boiler = "cookie notice applies here"  # the shared 4-token chunk
+    u1, u2 = "alpha beta gamma delta", "epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (0, f"{u1} {boiler}"),          # unique + boilerplate
+            (1, f"{boiler} {u2}"),          # boilerplate + unique
+            (2, boiler),                    # all boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_repeated_chunks(df, window=4).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0].n_chunks, out[0].n_kept, out[0].clean_md5) == (2, 1, md5(u1))
+    assert (out[1].n_chunks, out[1].n_kept, out[1].clean_md5) == (2, 1, md5(u2))
+    # a fully-boilerplate doc survives as a row with empty cleaned text
+    assert (out[2].n_chunks, out[2].n_kept, out[2].clean_md5) == (1, 0, md5(""))
+
+
+def test_strip_repeated_chunks_reassembles_in_order(spark):
+    import hashlib
+
+    from aws_glue_etl_sample_hist_spark.operators.text import strip_repeated_chunks
+
+    hot = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (0, f"a b c d {hot} e f g h"),  # hot chunk in the MIDDLE
+            (1, hot),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_repeated_chunks(df, window=4).collect()}
+    assert out[0].clean_md5 == hashlib.md5(b"a b c d e f g h").hexdigest()
+
+
+# ------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_marks_higher_id_within_cell_only(spark):
+    from aws_glue_etl_sample_hist_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # centroid/cell 0
+            (1, [0.0, 1.0, 0.0, 0.0]),   # centroid/cell 1
+            (2, [1.0, 0.01, 0.0, 0.0]),  # near-copy of 0 -> dup in cell 0
+            (3, [0.0, 1.0, 0.01, 0.0]),  # near-copy of 1 -> dup in cell 1
+            (4, [-1.0, 0.0, 0.0, 1.0]),  # lands in cell 1, similar to nothing
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(emb, 0.4, 2).collect()}
+    assert not out[0].is_dup and not out[1].is_dup
+    assert out[2].is_dup and out[2].cell == 0
+    assert out[3].is_dup and out[3].cell == 1
+    assert not out[4].is_dup
+
+
+# ------------------------------------------------- product quantization
+
+
+def test_pq_codebook_members_encode_to_themselves(spark):
+    from aws_glue_etl_sample_hist_spark.operators.similarity import pq_codes
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 5.0]),
+        (4, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 5.0, 0.0]),  # sub0 of 1, sub1 of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in pq_codes(emb, m=2, n_codes=4).collect()}
+    for i in range(4):
+        assert out[i].codes == [i, i] and out[i].recon_err == 0.0
+    assert out[4].codes == [1, 2] and out[4].recon_err == 0.0
+
+
+def test_pq_adc_ranks_exact_duplicate_first(spark):
+    from aws_glue_etl_sample_hist_spark.operators.similarity import pq_adc_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 5.0]),
+        (4, [0.0, 1.0, 0.0, 0.0, 0.0, 5.0, 0.0, 0.0]),  # copy of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_adc_topk(emb, [4], k=2, m=2, n_codes=4).collect()
+    assert out[0].neighbor_id == 1 and out[0].adc_dist == 0.0 and out[0].rank == 1

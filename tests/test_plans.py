@@ -99,6 +99,8 @@ NESTED_LOOP_WHITELIST = {
     "embedding_cell_stats",        # same assignment pass + 1-row corpus-count scalar join
     "embedding_near_dup",          # the documented all-pairs small-n exact twin
     "text_tfidf_top_terms",        # |vocab| x 1-row corpus count (scalar join)
+    "embedding_semantic_dedup",    # crossJoin(broadcast(<=8 centroids)): assignment pass
+    "embedding_pq_topk",           # broadcast 5 query vectors x encoded corpus (ADC)
 }
 
 
