@@ -76,3 +76,51 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(value_cols[0]).isNotNull())
     return out
+
+
+def interval_join_binned(
+    left: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Keyless interval (range) join made shuffle-joinable: attach to each
+    left row every interval with start <= ts < end. A naive `ts BETWEEN
+    start AND end` join has NO equi key, so Spark executes it as a
+    BroadcastNestedLoopJoin -- O(|left| x |intervals|), the classic range-
+    join scale cliff.
+
+    The binned form restores an equi key: every interval EXPLODES into the
+    fixed-width time bins it overlaps (ceil(len/bin) rows -- pick
+    ``bin_seconds`` near the typical interval length so the fan-out stays
+    O(1)), each left row computes its single bin, and the join runs as a
+    plain equi-join on the bin followed by the exact [start, end) filter.
+    Both sides shuffle/broadcast on the bin key like any hash join; the
+    per-bin candidate set replaces the all-pairs product. This is the
+    standard range-join optimization Spark itself lacks (Databricks ships
+    it as a hint; open-source implementations do exactly this explode).
+
+    End is EXCLUSIVE (micros precision). Overlapping intervals multiply
+    matching left rows -- real range-join semantics, no accidental dedup.
+    Output: all left columns + all interval columns."""
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    b_int = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
+            )
+        ).alias("_bin"),
+    )
+    b_left = left.withColumn("_bin", F.floor(F.unix_micros(F.col(ts_col)) / bin_us))
+    return (
+        b_left.join(b_int, "_bin")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

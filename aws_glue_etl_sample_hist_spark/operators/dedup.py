@@ -20,6 +20,7 @@ Scale design notes
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .text import tokens, word_shingles
 
@@ -489,4 +490,102 @@ def simhash_near_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
+def incremental_minhash_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    *,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW document that near-duplicates the
+    EXISTING corpus -- the production shape of crawl ingestion, where every
+    batch must be checked against everything already kept without ever
+    re-pairing the old corpus with itself.
+
+    Plan: both sides get band signatures from the SAME seedless
+    Kirsch-Mitzenmacher MinHash family (`_minhash_wide`), so at scale the
+    existing side's bands are computed ONCE and persisted as the dedup
+    index; a new batch only computes its own signatures and equi-joins the
+    index on (band, band_sig) -- new x existing candidates only, never
+    old x old. Candidates are then exact-verified by n-gram Jaccard
+    restricted (left-semi) to candidate doc ids, and each new doc reports
+    its best existing match (max Jaccard, ties to the lower id).
+
+    Returns one row per new document:
+    (doc_id, is_dup, best_match, jaccard)."""
+
+    def _bands(docs: DataFrame, out_id: str) -> DataFrame:
+        wide = _minhash_wide(docs, num_hashes, shingle_n, text_col, id_col, max_df)
+        n_bands = num_hashes // band_size
+        band_sigs = F.array(
+            *[
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return wide.select(
+            F.col("doc_id").alias(out_id), F.posexplode(band_sigs).alias("band", "band_sig")
+        )
+
+    cand = (
+        _bands(new, "new_id")
+        .join(_bands(existing, "old_id"), ["band", "band_sig"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = _distinct_shingles(new, shingle_n, text_col, id_col, max_df).select(
+        F.col("doc_id").alias("new_id"), "shingle"
+    )
+    sh_old = _distinct_shingles(existing, shingle_n, text_col, id_col, max_df).select(
+        F.col("doc_id").alias("old_id"), "shingle"
+    )
+    # exact verify only touches candidate docs' shingle sets
+    sh_new_c = sh_new.join(cand.select("new_id").distinct(), "new_id", "left_semi")
+    sh_old_c = sh_old.join(cand.select("old_id").distinct(), "old_id", "left_semi")
+    inter = (
+        sh_new_c.join(sh_old_c, "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["new_id", "old_id"])  # candidate pairs only
+    )
+    size_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_new"))
+    size_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("size_old"))
+    verified = (
+        inter.join(size_new, "new_id")
+        .join(size_old, "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_new") + F.col("size_old") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(), F.col("old_id").asc())
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("old_id").alias("best_match"), "jaccard")
+    )
+    return (
+        new.select(F.col(id_col).alias("doc_id"))
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.col("best_match").isNotNull().alias("is_dup"),
+            "best_match",
+            "jaccard",
+        )
     )

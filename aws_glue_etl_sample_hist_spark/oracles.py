@@ -1162,6 +1162,76 @@ ORACLE_SQL: dict[str, str] = {
         FROM a CROSS JOIN n
         GROUP BY cell, n.n_total
     """,
+    "dedup_incremental": r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), w AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS x1,
+                   CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) * 2 + 1 AS step
+            FROM sh
+        ), hashes AS (
+            SELECT doc_id, i.h AS h, MIN(x1 + i.h * step) AS min_hash
+            FROM w CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) i
+            GROUP BY 1, 2
+        ), bands AS (
+            SELECT doc_id, h // 3 AS band,
+                   string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h) AS band_sig
+            FROM hashes GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bands n JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+            WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            JOIN cand c ON c.new_id = a.doc_id AND c.old_id = b.doc_id
+            GROUP BY 1, 2
+        ), verified AS (
+            SELECT new_id, old_id,
+                   ROUND(n_common / (sn.n + so.n - n_common), 4) AS jaccard
+            FROM inter
+            JOIN sizes sn ON inter.new_id = sn.doc_id
+            JOIN sizes so ON inter.old_id = so.doc_id
+            WHERE ROUND(n_common / (sn.n + so.n - n_common), 4) >= 0.5
+        ), best AS (
+            SELECT new_id, old_id AS best_match, jaccard
+            FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                      ORDER BY jaccard DESC, old_id ASC) AS rn FROM verified)
+            WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               best.best_match IS NOT NULL AS is_dup,
+               best.best_match,
+               best.jaccard
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN best ON d.doc_id = best.new_id
+    """,
+    "events_incident_windows": """
+        WITH ints AS (
+            SELECT CAST(ts AS DATE) AS day, MIN(ts) AS start
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ), i2 AS (
+            SELECT strftime(day, '%Y-%m-%d') AS incident_day,
+                   epoch_us(start) AS start_us, start,
+                   start + INTERVAL 2 HOUR AS e
+            FROM ints
+        )
+        SELECT incident_day,
+               MIN(start_us) AS start_us,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events ev JOIN i2 ON ev.ts >= i2.start AND ev.ts < i2.e
+        GROUP BY 1
+    """,
     "text_gopher_quality": r"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

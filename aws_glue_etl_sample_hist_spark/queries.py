@@ -1347,6 +1347,54 @@ def q_embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     return pq_codes(load_table(spark, sf, "embeddings"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of a new batch against the existing corpus
+    (operators.dedup.incremental_minhash_dedup): odd doc_ids are the
+    incoming crawl, even doc_ids the kept corpus. LSH bands are the index
+    (new x existing candidates only -- the existing corpus never re-pairs
+    with itself), exact Jaccard verifies, each new doc reports its best
+    existing match at >= 0.5."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, sf, "documents")
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+    )
+
+
+def q_events_incident_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyless range join via time-bin bucketing
+    (operators.asof.interval_join_binned): each day's first error event
+    opens a 2-hour incident window; every event inside any window joins by
+    EQUI-join on its hour bin (+ exact [start, end) filter) -- never a
+    BroadcastNestedLoopJoin, the range-join scale cliff. Per-incident
+    traffic summary out."""
+    from .operators.asof import interval_join_binned
+
+    ev = load_table(spark, sf, "events")
+    ints = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("start"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("incident_day"),
+            "start",
+            F.timestamp_micros(
+                F.unix_micros(F.col("start")) + 2 * 3600 * 1_000_000
+            ).alias("end"),
+        )
+    )
+    joined = interval_join_binned(ev.select("event_id", "ts", "user_id", "value"), ints)
+    return joined.groupBy("incident_day").agg(
+        F.min(F.unix_micros("start")).alias("start_us"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ asymmetric-distance search (operators.similarity.pq_adc_topk):
     queries 0-4 ranked against the PQ-ENCODED corpus (codes only, full
@@ -1376,6 +1424,8 @@ QUERIES = {
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
     "embedding_pq_codes": q_embedding_pq_codes,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "dedup_incremental": q_dedup_incremental,
+    "events_incident_windows": q_events_incident_windows,
     "text_pii_redact": q_text_pii_redact,
     "corpus_chunk": q_corpus_chunk,
     "text_token_dedup": q_text_token_dedup,

@@ -56,6 +56,8 @@ HEADLINE = [
     "corpus_strip_boilerplate",
     "embedding_semantic_dedup",
     "embedding_pq_topk",
+    "dedup_incremental",
+    "events_incident_windows",
 ]
 
 

@@ -664,3 +664,53 @@ def test_pq_adc_ranks_exact_duplicate_first(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = pq_adc_topk(emb, [4], k=2, m=2, n_codes=4).collect()
     assert out[0].neighbor_id == 1 and out[0].adc_dist == 0.0 and out[0].rank == 1
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_flags_new_against_existing_only(spark):
+    from aws_glue_etl_sample_hist_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    existing = spark.createDataFrame(
+        [(0, base), (2, base)],  # old x old dup must NOT be reported
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, base), (3, "totally different words nothing shared here at all now")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in incremental_minhash_dedup(existing, new).collect()}
+    assert set(out) == {1, 3}  # one row per NEW doc only
+    assert out[1].is_dup and out[1].best_match == 0 and out[1].jaccard == 1.0
+    assert not out[3].is_dup and out[3].best_match is None
+
+
+# ------------------------------------------------- binned interval join
+
+
+def test_interval_join_binned_end_exclusive_and_overlap(spark):
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.operators.asof import interval_join_binned
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda **kw: t0 + dt.timedelta(**kw)
+    left = spark.createDataFrame(
+        [
+            (0, mk(minutes=30)),    # inside iv1 only
+            (1, mk(minutes=90)),    # inside iv1 AND iv2 (overlap -> 2 rows)
+            (2, mk(minutes=120)),   # == iv1 end (exclusive) -> iv2 only
+            (3, mk(minutes=60)),    # == iv2 start (inclusive) -> both
+            (4, mk(minutes=300)),   # outside all
+        ],
+        "event_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("iv1", t0, mk(minutes=120)), ("iv2", mk(minutes=60), mk(minutes=180))],
+        "iv string, start timestamp, end timestamp",
+    )
+    out = interval_join_binned(left, ivs, bin_seconds=3600)
+    got = {(r.event_id, r.iv) for r in out.collect()}
+    assert got == {(0, "iv1"), (1, "iv1"), (1, "iv2"), (2, "iv2"), (3, "iv1"), (3, "iv2")}

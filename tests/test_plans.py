@@ -118,3 +118,23 @@ def test_no_accidental_nested_loop_or_cartesian_in_any_query(spark, sf_small):
             if name not in NESTED_LOOP_WHITELIST:
                 offenders[name] = True
     assert not offenders, f"unjustified nested-loop joins in: {sorted(offenders)}"
+
+
+def test_interval_join_binned_restores_equi_join(spark, sf_oracle):
+    """The binned range join runs as a hash equi-join on the time bin; the
+    naive ts-between-start-and-end join of the same frames is a
+    BroadcastNestedLoopJoin -- the contrast proves the bin key changed the
+    join strategy, not the data."""
+    plan = _plan(QUERIES["events_incident_windows"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    ev = load_table(spark, sf_oracle, "events")
+    ints = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.timestamp_micros(F.unix_micros("start") + 7_200_000_000))
+    )
+    naive = ev.join(ints, (ev.ts >= ints.start) & (ev.ts < ints["end"]))
+    assert "BroadcastNestedLoopJoin" in _plan(naive)
