@@ -1232,6 +1232,77 @@ ORACLE_SQL: dict[str, str] = {
         FROM events ev JOIN i2 ON ev.ts >= i2.start AND ev.ts < i2.e
         GROUP BY 1
     """,
+    "customer_rolling_revenue": """
+        WITH daily AS (
+            SELECT o_custkey AS customer_id,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       AS day_num,
+                   ROUND(SUM(o_totalprice), 2) AS day_revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT customer_id,
+               CAST(day_num AS BIGINT) AS day_num,
+               day_revenue,
+               ROUND(SUM(day_revenue) OVER w, 2) AS rolling_90d,
+               COUNT(day_revenue) OVER w AS n_days_in_window
+        FROM daily
+        WINDOW w AS (PARTITION BY customer_id ORDER BY day_num
+                     RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+    """,
+    "events_daily_gapfill": """
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, value FROM events
+        ), bounds AS (
+            SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev
+        ), spine AS (
+            SELECT t.event_type, CAST(s.d AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM ev) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                              CAST(hi AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS d
+                FROM bounds
+            ) s
+        ), daily AS (
+            SELECT event_type, day, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS day_value
+            FROM ev GROUP BY 1, 2
+        )
+        SELECT spine.event_type,
+               strftime(spine.day, '%Y-%m-%d') AS day_str,
+               COALESCE(daily.n_events, 0) AS n_events,
+               ROUND(COALESCE(daily.day_value, 0.0), 4) AS day_value,
+               ROUND(last_value(daily.day_value IGNORE NULLS) OVER (
+                   PARTITION BY spine.event_type ORDER BY spine.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS ffill_value
+        FROM spine LEFT JOIN daily
+          ON spine.event_type = daily.event_type AND spine.day = daily.day
+    """,
+    "events_user_state_scd2": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), r AS (
+            SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM e
+        ), iv AS (
+            SELECT user_id, run, MIN(event_type) AS state,
+                   MIN(us) AS valid_from_us, COUNT(*) AS n_events
+            FROM r GROUP BY 1, 2
+        )
+        SELECT user_id, state, valid_from_us,
+               lead(valid_from_us) OVER w2 AS valid_to_us,
+               lead(valid_from_us) OVER w2 IS NULL AS is_current,
+               n_events
+        FROM iv
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
+    """,
     "text_gopher_quality": r"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -1405,6 +1405,139 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_adc_topk(load_table(spark, sf, "embeddings"), [0, 1, 2, 3, 4])
 
 
+def q_customer_rolling_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame (beyond reference §2.9): per-customer 90-day
+    rolling order revenue. Orders collapse to one row per (customer, day)
+    first, then the window runs ``rangeBetween(-89, 0)`` over an integer
+    day number -- a TRUE range frame (calendar distance, not row count), so
+    gaps in a customer's order history shrink the window correctly where a
+    ROWS frame would silently include stale orders.
+
+    Scale shape: one shuffle on the customer key serves the pre-agg AND the
+    window (hash(custkey) satisfies the (custkey, day) clustering); frame
+    width is bounded by 90 days of per-day rows per customer, so window
+    state is O(90) regardless of corpus size."""
+    daily = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("customer_id"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+                "day_num"
+            ),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    )
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("day_num")
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return daily.select(
+        "customer_id",
+        F.col("day_num").cast("long").alias("day_num"),
+        "day_revenue",
+        F.round(F.sum("day_revenue").over(w), 2).alias("rolling_90d"),
+        F.count("day_revenue").over(w).alias("n_days_in_window"),
+    )
+
+
+def q_events_daily_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar gap-fill + forward fill (time-series resampling): per
+    event_type daily totals on a COMPLETE date spine -- days with no events
+    appear with zero counts and the last observed daily value carried
+    forward (``F.last(ignorenulls=True)`` over an unbounded-preceding ROWS
+    frame).
+
+    Scale shape: the spine is built from two collected scalars (global
+    min/max day -- a tiny all-column-pruned agg, same pattern as the
+    z-order calibration collect) exploded per event_type: map-only, no
+    cross join enters the plan. The daily agg shuffles on (type, day); the
+    forward-fill window shuffles on type only -- with a handful of types
+    that window would skew at petabyte scale, but its input is the
+    POST-AGG frame (one row per type-day), so the skewed partition is
+    bounded by the calendar, not the data."""
+    ev = load_table(spark, sf, "events")
+    day = F.to_date("ts")
+    lo, hi = ev.agg(F.min(day), F.max(day)).first()
+    daily = ev.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.round(F.coalesce("day_value", F.lit(0.0)), 4).alias("day_value"),
+            F.round(F.last("day_value", ignorenulls=True).over(w), 4).alias(
+                "ffill_value"
+            ),
+        )
+    )
+
+
+def q_events_user_state_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 interval builder (the lake-dimension pattern the
+    reference's Glue jobs stop short of): each user's event_type stream
+    collapses into validity intervals -- consecutive same-type runs become
+    one row with valid_from / valid_to (exclusive, next run's start) and an
+    is_current flag on the open interval. Classic gaps-and-islands: change
+    flag via lag(), run id via running sum, one row per run, lead() for the
+    closing edge.
+
+    Scale shape: every window and the groupBy cluster on user_id -- ONE
+    shuffle total (hash(user_id) satisfies the (user_id, run) clustering),
+    per-user state only in each sort."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    iv = runs.groupBy("user_id", "run").agg(
+        F.first("event_type").alias("state"),
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1426,6 +1559,9 @@ QUERIES = {
     "embedding_pq_topk": q_embedding_pq_topk,
     "dedup_incremental": q_dedup_incremental,
     "events_incident_windows": q_events_incident_windows,
+    "customer_rolling_revenue": q_customer_rolling_revenue,
+    "events_daily_gapfill": q_events_daily_gapfill,
+    "events_user_state_scd2": q_events_user_state_scd2,
     "text_pii_redact": q_text_pii_redact,
     "corpus_chunk": q_corpus_chunk,
     "text_token_dedup": q_text_token_dedup,

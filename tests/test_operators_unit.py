@@ -714,3 +714,60 @@ def test_interval_join_binned_end_exclusive_and_overlap(spark):
     out = interval_join_binned(left, ivs, bin_seconds=3600)
     got = {(r.event_id, r.iv) for r in out.collect()}
     assert got == {(0, "iv1"), (1, "iv1"), (1, "iv2"), (2, "iv2"), (3, "iv1"), (3, "iv2")}
+
+
+# ------------------------------------------------- time-series queries
+
+
+def test_scd2_runs_collapse_and_close(spark, tmp_path):
+    """Consecutive same-type events collapse to one interval; a type flip
+    closes the previous interval at the next run's start; only the last
+    run per user is open (is_current)."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 7, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 7, "purchase", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 7, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        QUERIES["events_user_state_scd2"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.valid_from_us,
+    )
+    assert [r.state for r in out] == ["view", "purchase", "view"]
+    assert [r.n_events for r in out] == [2, 1, 1]
+    # exclusive close: each interval ends where the next begins
+    assert out[0].valid_to_us == out[1].valid_from_us
+    assert out[1].valid_to_us == out[2].valid_from_us
+    assert [r.is_current for r in out] == [False, False, True]
+
+
+def test_gapfill_zero_days_and_ffill(spark, tmp_path):
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, t0, 7, "view", 10.0, "{}"),
+        (2, t0 + dt.timedelta(days=2), 7, "view", 20.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        QUERIES["events_daily_gapfill"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.day_str,
+    )
+    assert [r.day_str for r in out] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # the empty middle day exists, counts zero, and carries the last value
+    assert [r.n_events for r in out] == [1, 0, 1]
+    assert [r.day_value for r in out] == [10.0, 0.0, 20.0]
+    assert [r.ffill_value for r in out] == [10.0, 10.0, 20.0]
