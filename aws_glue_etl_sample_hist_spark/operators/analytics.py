@@ -1,0 +1,185 @@
+"""Event/behavioral analytics operators: ordered funnels, cohort retention,
+RFM segmentation.
+
+These are the classic product-analytics queries a warehouse team runs daily;
+the reference's Glue marts (ref:document/glue_t2.md) stop at grouped
+revenue, so these extend the mart layer with the sequence-aware shapes.
+
+Scale design notes
+------------------
+- Funnel: per-user step timestamps are chained conditional window minima
+  over ONE hash(user) partitioning -- Catalyst reuses a single exchange for
+  all step columns, so an N-step funnel costs one shuffle, not N. The final
+  reach counts collapse to a single row before the per-step `stack`.
+- Cohort retention: the only data-scale shuffle is hash(customer) for the
+  first-order window; everything after runs on the (cohort x offset) grid,
+  which is calendar-bounded (months^2 rows) no matter the corpus size.
+- RFM: quartile CUTS + threshold comparison instead of `ntile()`. A global
+  ntile is a single-task sort at 100 TB; three scalar cuts broadcast to a
+  map-only scorer is the same segmentation without the bottleneck (swap
+  `percentile` for `approx_percentile` at real scale -- the knob is the
+  one expression). Cuts are rounded to 6 dp so the engine and the DuckDB
+  oracle agree bitwise at the boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def funnel_reach(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel reach: one row per step with the number of users whose
+    event stream contains the steps IN ORDER (step i at-or-after the user's
+    earliest completion of step i-1; same-timestamp progression allowed).
+
+    Greedy-earliest semantics: t1 = min ts of step 1; t_i = min ts of step i
+    with ts >= t_{i-1}. Greedy-earliest is optimal here: any valid ordered
+    assignment implies the greedy one exists, so reach counts are exact.
+
+    Returns (step_idx, step, n_users, conversion) where conversion is the
+    fraction of step-1 reachers (1.0 for the first step)."""
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    for i, step in enumerate(steps, 1):
+        cond = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        df = df.withColumn(f"_t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = f"_t{i}"
+    per_user = df.groupBy(user_col).agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(1, len(steps) + 1)]
+    )
+    counts = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)]
+    )
+    tuples = ", ".join(
+        f"CAST({i} AS BIGINT), '{s}', n{i}, ROUND(n{i} / CAST(n1 AS DOUBLE), 4)"
+        for i, s in enumerate(steps, 1)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {tuples}) AS (step_idx, step, n_users, conversion)"
+    )
+
+
+def cohort_retention(
+    orders: DataFrame,
+    *,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+) -> DataFrame:
+    """Monthly cohort retention: customers are cohorted by first-order
+    month; each (cohort, months-since-first) cell counts the distinct
+    customers who ordered that many months later, with retention as a
+    fraction of the cohort's month-0 size.
+
+    Returns (cohort_month 'YYYY-MM', months_since, n_active, cohort_size,
+    retention_pct)."""
+    ym = (F.year(date_col) * 12 + F.month(date_col) - 1).alias("_ym")
+    w = Window.partitionBy("customer_id")
+    base = (
+        orders.select(F.col(customer_col).alias("customer_id"), ym)
+        .withColumn("_cohort", F.min("_ym").over(w))
+    )
+    grid = base.groupBy("_cohort", (F.col("_ym") - F.col("_cohort")).alias("months_since")).agg(
+        F.count_distinct("customer_id").alias("n_active")
+    )
+    # month-0 size per cohort: a window over the tiny post-agg grid
+    w_c = Window.partitionBy("_cohort")
+    return (
+        grid.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("months_since") == 0, F.col("n_active"))).over(w_c),
+        )
+        .select(
+            F.concat_ws(
+                "-",
+                F.floor(F.col("_cohort") / 12).cast("string"),
+                F.lpad((F.pmod(F.col("_cohort"), F.lit(12)) + 1).cast("string"), 2, "0"),
+            ).alias("cohort_month"),
+            F.col("months_since").cast("long").alias("months_since"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention_pct"),
+        )
+    )
+
+
+def _quartile_score(value_col: str, cuts: tuple[str, str, str], higher_is_better: bool) -> Column:
+    """1-4 score by comparing against three broadcast quartile cuts; strict
+    inequalities, so boundary values take the lower score in both engines."""
+    q25, q50, q75 = (F.col(c) for c in cuts)
+    v = F.col(value_col)
+    if higher_is_better:
+        s = (v > q25).cast("int") + (v > q50).cast("int") + (v > q75).cast("int")
+    else:
+        s = (v < q75).cast("int") + (v < q50).cast("int") + (v < q25).cast("int")
+    return (F.lit(1) + s).cast("long")
+
+
+def rfm_scores(
+    orders: DataFrame,
+    *,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    relative to the dataset's max order date), frequency (order count) and
+    monetary (total spend), each scored 1-4 against exact quartile cuts
+    (recency inverted: most recent = 4).
+
+    Returns (customer_id, recency_days, frequency, monetary, r_score,
+    f_score, m_score, rfm_segment)."""
+    day = F.to_date(date_col)
+    per = orders.groupBy(F.col(customer_col).alias("customer_id")).agg(
+        F.max(day).alias("_last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(amount_col), 2).alias("monetary"),
+    )
+    asof = orders.agg(F.max(day).alias("_asof"))
+    per = (
+        per.crossJoin(F.broadcast(asof))
+        .withColumn("recency_days", F.datediff("_asof", "_last_day").cast("long"))
+        .drop("_asof", "_last_day")
+    )
+    cuts = per.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q})"), 6).alias(f"{c}_q{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    scored = per.crossJoin(F.broadcast(cuts)).select(
+        "customer_id",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        _quartile_score(
+            "recency_days",
+            ("recency_days_q25", "recency_days_q50", "recency_days_q75"),
+            higher_is_better=False,
+        ).alias("r_score"),
+        _quartile_score(
+            "frequency", ("frequency_q25", "frequency_q50", "frequency_q75"), True
+        ).alias("f_score"),
+        _quartile_score(
+            "monetary", ("monetary_q25", "monetary_q50", "monetary_q75"), True
+        ).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -19,7 +19,7 @@ Scale design notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .text import tokens, word_shingles
@@ -211,6 +211,89 @@ def contamination_flags(
     )
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_shingles", F.lit(0)).alias(
+                "n_contaminated_shingles"
+            ),
+            (F.coalesce("n_contaminated_shingles", F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def contamination_flags_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`contamination_flags` with a Bloom-filter semi-join reduction: same
+    exact output (false positives are removed by a verify join), different
+    scale shape for LARGE benchmark sets.
+
+    The base operator broadcasts the benchmark's distinct shingle STRINGS --
+    fine for one eval suite, but a consortium-sized decontamination list can
+    be many GB of strings. Here the broadcast side is the Bloom bitmap
+    instead: the benchmark's shingles are hashed into ``num_hashes`` bit
+    positions (xxhash64 with per-probe salts, mod ``num_bits``) and only the
+    DISTINCT SET BITS ship to executors -- bounded by ``num_bits`` longs
+    (~8 MB at 2^20) no matter how large the benchmark grows. Corpus shingles
+    probe the bitmap map-side; a shingle survives only if ALL its probe bits
+    are set (counted per probe index, so intra-shingle position collisions
+    can't fake a hit). Survivors -- true hits plus the Bloom's false-positive
+    sliver -- then verify against the real benchmark shingles in an ordinary
+    shuffled join whose left side is already reduced by orders of magnitude;
+    AQE picks the join strategy from the surviving sizes. The corpus text
+    itself still never shuffles."""
+    doc_sh = _distinct_shingles(docs, n, text_col, id_col, None)
+    bench_sh = (
+        _distinct_shingles(benchmark, n, text_col, id_col, None)
+        .select("shingle")
+        .distinct()
+    )
+
+    def probes(col: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.pmod(
+                        F.xxhash64(F.concat(F.lit(f"bloom{i}:"), col)),
+                        F.lit(num_bits),
+                    ).alias("bit"),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    bench_bits = (
+        bench_sh.select(F.explode(probes(F.col("shingle"))).alias("p"))
+        .select(F.col("p.bit").alias("bit"))
+        .distinct()
+    )
+    candidates = (
+        doc_sh.select("doc_id", "shingle", F.explode(probes(F.col("shingle"))).alias("p"))
+        .select("doc_id", "shingle", F.col("p.i").alias("i"), F.col("p.bit").alias("bit"))
+        .join(F.broadcast(bench_bits), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count_distinct("i").alias("_k"))
+        .filter(F.col("_k") == num_hashes)
+        .select("doc_id", "shingle")
+    )
+    hits = (
+        candidates.join(bench_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )

@@ -1303,6 +1303,170 @@ ORACLE_SQL: dict[str, str] = {
         FROM iv
         WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us)
     """,
+    "events_funnel": """
+        WITH s1 AS (
+            SELECT user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t1
+            FROM events
+        ), s2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+            FROM s1
+        ), s3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+            FROM s2
+        ), per AS (
+            SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+            FROM s3 GROUP BY 1
+        ), c AS (
+            SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3 FROM per
+        )
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, n1 AS n_users,
+               ROUND(n1 / CAST(n1 AS DOUBLE), 4) AS conversion FROM c
+        UNION ALL
+        SELECT 2, 'click', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 4) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 4) FROM c
+    """,
+    "customer_cohort_retention": """
+        WITH base AS (
+            SELECT o_custkey AS customer_id,
+                   year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym
+            FROM orders
+        ), coh AS (
+            SELECT customer_id, ym,
+                   MIN(ym) OVER (PARTITION BY customer_id) AS cohort
+            FROM base
+        ), grid AS (
+            SELECT cohort, ym - cohort AS months_since,
+                   COUNT(DISTINCT customer_id) AS n_active
+            FROM coh GROUP BY 1, 2
+        ), sized AS (
+            SELECT *, MAX(CASE WHEN months_since = 0 THEN n_active END)
+                      OVER (PARTITION BY cohort) AS cohort_size
+            FROM grid
+        )
+        SELECT CAST(cohort // 12 AS VARCHAR) || '-' ||
+                   lpad(CAST(cohort % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+               CAST(months_since AS BIGINT) AS months_since,
+               n_active, cohort_size,
+               ROUND(n_active / CAST(cohort_size AS DOUBLE), 4) AS retention_pct
+        FROM sized
+    """,
+    "customer_rfm": """
+        WITH per AS (
+            SELECT o_custkey AS customer_id,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_day,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY 1
+        ), a AS (
+            -- "asof" is a DuckDB reserved word (ASOF JOIN); use asof_day
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS asof_day FROM orders
+        ), p2 AS (
+            SELECT customer_id,
+                   date_diff('day', last_day, asof_day) AS recency_days,
+                   frequency, monetary
+            FROM per CROSS JOIN a
+        ), cuts AS (
+            SELECT ROUND(quantile_cont(recency_days, 0.25), 6) AS r25,
+                   ROUND(quantile_cont(recency_days, 0.50), 6) AS r50,
+                   ROUND(quantile_cont(recency_days, 0.75), 6) AS r75,
+                   ROUND(quantile_cont(frequency, 0.25), 6) AS f25,
+                   ROUND(quantile_cont(frequency, 0.50), 6) AS f50,
+                   ROUND(quantile_cont(frequency, 0.75), 6) AS f75,
+                   ROUND(quantile_cont(monetary, 0.25), 6) AS m25,
+                   ROUND(quantile_cont(monetary, 0.50), 6) AS m50,
+                   ROUND(quantile_cont(monetary, 0.75), 6) AS m75
+            FROM p2
+        ), scored AS (
+            SELECT customer_id,
+                   CAST(recency_days AS BIGINT) AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency,
+                   monetary,
+                   CAST(1 + CAST(recency_days < r75 AS INTEGER)
+                          + CAST(recency_days < r50 AS INTEGER)
+                          + CAST(recency_days < r25 AS INTEGER) AS BIGINT) AS r_score,
+                   CAST(1 + CAST(frequency > f25 AS INTEGER)
+                          + CAST(frequency > f50 AS INTEGER)
+                          + CAST(frequency > f75 AS INTEGER) AS BIGINT) AS f_score,
+                   CAST(1 + CAST(monetary > m25 AS INTEGER)
+                          + CAST(monetary > m50 AS INTEGER)
+                          + CAST(monetary > m75 AS INTEGER) AS BIGINT) AS m_score
+            FROM p2 CROSS JOIN cuts
+        )
+        SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+                  CAST(m_score AS VARCHAR) AS rfm_segment
+        FROM scored
+    """,
+    "corpus_decontamination_bloom": r"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 1)),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), hits AS (
+            SELECT a.doc_id, COUNT(*) AS n
+            FROM (SELECT * FROM sh WHERE doc_id >= 10) a
+            JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10) b USING (shingle)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(hits.n, 0) AS n_contaminated_shingles,
+               CAST(COALESCE(hits.n, 0) > 0 AS INTEGER) AS is_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN hits ON d.doc_id = hits.doc_id
+    """,
+    "corpus_split_leakage_safe": r"""
+        WITH RECURSIVE sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                  FROM documents)
+        ), shf AS (
+            SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100)
+        ), sizes AS (
+            SELECT doc_id, COUNT(shingle) AS n FROM shf GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), p AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON inter.doc_a = sa.doc_id
+            JOIN sizes sb ON inter.doc_b = sb.doc_id
+            WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION SELECT doc_b, doc_a FROM p
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), labeled AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN CAST(('0x' || substr(md5('split:' ||
+                        CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000 < 800000 THEN 'train'
+                    WHEN CAST(('0x' || substr(md5('split:' ||
+                        CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000 < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM labeled
+    """,
     "text_gopher_quality": r"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

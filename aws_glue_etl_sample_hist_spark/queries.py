@@ -1538,6 +1538,78 @@ def q_events_user_state_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel over the event stream: view -> click -> purchase,
+    greedy-earliest step matching per user (operators.analytics.funnel_reach
+    -- all step timestamps from chained conditional window minima over ONE
+    hash(user) exchange)."""
+    from .operators.analytics import funnel_reach
+
+    return funnel_reach(
+        load_table(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_customer_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly cohort retention on orders: cohort = first-order month,
+    n_active distinct customers per months-since offset, retention vs the
+    cohort's month-0 size (operators.analytics.cohort_retention -- one
+    data-scale shuffle on the customer key; the retention window runs on
+    the calendar-bounded cohort x offset grid)."""
+    from .operators.analytics import cohort_retention
+
+    return cohort_retention(load_table(spark, sf, "orders"))
+
+
+def q_customer_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation of the customer base: recency / frequency /
+    monetary quartile scores 1-4 and the concatenated segment code
+    (operators.analytics.rfm_scores -- quartile CUTS broadcast to a
+    map-only scorer instead of a single-task global ntile; swap
+    percentile -> approx_percentile for the 100 TB knob)."""
+    from .operators.analytics import rfm_scores
+
+    return rfm_scores(load_table(spark, sf, "orders"))
+
+
+def q_corpus_decontamination_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination via Bloom-filter semi-join reduction: identical
+    output to corpus_decontamination (the verify join removes Bloom false
+    positives -- same oracle), but the broadcast side is the bounded-size
+    bitmap of benchmark shingle bits, not the shingle strings: the shape
+    that survives a consortium-sized decontamination list
+    (operators.dedup.contamination_flags_bloom)."""
+    from .operators.dedup import contamination_flags_bloom
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return contamination_flags_bloom(corpus, bench, n=5)
+
+
+def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the near-dup
+    CLUSTER id (dedup_clusters, max_df=100), not the doc id, so
+    near-duplicates can never straddle a split boundary -- the eval-set
+    integrity rule every LLM data pipeline needs. Assignment is the
+    deterministic md5 draw (operators.sampling.sample_hash): 80/10/10,
+    map-only once clusters exist, engine-portable, stable under corpus
+    growth."""
+    from .operators.dedup import dedup_clusters
+    from .operators.sampling import SAMPLE_MOD, sample_hash
+
+    clusters = dedup_clusters(
+        load_table(spark, sf, "documents"), n=3, threshold=0.2, max_df=100
+    ).select("doc_id", "cluster_id")
+    draw = sample_hash(F.col("cluster_id"), "split")
+    return clusters.withColumn(
+        "split",
+        F.when(draw < int(0.8 * SAMPLE_MOD), F.lit("train"))
+        .when(draw < int(0.9 * SAMPLE_MOD), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1562,6 +1634,11 @@ QUERIES = {
     "customer_rolling_revenue": q_customer_rolling_revenue,
     "events_daily_gapfill": q_events_daily_gapfill,
     "events_user_state_scd2": q_events_user_state_scd2,
+    "events_funnel": q_events_funnel,
+    "customer_cohort_retention": q_customer_cohort_retention,
+    "customer_rfm": q_customer_rfm,
+    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
+    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
     "text_pii_redact": q_text_pii_redact,
     "corpus_chunk": q_corpus_chunk,
     "text_token_dedup": q_text_token_dedup,

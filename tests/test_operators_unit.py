@@ -771,3 +771,121 @@ def test_gapfill_zero_days_and_ffill(spark, tmp_path):
     assert [r.n_events for r in out] == [1, 0, 1]
     assert [r.day_value for r in out] == [10.0, 0.0, 20.0]
     assert [r.ffill_value for r in out] == [10.0, 10.0, 20.0]
+
+
+# ------------------------------------------------- analytics operators
+
+
+def test_funnel_requires_step_order(spark):
+    """A user whose click precedes every view must NOT count as reaching
+    step 2: the funnel is ordered, not a set-membership check."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.operators.analytics import funnel_reach
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, minute, typ):
+        return (uid, t0 + dt.timedelta(minutes=minute), typ)
+
+    rows = [
+        # user 1: view -> click -> purchase, fully ordered
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        # user 2: click BEFORE view -- reaches view only
+        ev(2, 0, "click"), ev(2, 1, "view"),
+        # user 3: view -> purchase but click missing -- reaches view only
+        ev(3, 0, "view"), ev(3, 1, "purchase"),
+        # user 4: purchase -> click -> view (fully reversed) -- view only
+        ev(4, 0, "purchase"), ev(4, 1, "click"), ev(4, 2, "view"),
+        # user 5: never views -- reaches nothing
+        ev(5, 0, "click"), ev(5, 1, "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: (r.n_users, r.conversion) for r in
+           funnel_reach(events, ["view", "click", "purchase"]).collect()}
+    assert out["view"] == (4, 1.0)
+    assert out["click"] == (1, 0.25)
+    assert out["purchase"] == (1, 0.25)
+
+
+def test_funnel_greedy_earliest_is_complete(spark):
+    """view@2 -> click@3 completes even though an earlier click@1 exists:
+    the anchor is the earliest VIEW, and any click at-or-after it counts."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.operators.analytics import funnel_reach
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=1), "click"),
+        (1, t0 + dt.timedelta(minutes=2), "view"),
+        (1, t0 + dt.timedelta(minutes=3), "click"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: r.n_users for r in funnel_reach(events, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_offsets_and_sizes(spark):
+    """Two customers cohorted in Jan; one returns in Mar -> offset-2 cell of
+    1 active, retention 0.5; a Feb-cohort singleton has its own month-0."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.operators.analytics import cohort_retention
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5)), (2, dt.datetime(2024, 1, 20)),
+        (1, dt.datetime(2024, 3, 2)),
+        (3, dt.datetime(2024, 2, 1)),
+    ]
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    got = {(r.cohort_month, r.months_since): (r.n_active, r.cohort_size, r.retention_pct)
+           for r in cohort_retention(orders).collect()}
+    assert got == {
+        ("2024-01", 0): (2, 2, 1.0),
+        ("2024-01", 2): (1, 2, 0.5),
+        ("2024-02", 0): (1, 1, 1.0),
+    }
+
+
+def test_bloom_decontamination_equals_exact(spark):
+    """The Bloom-prefilter path returns EXACTLY the broadcast-shingle path's
+    output (false positives die in the verify join) -- even with a tiny
+    bitmap where FPs are guaranteed."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i} eta theta iota kappa")
+         for i in range(10, 40)]
+        + [(40, "totally different words nothing shared here at all whatsoever")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    exact = {tuple(r) for r in contamination_flags(docs, bench, n=5).collect()}
+    for bits in (1 << 6, 1 << 16):  # collision-heavy and roomy bitmaps
+        bloom = {tuple(r) for r in
+                 contamination_flags_bloom(docs, bench, n=5, num_bits=bits).collect()}
+        assert bloom == exact
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
+    """Near-duplicate docs land in the SAME split: no cluster straddles
+    train/val/test."""
+    from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [(i, base + f" tail{i // 3}") for i in range(30)]  # triplet near-dups
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["corpus_split_leakage_safe"](spark, str(tmp_path))
+    per_cluster = (
+        out.groupBy("cluster_id").agg(F.count_distinct("split").alias("n")).collect()
+    )
+    assert per_cluster and all(r.n == 1 for r in per_cluster)
+    assert {r.split for r in out.collect()} <= {"train", "val", "test"}

@@ -101,6 +101,7 @@ NESTED_LOOP_WHITELIST = {
     "text_tfidf_top_terms",        # |vocab| x 1-row corpus count (scalar join)
     "embedding_semantic_dedup",    # crossJoin(broadcast(<=8 centroids)): assignment pass
     "embedding_pq_topk",           # broadcast 5 query vectors x encoded corpus (ADC)
+    "customer_rfm",                # 1-row as-of date + 1-row quartile cuts (scalar joins)
 }
 
 
