@@ -56,12 +56,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with schema normalization applied."""
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long nanos; integer-divide to micros
-        # (`div`, NOT `/` -- `/` is double division and loses precision at
-        # ~1.7e18 ns, off-by-1us). All values are post-epoch, so integer
-        # division == floor, matching DuckDB's micro-truncation on read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long nanos; integer-divide to micros
+            # (`div`, NOT `/` -- `/` is double division and loses precision
+            # at ~1.7e18 ns, off-by-1us). All values are post-epoch, so
+            # integer division == floor, matching DuckDB's micro-truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ, which
+            # half the epoch functions (unix_micros & co.) reject. Under the
+            # pinned UTC session the cast keeps the same wall clock == same
+            # instant, and matches how DuckDB treats the naive value.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _epoch_us(col: F.Column) -> F.Column:
+    """Epoch microseconds for TIMESTAMP *or* TIMESTAMP_NTZ input.
+    ``unix_micros`` rejects NTZ outright; casting to ``timestamp`` first is
+    a no-op for LTZ and interprets NTZ in the session zone (the engine pins
+    UTC everywhere -- catalog._ensure_session_confs), so both storage
+    flavors of the same instant yield the same integer."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -111,12 +120,12 @@ def interval_join_binned(
         "*",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
+                F.floor(_epoch_us(F.col(start_col)) / bin_us),
+                F.floor((_epoch_us(F.col(end_col)) - 1) / bin_us),
             )
         ).alias("_bin"),
     )
-    b_left = left.withColumn("_bin", F.floor(F.unix_micros(F.col(ts_col)) / bin_us))
+    b_left = left.withColumn("_bin", F.floor(_epoch_us(F.col(ts_col)) / bin_us))
     return (
         b_left.join(b_int, "_bin")
         .filter(

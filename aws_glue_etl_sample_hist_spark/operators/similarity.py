@@ -703,3 +703,129 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("adc_raw", 6).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------- random projection
+
+
+def rademacher_matrix(d: int, k: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic k x d Rademacher projection matrix: entry (i, j) is
+    +-1/sqrt(k) by the parity of md5(f"{seed}_{i}_{j}") -- the
+    Johnson-Lindenstrauss construction of Achlioptas 2003 (database-friendly
+    random projections), with the hash replacing an RNG so every engine
+    (and the DuckDB oracle) can regenerate the identical matrix from the
+    seed string alone."""
+    import hashlib
+    import math
+
+    inv = 1.0 / math.sqrt(k)
+    return [
+        [
+            inv
+            if int(hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -inv
+            for j in range(d)
+        ]
+        for i in range(k)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    k: int = 16,
+    seed: str = "rp",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Project embeddings to k dims through the seeded Rademacher matrix:
+    p_i = <vec, row_i>. JL guarantees pairwise distances survive within
+    (1 +- eps) at k = O(log n / eps^2), so downstream ANN / near-dup runs
+    on a 4x smaller vector with bounded recall loss.
+
+    Scale shape: the matrix rides into the plan as k literal arrays --
+    map-only whole-stage-codegen arithmetic, nothing shuffles, nothing is
+    broadcast, no Python in the row path. Output: id + p00..p{k-1} rounded
+    to 6 dp (scalar columns, so the driver's float-rounding compare applies
+    per component)."""
+    mat = rademacher_matrix(dim, k, seed)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            F.round(dot(F.col(vec_col), F.array(*[F.lit(v) for v in row])), 6).alias(
+                f"p{i:02d}"
+            )
+            for i, row in enumerate(mat)
+        ],
+    )
+
+
+# ---------------------------------------------------------------- centroid outliers
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    z_threshold: float = 2.0,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid outlier scoring: each vector's L2 distance to its
+    label's mean vector, z-scored within the label; |z| > threshold flags
+    the vector as a label-noise / contamination candidate (the embedding-
+    space QA pass a curation pipeline runs after clustering or labeling).
+
+    Scale shape: centroids come from ONE posexplode -> (label, pos) agg --
+    the explode is map-side-combined into labels x d partial sums, so the
+    shuffle moves O(labels x d) rows regardless of corpus size. The
+    centroid table (labels x d, tiny) pivots back to arrays and BROADCASTS;
+    the distance pass is then map-only zip_with arithmetic over the corpus.
+    The per-label mean/stddev of the distance runs on the already-reduced
+    (label, dist) pairs -- one more labels-cardinality agg, broadcast back.
+    The corpus shuffles ZERO times end to end."""
+    ex = emb.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    cent = (
+        ex.groupBy(label_col, "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    dist = (
+        emb.join(F.broadcast(cent), label_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("centroid"),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("dist"),
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(
+                (F.col("dist") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 4
+            ).alias("z_score"),
+        )
+        .withColumn("is_outlier", F.coalesce(F.col("z_score") > z_threshold, F.lit(False)))
+    )

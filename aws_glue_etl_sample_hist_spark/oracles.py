@@ -1599,6 +1599,98 @@ ORACLE_SQL: dict[str, str] = {
         FROM adc
         QUALIFY rank <= 5
     """,
+    # ---------------------------------------- embedding ops (round 3b)
+    # filled in below the dict literal: random_projection needs the same
+    # seeded matrix the Spark side uses (similarity.rademacher_matrix)
+    "embedding_centroid_outliers": """
+        WITH ex AS (
+            -- unnest + generate_subscripts zip positionally (DuckDB has no
+            -- WITH ORDINALITY)
+            SELECT vec_id, label,
+                   unnest(embedding)               AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        cent AS (SELECT label, i, AVG(val) AS c FROM ex GROUP BY label, i),
+        dist AS (
+            SELECT e.vec_id, e.label,
+                   SQRT(SUM((e.val - c.c) * (e.val - c.c))) AS dist
+            FROM ex e
+            JOIN cent c ON c.label = e.label AND c.i = e.i
+            GROUP BY e.vec_id, e.label
+        ),
+        stats AS (
+            SELECT label, AVG(dist) AS mu, STDDEV_SAMP(dist) AS sd
+            FROM dist GROUP BY label
+        )
+        SELECT d.vec_id, d.label,
+               ROUND(d.dist, 6) AS dist,
+               ROUND((d.dist - s.mu) / NULLIF(s.sd, 0), 4) AS z_score,
+               COALESCE(ROUND((d.dist - s.mu) / NULLIF(s.sd, 0), 4) > 2.0, FALSE)
+                   AS is_outlier
+        FROM dist d
+        JOIN stats s ON s.label = d.label
+    """,
+    # ---------------------------------------- classic warehouse shapes
+    "orders_with_returns": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """,
+    "customer_order_histogram": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM per_cust
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "top_supplier_revenue": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE strftime(l_shipdate, '%Y%m%d') BETWEEN '19960101' AND '19960331'
+            GROUP BY l_suppkey
+        )
+        SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue
+        FROM revenue r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "rich_idle_customers": """
+        SELECT c_mktsegment,
+               COUNT(*)                    AS n_customers,
+               ROUND(SUM(c_acctbal), 2)    AS total_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "part_small_qty_revenue": """
+        WITH pruned AS (
+            SELECT l.*
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#3'
+        ), per_part AS (
+            SELECT l_partkey, AVG(l_quantity) AS avg_qty
+            FROM pruned GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_lineitems
+        FROM pruned l
+        JOIN per_part a ON a.l_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.5 * a.avg_qty
+    """,
 }
 
 # training_corpus = cleaned_corpus MINUS the higher id of every banded
@@ -1656,3 +1748,23 @@ ORACLE_SQL["embedding_cosine_topk_pandas"] = ORACLE_SQL["embedding_cosine_topk"]
 
 # salted-join A7: replicate-the-small-side construction is result-identical
 ORACLE_SQL["product_category_revenue_salted"] = ORACLE_SQL["product_category_revenue"]
+
+
+def _random_projection_sql() -> str:
+    """The random-projection oracle shares the Spark side's seeded matrix
+    verbatim (similarity.rademacher_matrix is hash-derived, no RNG), inlined
+    as list_dot_product literals -- the same dual-engine trick as the
+    sampling oracles' md5 draw."""
+    from aws_glue_etl_sample_hist_spark.operators.similarity import rademacher_matrix
+
+    rows = rademacher_matrix(64, 16, "rp")
+    cols = ",\n               ".join(
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(v) for v in row)
+        + f"]), 6) AS p{i:02d}"
+        for i, row in enumerate(rows)
+    )
+    return f"SELECT vec_id,\n               {cols}\n        FROM embeddings"
+
+
+ORACLE_SQL["embedding_random_projection"] = _random_projection_sql()

@@ -1381,14 +1381,15 @@ def q_events_incident_windows(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("incident_day"),
             "start",
-            F.timestamp_micros(
-                F.unix_micros(F.col("start")) + 2 * 3600 * 1_000_000
-            ).alias("end"),
+            # interval arithmetic works for TIMESTAMP and TIMESTAMP_NTZ both
+            (F.col("start") + F.expr("INTERVAL 2 HOURS")).alias("end"),
         )
     )
     joined = interval_join_binned(ev.select("event_id", "ts", "user_id", "value"), ints)
+    from .operators.asof import _epoch_us
+
     return joined.groupBy("incident_day").agg(
-        F.min(F.unix_micros("start")).alias("start_us"),
+        F.min(_epoch_us(F.col("start"))).alias("start_us"),
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("sum_value"),
@@ -1610,6 +1611,160 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (operators.similarity.random_projection): the seeded Rademacher matrix
+    rides into the plan as literals, so the projection is map-only JVM
+    arithmetic -- the dimensionality-reduction pass that shrinks every
+    downstream ANN / near-dup shuffle 4x."""
+    from .operators.similarity import random_projection
+
+    return random_projection(load_table(spark, sf, "embeddings"), k=16)
+
+
+def q_embedding_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid outlier scoring
+    (operators.similarity.centroid_outliers): distance to own-label mean
+    vector, z-scored within the label -- the label-noise QA pass. Centroids
+    and stats are label-cardinality aggregates broadcast back; the corpus
+    never shuffles."""
+    from .operators.similarity import centroid_outliers
+
+    return centroid_outliers(load_table(spark, sf, "embeddings"))
+
+
+def q_orders_with_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join shape (TPC-H Q4's EXISTS, adapted to this schema): count
+    orders per priority that contain at least one RETURNED lineitem.
+
+    LEFT SEMI join keeps order rows without duplicating them per matching
+    lineitem -- the plan Spark picks for SQL EXISTS. At scale both sides
+    shuffle once on orderkey (same cost as any fact-to-fact equi-join); the
+    returned-only filter prunes the probe side BEFORE the exchange, so the
+    shuffled lineitem volume is the match fraction, not the full table."""
+    orders = load_table(spark, sf, "orders")
+    returned = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_customer_order_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-distribution shape (TPC-H Q13): how many customers placed
+    exactly N orders, INCLUDING the zero bucket via left join from the
+    customer dim.
+
+    Two aggregations, each a single hash shuffle: per-customer count (key =
+    custkey, high cardinality, no skew), then the tiny histogram groupBy.
+    The join is customer⟕orders on custkey -- at 100 TB both sides shuffle
+    on the key; counting o_orderkey (not *) makes the null-match rows the
+    zero bucket exactly like the SQL LEFT JOIN + COUNT(col) idiom."""
+    customer = load_table(spark, sf, "customer").select("c_custkey")
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Argmax-with-ties shape (TPC-H Q15): supplier(s) with the maximum
+    discounted revenue over Q1-1996, tie-safe via a broadcast join on the
+    1-row scalar max -- never a global sort, never a single-task window.
+
+    The revenue agg shuffles lineitem once on suppkey; the max is a 1-row
+    reduction broadcast back; the supplier dim broadcasts. Rounding to 2 dp
+    happens BEFORE the max-equality compare in both engines, so float
+    accumulation order cannot split a tie."""
+    li = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    revenue = (
+        li.filter(ymd("l_shipdate").between("19960101", "19960331"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == F.col("_max_rev"))
+        .join(F.broadcast(supplier), revenue.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+def q_rich_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-subquery + anti-join shape (TPC-H Q22): customers whose
+    balance exceeds the average positive balance AND who never ordered,
+    summarized per market segment.
+
+    The global average is a 1-row agg broadcast into the filter (Spark runs
+    SQL scalar subqueries the same way); the no-orders test is a left-anti
+    join against the distinct order custkeys. Anti-join shuffles on custkey
+    once; the segment rollup is a 5-key agg."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(
+        orders.select("o_custkey").distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+def q_part_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-average shape (TPC-H Q17): yearly revenue opportunity from
+    small-quantity orders -- lineitems of Brand#3 parts whose quantity is
+    below 50% of that part's average quantity.
+
+    The correlated subquery decorrelates into agg-then-join exactly as
+    Catalyst rewrites SQL: per-part avg quantity (one shuffle on partkey over
+    the BRAND-PRUNED fact -- the broadcast part filter runs first, so the agg
+    input is the selective subset, not the full table), joined back to the
+    same pruned lineitems on partkey. Output is one row; division by 7.0
+    mirrors Q17's avg_yearly convention."""
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_qty"))
+    small = li.join(per_part.withColumnRenamed("l_partkey", "_pk"), F.col("l_partkey") == F.col("_pk")).filter(
+        F.col("l_quantity") < 0.5 * F.col("_avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1672,6 +1827,16 @@ QUERIES = {
     "sql_product_category_revenue": q_sql_product_category_revenue,
     "sql_segment_category_revenue": q_sql_segment_category_revenue,
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
+    # --- block 1b: added after the round-3 rotation was fixed; never
+    #     driver-recorded, so they sit right at the window edge (the first
+    #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "embedding_random_projection": q_embedding_random_projection,
+    "embedding_centroid_outliers": q_embedding_centroid_outliers,
+    "orders_with_returns": q_orders_with_returns,
+    "customer_order_histogram": q_customer_order_histogram,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "rich_idle_customers": q_rich_idle_customers,
+    "part_small_qty_revenue": q_part_small_qty_revenue,
     # --- block 2: reference-spine keepers ---
     "pricing_summary": q_pricing_summary,
     "silver_denorm": q_silver_denorm,

@@ -37,16 +37,17 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..catalog import table_path
 
-# streaming reads need an explicit schema; ts is TIMESTAMP(NANOS) on disk,
-# surfaced as long nanos under spark.sql.legacy.parquet.nanosAsLong
+# streaming reads need an explicit schema; ts is parquet timestamp[us] with
+# isAdjustedToUTC=false on disk, which Spark surfaces as TIMESTAMP_NTZ
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -74,7 +75,9 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(table_path(sf_dir, "events") + "*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NTZ -> LTZ under the pinned UTC session: same wall clock, same instant,
+    # and every epoch function (unix_micros & co.) accepts it
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 600.0) -> DataFrame:

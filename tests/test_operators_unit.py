@@ -889,3 +889,87 @@ def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
     )
     assert per_cluster and all(r.n == 1 for r in per_cluster)
     assert {r.split for r in out.collect()} <= {"train", "val", "test"}
+
+
+# ------------------------------------------------- round-3b additions
+
+
+def test_top_supplier_revenue_keeps_exact_ties(spark, tmp_path):
+    """Two suppliers with identical rounded revenue BOTH surface: the argmax
+    is a join on the scalar max, not a LIMIT 1."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+    d = dt.date(1996, 2, 1)
+    li = [
+        # suppkey 1 and 2 each: 100.0 * (1 - 0.0) revenue
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d),
+        (2, 1, 2, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d),
+        # suppkey 3: less
+        (3, 1, 3, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", d),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "Supplier#1", 1, 0.0), (2, "Supplier#2", 1, 0.0), (3, "Supplier#3", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+
+    out = QUERIES["top_supplier_revenue"](spark, str(tmp_path)).collect()
+    assert sorted(r.s_suppkey for r in out) == [1, 2]
+    assert all(r.total_revenue == 100.0 for r in out)
+
+
+def test_rademacher_matrix_is_deterministic_and_scaled():
+    from aws_glue_etl_sample_hist_spark.operators.similarity import rademacher_matrix
+
+    a = rademacher_matrix(64, 16, "rp")
+    b = rademacher_matrix(64, 16, "rp")
+    c = rademacher_matrix(64, 16, "other-seed")
+    assert a == b  # hash-derived, no RNG state
+    assert a != c
+    assert len(a) == 16 and all(len(row) == 64 for row in a)
+    assert {abs(v) for row in a for v in row} == {0.25}  # 1/sqrt(16)
+    # signs are roughly balanced (hash uniformity sanity check)
+    pos = sum(v > 0 for row in a for v in row)
+    assert 400 < pos < 624
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        rademacher_matrix,
+        random_projection,
+    )
+
+    vecs = [(0, [float(i) for i in range(8)]), (1, [1.0] * 8), (2, [0.0] * 8)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: [r[f"p{i:02d}"] for i in range(4)]
+        for r in random_projection(emb, k=4, dim=8).collect()
+    }
+    mat = np.array(rademacher_matrix(8, 4, "rp"))
+    for vid, v in vecs:
+        expect = np.round(mat @ np.array(v), 6)
+        assert out[vid] == list(expect), (vid, out[vid], expect)
+    assert out[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from aws_glue_etl_sample_hist_spark.operators.similarity import centroid_outliers
+
+    rows = [(i, 0, [1.0 + 0.01 * i, 1.0]) for i in range(10)]
+    rows.append((99, 0, [50.0, -40.0]))  # far from the label-0 centroid
+    rows += [(100 + i, 1, [0.0, float(i)]) for i in range(5)]  # other label
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r.vec_id: r for r in centroid_outliers(emb, z_threshold=2.0).collect()}
+    assert out[99].is_outlier
+    assert not any(out[i].is_outlier for i in range(10))
+    # z-scores are computed within-label: label 1's extremes stay modest
+    assert all(not out[100 + i].is_outlier for i in range(5))

@@ -102,6 +102,7 @@ NESTED_LOOP_WHITELIST = {
     "embedding_semantic_dedup",    # crossJoin(broadcast(<=8 centroids)): assignment pass
     "embedding_pq_topk",           # broadcast 5 query vectors x encoded corpus (ADC)
     "customer_rfm",                # 1-row as-of date + 1-row quartile cuts (scalar joins)
+    "rich_idle_customers",         # 1-row global-average balance (scalar join)
 }
 
 
@@ -135,7 +136,7 @@ def test_interval_join_binned_restores_equi_join(spark, sf_oracle):
         ev.filter(F.col("event_type") == "error")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.min("ts").alias("start"))
-        .withColumn("end", F.timestamp_micros(F.unix_micros("start") + 7_200_000_000))
+        .withColumn("end", F.expr("start + INTERVAL 2 HOURS"))
     )
     naive = ev.join(ints, (ev.ts >= ints.start) & (ev.ts < ints["end"]))
     assert "BroadcastNestedLoopJoin" in _plan(naive)

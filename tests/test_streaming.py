@@ -46,10 +46,9 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, sf_small):
     )
     appended = _run_to_memory(agg, "append")
 
-    batch = (
-        spark.read.parquet(sf_small + "/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+
+    batch = load_table(spark, sf_small, "events")
     max_ts = batch.agg(F.max("ts")).collect()[0][0]
     full = {
         (r.ws, r.we): r.n_events
