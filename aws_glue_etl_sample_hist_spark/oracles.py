@@ -1599,6 +1599,196 @@ ORACLE_SQL: dict[str, str] = {
         FROM adc
         QUALIFY rank <= 5
     """,
+    # ---------------------------------------- statistical aggregates
+    "events_value_trend": """
+        WITH daily AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(value) AS y
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               COUNT(*)                            AS n_days,
+               ROUND(regr_slope(y, x), 4)          AS slope,
+               ROUND(regr_intercept(y, x), 4)      AS intercept,
+               ROUND(corr(y, x), 6)                AS r
+        FROM daily
+        GROUP BY event_type
+    """,
+    # ---------------------------------------- corpus accounting
+    "corpus_zipf": r"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT term, COUNT(*) AS freq FROM toks WHERE term <> '' GROUP BY term
+        ),
+        total AS (SELECT SUM(freq) AS t FROM counts),
+        top AS (
+            SELECT term, freq FROM counts
+            ORDER BY freq DESC, term ASC LIMIT 50
+        )
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT) AS rank,
+               term, CAST(freq AS BIGINT) AS freq,
+               ROUND(freq / CAST(t AS DOUBLE), 6) AS share,
+               ROUND(SUM(freq) OVER (ORDER BY freq DESC, term ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(t AS DOUBLE), 6) AS cum_share
+        FROM top, total
+    """,
+    "corpus_source_budget": r"""
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        total AS (SELECT SUM(n_tokens) AS t FROM per_source)
+        SELECT source,
+               CAST(n_docs AS BIGINT)   AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(n_tokens / CAST(t AS DOUBLE), 6) AS token_share,
+               ROUND(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(t AS DOUBLE), 6) AS cum_share
+        FROM per_source, total
+    """,
+    # ---------------------------------------- data-quality audit
+    "dq_audit": """
+        WITH checks AS (
+            SELECT 'lineitem.l_orderkey.not_null' AS check_id, 'lineitem' AS table_name,
+                   COUNT(*) AS n_rows,
+                   COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_quantity.positive', 'lineitem', COUNT(*),
+                   COALESCE(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END), 0)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_extendedprice.non_negative', 'lineitem', COUNT(*),
+                   COALESCE(SUM(CASE WHEN NOT (l_extendedprice >= 0) THEN 1 ELSE 0 END), 0)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_discount.in_unit_interval', 'lineitem', COUNT(*),
+                   COALESCE(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 ELSE 0 END), 0)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_returnflag.in_domain', 'lineitem', COUNT(*),
+                   COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END), 0)
+            FROM lineitem
+            UNION ALL
+            SELECT 'orders.o_custkey.not_null', 'orders', COUNT(*),
+                   COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_totalprice.positive', 'orders', COUNT(*),
+                   COALESCE(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END), 0)
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_orderdate.not_null', 'orders', COUNT(*),
+                   COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)
+            FROM orders
+            UNION ALL
+            SELECT 'customer.c_custkey.unique', 'customer', COUNT(*),
+                   COUNT(*) - COUNT(DISTINCT c_custkey)
+            FROM customer
+            UNION ALL
+            SELECT 'orders.o_orderkey.unique', 'orders', COUNT(*),
+                   COUNT(*) - COUNT(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem.pk.unique', 'lineitem', COUNT(*),
+                   COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+            FROM lineitem
+            UNION ALL
+            SELECT 'part.p_partkey.unique', 'part', COUNT(*),
+                   COUNT(*) - COUNT(DISTINCT p_partkey)
+            FROM part
+            UNION ALL
+            SELECT 'supplier.s_suppkey.unique', 'supplier', COUNT(*),
+                   COUNT(*) - COUNT(DISTINCT s_suppkey)
+            FROM supplier
+            UNION ALL
+            SELECT 'lineitem.l_orderkey.fk_orders', 'lineitem',
+                   (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+                   (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            UNION ALL
+            SELECT 'lineitem.l_partkey.fk_part', 'lineitem',
+                   (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+                   (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'lineitem.l_suppkey.fk_supplier', 'lineitem',
+                   (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+                   (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+            UNION ALL
+            SELECT 'orders.o_custkey.fk_customer', 'orders',
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+                   (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'customer.c_nationkey.fk_nation', 'customer',
+                   (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL),
+                   (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'nation.n_regionkey.fk_region', 'nation',
+                   (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL),
+                   (SELECT COUNT(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        )
+        SELECT check_id, table_name,
+               CAST(n_rows AS BIGINT)       AS n_rows,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0             AS passed
+        FROM checks
+    """,
+    "dq_profile_orders": """
+        WITH base AS (SELECT * FROM orders)
+        SELECT 'orders' AS table_name, column_name, n_rows, n_nulls,
+               n_distinct, min_value, max_value
+        FROM (
+            SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   MIN(CAST(o_orderkey AS VARCHAR)) AS min_value,
+                   MAX(CAST(o_orderkey AS VARCHAR)) AS max_value
+            FROM base
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                   MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+            FROM base
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM base
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+                   MIN(CAST(o_totalprice AS VARCHAR)), MAX(CAST(o_totalprice AS VARCHAR))
+            FROM base
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+                   MIN(CAST(o_orderdate AS VARCHAR)), MAX(CAST(o_orderdate AS VARCHAR))
+            FROM base
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM base
+        ) col
+    """,
     # ---------------------------------------- embedding ops (round 3b)
     # filled in below the dict literal: random_projection needs the same
     # seeded matrix the Spark side uses (similarity.rademacher_matrix)

@@ -1611,6 +1611,129 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_value_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family (covar/var/corr -- none used anywhere
+    else in the surface): per event type, the OLS trend of daily total value
+    over the day index. slope = covar_pop(x,y)/var_pop(x), intercept from
+    the means, plus Pearson r -- the closed forms every SQL engine ships,
+    so the oracle is DuckDB's native regr_slope/regr_intercept/corr.
+
+    Scale shape: daily totals first (map-side-combined (type, day) agg),
+    then the regression aggregates run over types x days rows -- calendar-
+    bounded, tiny, no matter the event volume."""
+    ev = load_table(spark, sf, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.sum("value").alias("y"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("slope"),
+        F.round(
+            F.avg("y") - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x"), 4
+        ).alias("intercept"),
+        F.round(F.corr("x", "y"), 6).alias("r"),
+    )
+
+
+def q_corpus_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf term-frequency curve: the corpus's top-50 lowercased terms with
+    frequency rank and cumulative share -- the vocabulary sanity check run
+    before tokenizer training.
+
+    Scale shape: explode -> (term) count is map-side combined, so the
+    shuffle carries one row per DISTINCT term per mapper, not per token.
+    The rank/cumulative windows run AFTER a top-50 TakeOrderedAndProject,
+    i.e. on 50 rows in one task -- a global sort never touches the full
+    vocabulary."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("_total"))
+    top = (
+        counts.orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(50)
+        .crossJoin(F.broadcast(total))
+    )
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "term",
+        "freq",
+        F.round(F.col("freq") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.sum("freq").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+            / F.col("_total"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def q_corpus_source_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token accounting: document counts, token totals, corpus
+    share, and cumulative share in descending-size order -- the mixture
+    dashboard behind training-data budget decisions. One map-side-combined
+    agg on the tiny source key; every window runs on sources-cardinality
+    rows."""
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("_total"))
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("source").asc())
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("token_share"),
+            F.round(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
+
+
+def q_dq_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite over the whole star schema
+    (operators.audit.star_schema_audit): null keys, value ranges, PK
+    uniqueness, and every FK edge, one report row per check. Single-table
+    checks share one scan per table; FK checks are anti-joins (dims
+    broadcast, the one fact-to-fact edge shuffles on its key)."""
+    from .operators.audit import star_schema_audit
+
+    return star_schema_audit(
+        {
+            t: load_table(spark, sf, t)
+            for t in ("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
+        }
+    )
+
+
+def q_dq_profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column profile of the orders table (operators.audit.profile_table):
+    rows / nulls / exact distincts / string-rendered min-max, one row per
+    column -- the schema-drift tripwire run after every load."""
+    from .operators.audit import profile_table
+
+    return profile_table(load_table(spark, sf, "orders"), "orders")
+
+
 def q_embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 -> 16 dims
     (operators.similarity.random_projection): the seeded Rademacher matrix
@@ -1830,6 +1953,11 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "events_value_trend": q_events_value_trend,
+    "corpus_zipf": q_corpus_zipf,
+    "corpus_source_budget": q_corpus_source_budget,
+    "dq_audit": q_dq_audit,
+    "dq_profile_orders": q_dq_profile_orders,
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_centroid_outliers": q_embedding_centroid_outliers,
     "orders_with_returns": q_orders_with_returns,

@@ -973,3 +973,57 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     assert not any(out[i].is_outlier for i in range(10))
     # z-scores are computed within-label: label 1's extremes stay modest
     assert all(not out[100 + i].is_outlier for i in range(5))
+
+
+def test_star_audit_catches_planted_violations(spark):
+    """Plant one violation of each class -- null key, out-of-range value,
+    duplicate PK, FK orphan -- and assert exactly those checks fail with
+    the right violation counts."""
+    from aws_glue_etl_sample_hist_spark.operators.audit import star_schema_audit
+
+    import datetime as dt
+
+    d = dt.date(1996, 1, 1)
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [
+                (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d),
+                (1, 1, 1, 1, -2.0, 10.0, 0.0, 0.0, "N", "O", d),  # dup PK + bad qty
+                (9, 1, 1, 2, 1.0, 10.0, 0.0, 0.0, "X", "O", d),  # orphan order + bad flag
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, l_shipdate date",
+        ),
+        "orders": spark.createDataFrame(
+            [(1, 1, "O", 10.0, d, "1-URGENT"), (2, None, "O", 10.0, d, "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate date, o_orderpriority string",
+        ),
+        "customer": spark.createDataFrame(
+            [(1, "a", 1, 0.0, "BUILDING")],
+            "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+        ),
+        "part": spark.createDataFrame(
+            [(1, "p", "b", "t", 1, 1.0)],
+            "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+        ),
+        "supplier": spark.createDataFrame(
+            [(1, "s", 1, 0.0)], "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+        ),
+        "nation": spark.createDataFrame(
+            [(1, "n", 7)], "n_nationkey long, n_name string, n_regionkey long"
+        ),  # region 7 does not exist -> FK orphan
+        "region": spark.createDataFrame([(1, "r")], "r_regionkey long, r_name string"),
+    }
+    rep = {r.check_id: r for r in star_schema_audit(tables).collect()}
+    assert rep["lineitem.l_quantity.positive"].n_violations == 1
+    assert rep["lineitem.l_returnflag.in_domain"].n_violations == 1
+    assert rep["lineitem.pk.unique"].n_violations == 1  # one extra row on the dup key
+    assert rep["lineitem.l_orderkey.fk_orders"].n_violations == 1
+    assert rep["nation.n_regionkey.fk_region"].n_violations == 1
+    assert not rep["orders.o_custkey.not_null"].passed
+    # clean checks stay green
+    assert rep["customer.c_custkey.unique"].passed
+    assert rep["orders.o_orderkey.unique"].passed
+    assert rep["lineitem.l_partkey.fk_part"].passed

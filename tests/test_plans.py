@@ -103,6 +103,9 @@ NESTED_LOOP_WHITELIST = {
     "embedding_pq_topk",           # broadcast 5 query vectors x encoded corpus (ADC)
     "customer_rfm",                # 1-row as-of date + 1-row quartile cuts (scalar joins)
     "rich_idle_customers",         # 1-row global-average balance (scalar join)
+    "corpus_zipf",                 # 1-row corpus token total x top-50 terms
+    "corpus_source_budget",        # 1-row token total x sources-cardinality agg
+    "dq_audit",                    # 1-row x 1-row count joins inside fk_check
 }
 
 
