@@ -124,3 +124,41 @@ def read_jdbc(
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_schema: StructType,
+    fill_missing: bool = True,
+) -> DataFrame:
+    """Schema-evolution-on-read: union parquet written under DIFFERENT
+    schema versions (columns added over time) into one frame with the
+    declared target schema.
+
+    ``mergeSchema`` makes the footer scan union all field sets (off by
+    default in Spark because it reads every file's footer -- a real cost at
+    100k files, which is why the target schema is explicit here, not
+    re-inferred per read); columns the old files lack come back null, and
+    ``fill_missing`` then applies any defaults the target schema's field
+    metadata carries under the key ``default``. Columns present on disk but
+    absent from the target are dropped (the read-side contract of a
+    column-pruned lake: readers name what they want, writers may run ahead).
+
+    This is the poor-lake's replacement for a table format's schema
+    evolution (Delta/Iceberg metadata) -- same reader semantics, no
+    transaction log."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    cols = []
+    for field in target_schema.fields:
+        if field.name in df.columns:
+            c = F.col(field.name).cast(field.dataType)
+        else:
+            c = F.lit(None).cast(field.dataType)
+        if fill_missing and "default" in (field.metadata or {}):
+            c = F.coalesce(c, F.lit(field.metadata["default"]).cast(field.dataType))
+        cols.append(c.alias(field.name))
+    return df.select(*cols)

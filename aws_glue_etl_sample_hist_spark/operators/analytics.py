@@ -183,3 +183,54 @@ def rfm_scores(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def user_value_trend_pandas(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user OLS trend of daily total value, fitted per group through
+    applyInPandas -- the grouped Arrow-batch path (each user's points arrive
+    as one pandas frame), complementing the engine's mapInPandas (multimodal)
+    and applyInPandasWithState (sessionize) exemplars.
+
+    The math is the closed form (slope = covar_pop/var_pop), so DuckDB's
+    native regr_slope/regr_intercept is an EXACT oracle; single-day users
+    get null slope exactly like regr_slope's var=0 contract.
+
+    Scale shape: the day-level pre-aggregation runs JVM-side FIRST (map-side
+    combined), so each user group crossing into Python is O(active days),
+    not O(events) -- the rule for every applyInPandas: reduce in the JVM,
+    fit in Python. One hash(user) shuffle total."""
+    import pandas as pd
+
+    daily = events.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date")).alias("x"),
+    ).agg(F.sum(value_col).alias("y"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy("float64")
+        y = pdf["y"].to_numpy("float64")
+        mx, my = x.mean(), y.mean()
+        var = ((x - mx) ** 2).mean()
+        if len(x) < 2 or var == 0.0:
+            slope, intercept = None, None
+        else:
+            slope = ((x - mx) * (y - my)).mean() / var
+            intercept = my - slope * mx
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_days": [len(x)],
+                "slope": [None if slope is None else round(slope, 4)],
+                "intercept": [None if intercept is None else round(intercept, 4)],
+            }
+        )
+
+    return daily.groupBy("user_id").applyInPandas(
+        fit, "user_id long, n_days long, slope double, intercept double"
+    )

@@ -1599,6 +1599,74 @@ ORACLE_SQL: dict[str, str] = {
         FROM adc
         QUALIFY rank <= 5
     """,
+    # ---------------------------------------- stream-static + applyInPandas
+    "stream_events_enriched": """
+        SELECT c.c_mktsegment, e.event_type,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(e.value), 4) AS sum_value
+        FROM events e
+        LEFT JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment, e.event_type
+    """,
+    "events_user_trend_pandas": """
+        WITH daily AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+                   SUM(value) AS y
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT user_id,
+               COUNT(*)                       AS n_days,
+               ROUND(regr_slope(y, x), 4)     AS slope,
+               ROUND(regr_intercept(y, x), 4) AS intercept
+        FROM daily
+        GROUP BY user_id
+    """,
+    # ---------------------------------------- window / grouping completeness
+    "customer_spend_deciles": """
+        WITH spend AS (
+            SELECT o.o_custkey, ROUND(SUM(o.o_totalprice), 2) AS total_spend,
+                   c.c_mktsegment
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey, c.c_mktsegment
+        )
+        SELECT o_custkey AS customer_id, c_mktsegment, total_spend,
+               CAST(ntile(10) OVER w AS BIGINT) AS spend_decile,
+               ROUND(percent_rank() OVER w, 6)  AS pct_rank,
+               ROUND(cume_dist() OVER w, 6)     AS cume_dist
+        FROM spend
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY total_spend DESC, o_custkey ASC)
+    """,
+    "events_grouping_sets": """
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+               COUNT(*)                 AS n_events,
+               ROUND(SUM(value), 4)     AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (event_type, strftime(ts, '%Y-%m-%d')),
+            (event_type),
+            (strftime(ts, '%Y-%m-%d')),
+            ()
+        )
+    """,
+    "part_fuzzy_matches": """
+        WITH blk AS (
+            SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS b
+            FROM part
+        )
+        SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM blk a
+        JOIN blk b ON a.b = b.b AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+          AND a.p_name <> b.p_name
+    """,
     # ---------------------------------------- statistical aggregates
     "events_value_trend": """
         WITH daily AS (

@@ -1611,6 +1611,115 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_events_enriched(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming.jobs.stream_events_enriched):
+    the event stream broadcast-joined to the static customer dim per
+    micro-batch -- zero streaming state -- aggregated per (segment, type).
+    Oracle = the identical batch join."""
+    from .streaming.jobs import stream_events_enriched
+
+    return stream_events_enriched(spark, sf)
+
+
+def q_events_user_trend_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user OLS trend fitted in applyInPandas
+    (operators.analytics.user_value_trend_pandas): the grouped Arrow path,
+    with day-level pre-aggregation JVM-side so Python sees O(days) rows per
+    user. Oracle = DuckDB's native regr_slope/regr_intercept per user."""
+    from .operators.analytics import user_value_trend_pandas
+
+    return user_value_trend_pandas(load_table(spark, sf, "events"))
+
+
+def q_customer_spend_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist --
+    the last uncovered window family): per-segment spend deciles over each
+    customer's total. Ordering carries the unique custkey tiebreak, so
+    every tile assignment is deterministic in both engines.
+
+    Scale note: partitions are the ~5 market segments, so at real scale one
+    segment is one task -- same trap as a global sort. The two-phase salted
+    top-k (customer_order_ranks) or the broadcast quartile CUTS (customer_rfm)
+    are this surface's scale-safe alternatives; this query exists for exact
+    distribution semantics where the partition is known-bounded."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("o_custkey").asc()
+    )
+    return spend.select(
+        F.col("o_custkey").alias("customer_id"),
+        "c_mktsegment",
+        "total_spend",
+        F.ntile(10).over(w).cast("long").alias("spend_decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+def q_events_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id (beyond the ROLLUP/CUBE
+    twins): (type, day), (type), (day), () subtotals in ONE pass -- Spark
+    expands the input once per set and aggregates in a single shuffle, and
+    grouping_id disambiguates real NULLs from subtotal NULLs. Bit semantics
+    match DuckDB's GROUPING(a, b) exactly."""
+    load_table(spark, sf, "events").createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(ts, 'yyyy-MM-dd')        AS day,
+               grouping_id(event_type, date_format(ts, 'yyyy-MM-dd')) AS gid,
+               COUNT(*)                              AS n_events,
+               ROUND(SUM(value), 4)                  AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS (
+            (event_type, date_format(ts, 'yyyy-MM-dd')),
+            (event_type),
+            (date_format(ts, 'yyyy-MM-dd')),
+            ()
+        )
+        """
+    )
+
+
+def q_part_fuzzy_matches(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): part-name pairs within
+    Levenshtein distance 3, with candidate pairs bounded by a blocking key
+    (the name's first token) instead of the all-pairs cross join.
+
+    Scale shape: the self-join is an EQUI-join on the block key -- the
+    standard record-linkage blocking step; only within-block pairs pay the
+    edit-distance compare, and the id_a < id_b guard halves them. A naive
+    `levenshtein(a, b) <= 3` join has no equi key and would be a cartesian
+    product (the plan guard forbids exactly that shape engine-wide)."""
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_name", F.split(F.col("p_name"), " ")[0].alias("_blk")
+    )
+    a, b = part.alias("a"), part.alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .withColumn("edit_dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("edit_dist") <= 3)
+        .filter(F.col("a.p_name") != F.col("b.p_name"))
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+        )
+    )
+
+
 def q_events_value_trend(spark: SparkSession, sf: str) -> DataFrame:
     """Statistical aggregate family (covar/var/corr -- none used anywhere
     else in the surface): per event type, the OLS trend of daily total value
@@ -1953,6 +2062,11 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "stream_events_enriched": q_stream_events_enriched,
+    "events_user_trend_pandas": q_events_user_trend_pandas,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "events_grouping_sets": q_events_grouping_sets,
+    "part_fuzzy_matches": q_part_fuzzy_matches,
     "events_value_trend": q_events_value_trend,
     "corpus_zipf": q_corpus_zipf,
     "corpus_source_budget": q_corpus_source_budget,

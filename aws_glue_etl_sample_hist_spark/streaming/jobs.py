@@ -375,3 +375,25 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     return _run_to_memory(sessions, "append")
+
+
+def stream_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched with the static
+    customer dimension (market segment), aggregated per (segment, type).
+    The static side is a plain batch DataFrame -- Spark re-resolves it per
+    micro-batch and BROADCASTS it into the stream, so the join holds no
+    streaming state at all (contrast stream_events_purchase_follow, where
+    both sides are live and state is watermark-bounded). This is the
+    dimension-enrichment stage every event pipeline runs before sinking."""
+    from ..catalog import load_table
+
+    ev = _read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "left")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")

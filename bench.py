@@ -58,6 +58,10 @@ HEADLINE = [
     "embedding_pq_topk",
     "dedup_incremental",
     "events_incident_windows",
+    "events_funnel",
+    "customer_cohort_retention",
+    "corpus_zipf",
+    "dq_audit",
 ]
 
 

@@ -180,3 +180,42 @@ def test_orc_round_trip_partitioned_with_pushdown(spark, sf_small, tmp_path):
         one._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
+
+
+def test_read_parquet_evolved_unions_schema_versions(spark, tmp_path):
+    """Files written under v1 (no `lang`, no `score`) and v2 (both added)
+    read back as ONE frame with the target schema: v1 rows get null lang,
+    defaulted score, and writer-ahead columns absent from the target are
+    dropped."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from aws_glue_etl_sample_hist_spark.io.sources import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string").write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", "en", 0.9, "extra")],
+        "id long, text string, lang string, score double, writer_ahead string",
+    ).write.mode("append").parquet(path)
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("score", DoubleType(), metadata={"default": 0.0}),
+        ]
+    )
+    out = read_parquet_evolved(spark, path, target_schema=target)
+    assert [f.name for f in out.schema.fields] == ["id", "text", "lang", "score"]
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1].lang is None and rows[1].score == 0.0  # v1 defaults
+    assert rows[3].lang == "en" and rows[3].score == 0.9  # v2 passthrough
+    assert "writer_ahead" not in out.columns
