@@ -1,0 +1,101 @@
+"""Versioned snapshot layout: time travel for a plain-parquet lake.
+
+A table format (Delta/Iceberg/Hudi) gives three things: atomic commits,
+schema evolution, and time travel. The engine already covers the first two
+in spirit (atomic directory swap in `sinks.compact_dir`, evolution-on-read
+in `sources.read_parquet_evolved`); this module adds the third with nothing
+but directory layout:
+
+    <base>/v=1/part-*.parquet
+    <base>/v=2/part-*.parquet
+    <base>/_latest            <- one-line pointer file, written LAST
+
+Writers publish a fully-written version directory and only then flip the
+`_latest` pointer -- readers either see the old pointer or the new one,
+never a half-written directory (the same last-writer-wins contract as a
+table format's commit log, minus concurrent-writer arbitration, which a
+single-orchestrator lake -- like the reference's Step Functions DAG --
+doesn't need).
+
+Scale notes: a snapshot read is a plain parquet scan of ONE version dir
+(no manifest merge); `vacuum` deletes whole obsolete directories, IO
+proportional to retired versions only. Cite: reference keeps only
+"latest" state by full overwrite (jb_de_enhancement_t1_fulljoin_s2s.py
+write mode) -- snapshots add history for the same write volume per run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _latest_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_latest")
+
+
+def list_versions(base_dir: str) -> list[int]:
+    if not os.path.isdir(base_dir):
+        return []
+    out = []
+    for name in os.listdir(base_dir):
+        if name.startswith("v=") and os.path.isdir(os.path.join(base_dir, name)):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(base_dir: str) -> int | None:
+    """The committed latest: what the pointer file says (NOT max(dir)), so a
+    crashed half-published version is invisible until its pointer flip."""
+    p = _latest_path(base_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        txt = f.read().strip()
+    return int(txt) if txt else None
+
+
+def write_snapshot(df: DataFrame, base_dir: str) -> int:
+    """Publish ``df`` as the next version: write the full directory, then
+    flip the pointer. Returns the new version number."""
+    vs = list_versions(base_dir)
+    v = (vs[-1] + 1) if vs else 1
+    df.write.mode("errorifexists").parquet(os.path.join(base_dir, f"v={v}"))
+    tmp = _latest_path(base_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, _latest_path(base_dir))  # atomic pointer flip
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific version (time travel) or the committed latest."""
+    v = latest_version(base_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot under {base_dir}")
+    path = os.path.join(base_dir, f"v={v}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"snapshot version {v} missing under {base_dir}")
+    return spark.read.parquet(path)
+
+
+def vacuum(base_dir: str, keep: int = 2) -> list[int]:
+    """Delete all but the newest ``keep`` versions, never the committed
+    latest. Returns the versions removed."""
+    vs = list_versions(base_dir)
+    latest = latest_version(base_dir)
+    candidates = vs[:-keep] if keep > 0 else vs
+    removed = []
+    for v in candidates:
+        if v == latest:
+            continue
+        shutil.rmtree(os.path.join(base_dir, f"v={v}"))
+        removed.append(v)
+    return removed

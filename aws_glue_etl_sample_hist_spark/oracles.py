@@ -1531,12 +1531,18 @@ ORACLE_SQL: dict[str, str] = {
                              c.cent_id ASC) AS rn
                   FROM e CROSS JOIN c)
             WHERE rn = 1
+        ), an AS (
+            -- normalize once, exactly like the operator: norm hoisted, then
+            -- per-element divide; pair test becomes a plain dot product
+            SELECT vec_id, cell,
+                   list_transform(v, x -> x / n) AS nv
+            FROM (SELECT vec_id, cell, v,
+                         greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n
+                  FROM a)
         ), dup AS (
             SELECT DISTINCT b.vec_id AS dup_id
-            FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
-            WHERE list_dot_product(x.v, b.v)
-                  / greatest(sqrt(list_dot_product(x.v, x.v))
-                             * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.4
+            FROM an x JOIN an b ON x.cell = b.cell AND x.vec_id < b.vec_id
+            WHERE list_dot_product(x.nv, b.nv) >= 0.4
         )
         SELECT a.vec_id, a.cell, dup.dup_id IS NOT NULL AS is_dup
         FROM a LEFT JOIN dup ON a.vec_id = dup.dup_id
@@ -1598,6 +1604,40 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(adc_raw, 6) AS adc_dist
         FROM adc
         QUALIFY rank <= 5
+    """,
+    # ---------------------------------------- reshape (unpivot/melt)
+    "events_unpivot": """
+        WITH wide AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+                   COUNT(*) FILTER (event_type = 'click')    AS click,
+                   COUNT(*) FILTER (event_type = 'error')    AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup')   AS signup,
+                   COUNT(*) FILTER (event_type = 'view')     AS view
+            FROM events
+            GROUP BY 1
+        )
+        SELECT event_date, event_type, CAST(n_events AS BIGINT) AS n_events
+        FROM wide
+        UNPIVOT (n_events FOR event_type IN (click, error, purchase, signup, view))
+    """,
+    # ---------------------------------------- event-path analysis
+    "events_markov_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ),
+        counts AS (
+            SELECT prev_type, next_type, COUNT(*) AS n_transitions
+            FROM pairs WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n_transitions,
+               ROUND(n_transitions / CAST(SUM(n_transitions) OVER
+                     (PARTITION BY prev_type) AS DOUBLE), 6) AS p_next_given_prev
+        FROM counts
     """,
     # ---------------------------------------- stream-static + applyInPandas
     "stream_events_enriched": """

@@ -1611,6 +1611,50 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (the inverse of events_daily_pivot, completing the
+    reshape pair): the wide per-day × per-type count matrix melts back to
+    long (event_date, event_type, n_events) via DataFrame.unpivot -- one
+    row per cell including the zero-filled ones, so wide -> long is
+    lossless. Map-only over the tiny pivoted frame."""
+    wide = q_events_daily_pivot(spark, sf)
+    return wide.unpivot(
+        ["event_date"], EVENT_TYPES, "event_type", "n_events"
+    ).withColumn("n_events", F.col("n_events").cast("long"))
+
+
+def q_events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-path analysis: the first-order Markov transition matrix of
+    event types -- for each (prev_type, next_type) adjacent pair in a
+    user's stream, the count and P(next | prev). The complement of the
+    ordered funnel: the funnel checks ONE path, the transition matrix
+    surfaces every path users actually take.
+
+    Scale shape: one hash(user) shuffle for the lag window (the same
+    exchange the funnel uses); the matrix agg then runs on (types x types)
+    keys -- map-side combined, bounded by the type vocabulary, skew-immune.
+    Ties on a timestamp are broken by event_id so `prev` is deterministic
+    in both engines."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_prev), 6
+        ).alias("p_next_given_prev"),
+    )
+
+
 def q_stream_events_enriched(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static dimension enrichment (streaming.jobs.stream_events_enriched):
     the event stream broadcast-joined to the static customer dim per
@@ -2062,6 +2106,8 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "events_unpivot": q_events_unpivot,
+    "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
     "events_user_trend_pandas": q_events_user_trend_pandas,
     "customer_spend_deciles": q_customer_spend_deciles,

@@ -219,3 +219,34 @@ def test_read_parquet_evolved_unions_schema_versions(spark, tmp_path):
     assert rows[1].lang is None and rows[1].score == 0.0  # v1 defaults
     assert rows[3].lang == "en" and rows[3].score == 0.9  # v2 passthrough
     assert "writer_ahead" not in out.columns
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """write -> write -> read(latest) == v2, read(version=1) == v1; a
+    half-published dir without a pointer flip stays invisible; vacuum
+    removes old versions but never the committed latest."""
+    from aws_glue_etl_sample_hist_spark.io.snapshots import (
+        latest_version,
+        list_versions,
+        read_snapshot,
+        vacuum,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    v1 = write_snapshot(spark.createDataFrame([(1, "a")], "id long, s string"), base)
+    v2 = write_snapshot(spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string"), base)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(base) == 2
+    assert read_snapshot(spark, base).count() == 2
+    assert [r.id for r in read_snapshot(spark, base, version=1).collect()] == [1]
+
+    # simulate a crashed publish: directory exists, pointer never flipped
+    spark.createDataFrame([(9, "x")], "id long, s string").write.parquet(base + "/v=3")
+    assert list_versions(base) == [1, 2, 3]
+    assert latest_version(base) == 2  # crash invisible to readers
+    assert read_snapshot(spark, base).count() == 2
+
+    removed = vacuum(base, keep=1)
+    assert removed == [1]  # v=2 is committed latest, v=3 is within keep window
+    assert read_snapshot(spark, base).count() == 2

@@ -1027,3 +1027,36 @@ def test_star_audit_catches_planted_violations(spark):
     assert rep["customer.c_custkey.unique"].passed
     assert rep["orders.o_orderkey.unique"].passed
     assert rep["lineitem.l_partkey.fk_part"].passed
+
+
+def test_markov_transitions_counts_and_conditional_probs(spark, tmp_path):
+    """Known stream: A->B twice, B->A once for user 1; user boundaries never
+    produce cross-user transitions; P(next|prev) normalizes per prev row."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=0), 1, "A", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "B", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "A", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "B", 0.0, "{}"),
+        # user 2 starts with B -- must NOT count as a transition from user 1's B
+        (5, t0 + dt.timedelta(minutes=0), 2, "B", 0.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "B", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r.prev_type, r.next_type): (r.n_transitions, r.p_next_given_prev)
+        for r in QUERIES["events_markov_transitions"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("A", "B"): (2, 1.0),
+        ("B", "A"): (1, 0.5),
+        ("B", "B"): (1, 0.5),
+    }
