@@ -139,6 +139,13 @@ def _minhash_wide(
     whole stage is codegen'd.
     """
     sh = _distinct_shingles(docs, shingle_n, text_col, id_col, max_df)
+    return _minhash_from_shingles(sh, num_hashes)
+
+
+def _minhash_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """The signature aggregate over an existing (doc_id, shingle) frame --
+    split out so callers that also need the shingle sets (e.g. the
+    incremental dedup's exact-Jaccard verify) compute shingling ONCE."""
     md = F.md5("shingle")
     x1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
     x2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
@@ -172,7 +179,10 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    bands = wide.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
+    # persisted: the self-join's two sides do NOT share a physical subtree
+    # (one side broadcasts, so Spark's ReusedExchange never fires), which
+    # otherwise runs the whole scan->shingle->md5->12-min pipeline twice
+    bands = wide.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig")).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -551,7 +561,8 @@ def simhash_near_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         "band_val", F.expr(f"shiftright(simhash, band * {band_bits})").bitwiseAND(F.lit(mask))
-    )
+    ).persist()  # self-join sides don't share a subtree (one broadcasts):
+    # without this the whole fingerprint pipeline runs twice
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -605,8 +616,15 @@ def incremental_minhash_dedup(
     Returns one row per new document:
     (doc_id, is_dup, best_match, jaccard)."""
 
-    def _bands(docs: DataFrame, out_id: str) -> DataFrame:
-        wide = _minhash_wide(docs, num_hashes, shingle_n, text_col, id_col, max_df)
+    # shingle each side ONCE; signatures and the exact verify share the
+    # frame (persisted: at real scale the existing side's shingles+bands
+    # live as the on-disk dedup index, so recomputing them per stage is
+    # exactly the waste this operator exists to avoid)
+    sh_new_base = _distinct_shingles(new, shingle_n, text_col, id_col, max_df).persist()
+    sh_old_base = _distinct_shingles(existing, shingle_n, text_col, id_col, max_df).persist()
+
+    def _bands(sh: DataFrame, out_id: str) -> DataFrame:
+        wide = _minhash_from_shingles(sh, num_hashes)
         n_bands = num_hashes // band_size
         band_sigs = F.array(
             *[
@@ -621,17 +639,13 @@ def incremental_minhash_dedup(
         )
 
     cand = (
-        _bands(new, "new_id")
-        .join(_bands(existing, "old_id"), ["band", "band_sig"])
+        _bands(sh_new_base, "new_id")
+        .join(_bands(sh_old_base, "old_id"), ["band", "band_sig"])
         .select("new_id", "old_id")
         .distinct()
     )
-    sh_new = _distinct_shingles(new, shingle_n, text_col, id_col, max_df).select(
-        F.col("doc_id").alias("new_id"), "shingle"
-    )
-    sh_old = _distinct_shingles(existing, shingle_n, text_col, id_col, max_df).select(
-        F.col("doc_id").alias("old_id"), "shingle"
-    )
+    sh_new = sh_new_base.select(F.col("doc_id").alias("new_id"), "shingle")
+    sh_old = sh_old_base.select(F.col("doc_id").alias("old_id"), "shingle")
     # exact verify only touches candidate docs' shingle sets
     sh_new_c = sh_new.join(cand.select("new_id").distinct(), "new_id", "left_semi")
     sh_old_c = sh_old.join(cand.select("old_id").distinct(), "old_id", "left_semi")

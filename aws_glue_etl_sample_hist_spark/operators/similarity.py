@@ -485,26 +485,49 @@ def near_dup_pairs(
         a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
+        score = cosine(F.col("va"), F.col("vb"))
     else:
-        sigs = F.array(*[sign_bucket(F.col(vec_col), d) for d in band_dims])
-        banded = emb.select(
-            F.col(id_col), F.col(vec_col), F.posexplode(sigs).alias("band", "sig")
+        # normalize ONCE (norm hoisted to a column, never inside the
+        # transform lambda) so the per-candidate test is a single dot
+        # product -- same trade as semantic_dedup, oracle mirrors the
+        # formula. Sign buckets are scale-invariant, so banding on the
+        # normalized vector is bit-identical to banding on the raw one.
+        normed = emb.withColumn(
+            "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+        ).withColumn(
+            "_nv", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm"))
         )
-        a = banded.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "band", "sig"
-        )
+        sigs = F.array(*[sign_bucket(F.col("_nv"), d) for d in band_dims])
+        # the band self-join carries IDS ONLY: the raw per-band candidate
+        # multiset is pairs-heavy (every shared band re-emits the pair), and
+        # dragging two d-dim arrays per row through that join + the
+        # dropDuplicates shuffle is the dominant cost. Dedupe the narrow id
+        # pairs first, then attach each side's normalized vector by id.
+        # persisted x2: neither self-join side nor the two vector joins
+        # share a physical subtree, so each frame would otherwise recompute.
+        banded = normed.select(
+            F.col(id_col), F.posexplode(sigs).alias("band", "sig")
+        ).persist()
+        a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
         b = banded.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col(id_col).alias("id_b"),
             F.col("band").alias("band_b"), F.col("sig").alias("sig_b"),
         )
-        cand = a.join(
+        cand_ids = a.join(
             b,
             (F.col("band") == F.col("band_b"))
             & (F.col("sig") == F.col("sig_b"))
             & (F.col("id_a") < F.col("id_b")),
-        ).dropDuplicates(["id_a", "id_b"])
+        ).select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        vecs = normed.select(F.col(id_col).alias("_vid"), F.col("_nv")).persist()
+        cand = cand_ids.join(
+            vecs.select(F.col("_vid").alias("id_a"), F.col("_nv").alias("va")), "id_a"
+        ).join(
+            vecs.select(F.col("_vid").alias("id_b"), F.col("_nv").alias("vb")), "id_b"
+        )
+        score = dot(F.col("va"), F.col("vb"))
     return (
-        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw"))
+        cand.select("id_a", "id_b", score.alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
     )

@@ -749,15 +749,20 @@ ORACLE_SQL: dict[str, str] = {
             SELECT a.vec_id, b.vec_id
             FROM e a JOIN e b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
         )
+        , en AS (
+            -- normalize once, exactly like the operator (norm hoisted,
+            -- per-element divide); pair test becomes a plain dot product
+            SELECT vec_id, list_transform(v, x -> x / n) AS nv
+            FROM (SELECT vec_id, v,
+                         greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n
+                  FROM e)
+        )
         SELECT c.id_a, c.id_b,
-               ROUND(list_dot_product(ea.v, eb.v)
-                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
-                   6) AS cosine
+               ROUND(list_dot_product(ea.nv, eb.nv), 6) AS cosine
         FROM cand c
-        JOIN e ea ON ea.vec_id = c.id_a
-        JOIN e eb ON eb.vec_id = c.id_b
-        WHERE list_dot_product(ea.v, eb.v)
-              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+        JOIN en ea ON ea.vec_id = c.id_a
+        JOIN en eb ON eb.vec_id = c.id_b
+        WHERE list_dot_product(ea.nv, eb.nv) >= 0.4
     """,
     # ---------------- event-stream analytics ----------------
     "events_windowed_agg": """
@@ -1605,6 +1610,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM adc
         QUALIFY rank <= 5
     """,
+    # ---------------------------------------- VARIANT semi-structured
+    "events_variant_stats": """
+        WITH k AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(k)                         AS n_with_k,
+               ROUND(median(k), 1)              AS median_k,
+               CAST(COALESCE(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_high
+        FROM k
+        GROUP BY event_type
+    """,
     # ---------------------------------------- reshape (unpivot/melt)
     "events_unpivot": """
         WITH wide AS (
@@ -2066,3 +2086,6 @@ def _random_projection_sql() -> str:
 
 
 ORACLE_SQL["embedding_random_projection"] = _random_projection_sql()
+
+# the UDTF chunker is contract-identical to the JVM chunker; same oracle
+ORACLE_SQL["corpus_chunk_udtf"] = ORACLE_SQL["corpus_chunk"]

@@ -1611,6 +1611,66 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_chunk_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """U2 exemplar: the token-window chunker as a Python UDTF (Spark 4's
+    user-defined TABLE function -- one input row, many output rows) applied
+    via LATERAL join. Same contract and oracle as corpus_chunk, the same
+    role U1 plays for row UDFs: the documented SLOW path (one Python
+    process round-trip per row) whose JVM twin (operators.text.chunk_documents,
+    sequence+explode, zero Python) is the production path. Chunk math is
+    kept token-for-token identical: starts 1..ceil(max(n-w,0)/s)*s+1 step s,
+    tail windows short, chunk text pinned by md5."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: long, chunk_tokens: long, chunk_md5: string")
+    class ChunkDoc:
+        def eval(self, text: str):  # noqa: ANN001
+            window, stride = 32, 16
+            toks = re.split(r"\s+", (text or "").strip())
+            n = len(toks)
+            stop = int(-(-max(n - window, 0) // stride)) * stride + 1
+            for start in range(1, stop + 1, stride):
+                chunk = toks[start - 1 : start - 1 + window]
+                yield (
+                    (start - 1) // stride,
+                    min(window, n - start + 1),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    load_table(spark, sf, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_md5
+        FROM _docs_udtf d, LATERAL chunk_doc_udtf(d.text) c
+        """
+    )
+
+
+def q_events_variant_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of the semi-structured props column:
+    parse_json once into the binary variant encoding, then typed
+    try_variant_get extraction feeding per-type distribution stats -- the
+    open-schema path for event properties (contrast events_json_extract's
+    per-path get_json_object string re-parse: variant parses ONCE and every
+    extraction is a binary field lookup, the difference that matters when
+    one row feeds ten extractions at 100 TB)."""
+    ev = load_table(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.expr("percentile(k, 0.5)"), 1).alias("median_k"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+        )
+    )
+
+
 def q_events_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Unpivot/melt (the inverse of events_daily_pivot, completing the
     reshape pair): the wide per-day × per-type count matrix melts back to
@@ -2106,6 +2166,8 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "corpus_chunk_udtf": q_corpus_chunk_udtf,
+    "events_variant_stats": q_events_variant_stats,
     "events_unpivot": q_events_unpivot,
     "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
