@@ -1610,6 +1610,44 @@ ORACLE_SQL: dict[str, str] = {
         FROM adc
         QUALIFY rank <= 5
     """,
+    # ---------------------------------------- semantic decontamination + robust stats
+    "corpus_semantic_decontamination": """
+        WITH en AS (
+            SELECT vec_id, list_transform(v, x -> x / n) AS nv
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                        embedding::DOUBLE[])), 1e-12) AS n
+                  FROM embeddings)
+        ),
+        bench AS (SELECT vec_id AS bench_id, nv AS bv FROM en WHERE vec_id < 10),
+        corpus AS (SELECT vec_id, nv FROM en WHERE vec_id >= 10)
+        SELECT c.vec_id,
+               ROUND(MAX(list_dot_product(c.nv, b.bv)), 6) AS max_bench_cosine,
+               MAX(list_dot_product(c.nv, b.bv)) >= 0.5    AS is_contaminated
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY c.vec_id
+    """,
+    "customer_spend_outliers_mad": """
+        WITH spend AS (
+            SELECT o.o_custkey, SUM(o.o_totalprice) AS total_spend, c.c_mktsegment
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey, c.c_mktsegment
+        ),
+        stats AS (
+            SELECT c_mktsegment,
+                   median(CAST(total_spend AS DOUBLE)) AS med,
+                   mad(CAST(total_spend AS DOUBLE))    AS mad_v
+            FROM spend GROUP BY c_mktsegment
+        )
+        SELECT s.o_custkey AS customer_id, s.c_mktsegment,
+               ROUND(s.total_spend, 2) AS total_spend,
+               ROUND(0.6745 * (s.total_spend - t.med) / NULLIF(t.mad_v, 0), 4)
+                   AS robust_z,
+               COALESCE(ABS(ROUND(0.6745 * (s.total_spend - t.med)
+                                  / NULLIF(t.mad_v, 0), 4)) > 3.5, FALSE) AS is_outlier
+        FROM spend s JOIN stats t ON t.c_mktsegment = s.c_mktsegment
+    """,
     # ---------------------------------------- VARIANT semi-structured
     "events_variant_stats": """
         WITH k AS (

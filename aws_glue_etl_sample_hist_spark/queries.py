@@ -1611,6 +1611,89 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    against ANY benchmark vector reaches 0.5 -- the semantic complement of
+    the 5-gram scrub (corpus_decontamination), catching paraphrased leaks
+    n-gram overlap misses. Benchmark = vec_id < 10, corpus = the rest.
+
+    Scale shape: both sides L2-normalize once (map-only); the BOUNDED
+    benchmark side broadcasts and the corpus never shuffles -- the
+    per-corpus-row work is |bench| dot products, an acceptable constant for
+    a benchmark suite (thousands of rows); a consortium-scale bench list
+    would swap in the banded-LSH candidate path (near_dup_pairs) exactly
+    like the Bloom variant does for n-grams."""
+    from .operators.similarity import dot, norm
+
+    emb = load_table(spark, sf, "embeddings")
+    normed = emb.withColumn(
+        "_norm", F.greatest(norm(F.col("embedding")), F.lit(1e-12))
+    ).withColumn(
+        "_nv", F.transform("embedding", lambda x: x.cast("double") / F.col("_norm"))
+    )
+    bench = normed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("bench_id"), F.col("_nv").alias("bv")
+    )
+    corpus = normed.filter(F.col("vec_id") >= 10).select("vec_id", "_nv")
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id")
+        .agg(F.max(dot(F.col("_nv"), F.col("bv"))).alias("_max_cos"))
+        .select(
+            "vec_id",
+            F.round("_max_cos", 6).alias("max_bench_cosine"),
+            (F.col("_max_cos") >= 0.5).alias("is_contaminated"),
+        )
+    )
+
+
+def q_customer_spend_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection: per-segment median + MAD (median absolute
+    deviation) of customer total spend, modified z-score
+    0.6745*(x - median)/MAD, |z| > 3.5 flags -- the robust-statistics twin
+    of the mean/stddev z-score (embedding_centroid_outliers), immune to the
+    very outliers it hunts. Oracle uses DuckDB's native median()/mad().
+
+    Scale shape: one shuffle for per-customer spend; the exact per-segment
+    percentiles run over the ~5 bounded segments (same documented trap and
+    alternatives as customer_spend_deciles); stats broadcast back, scoring
+    map-only."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_spend"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    med = spend.groupBy("c_mktsegment").agg(
+        F.expr("percentile(total_spend, 0.5)").alias("_med")
+    )
+    dev = spend.join(F.broadcast(med), "c_mktsegment")
+    stats = dev.groupBy("c_mktsegment").agg(
+        F.first("_med").alias("_med"),
+        F.expr("percentile(abs(total_spend - _med), 0.5)").alias("_mad"),
+    )
+    return (
+        spend.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            "c_mktsegment",
+            F.round("total_spend", 2).alias("total_spend"),
+            F.round(
+                0.6745 * (F.col("total_spend") - F.col("_med"))
+                / F.nullif(F.col("_mad"), F.lit(0.0)),
+                4,
+            ).alias("robust_z"),
+        )
+        .withColumn(
+            "is_outlier", F.coalesce(F.abs(F.col("robust_z")) > 3.5, F.lit(False))
+        )
+    )
+
+
 def q_corpus_chunk_udtf(spark: SparkSession, sf: str) -> DataFrame:
     """U2 exemplar: the token-window chunker as a Python UDTF (Spark 4's
     user-defined TABLE function -- one input row, many output rows) applied
@@ -2166,6 +2249,8 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
+    "customer_spend_outliers_mad": q_customer_spend_outliers_mad,
     "corpus_chunk_udtf": q_corpus_chunk_udtf,
     "events_variant_stats": q_events_variant_stats,
     "events_unpivot": q_events_unpivot,

@@ -106,6 +106,7 @@ NESTED_LOOP_WHITELIST = {
     "corpus_zipf",                 # 1-row corpus token total x top-50 terms
     "corpus_source_budget",        # 1-row token total x sources-cardinality agg
     "dq_audit",                    # 1-row x 1-row count joins inside fk_check
+    "corpus_semantic_decontamination",  # bounded benchmark set broadcast x corpus
 }
 
 
