@@ -178,3 +178,37 @@ def pack_shards(
         )
         .drop("_bucket", "_run_in", "_off")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    *,
+    weight: Column,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, k rows: the
+    Efraimidis-Spirakis A-ES scheme with the deterministic hash draw --
+    each row scores u^(1/w) for u ~ (0,1] and the top-k scores win, which
+    is exactly probability-proportional-to-weight sampling. u comes from
+    `sample_hash` (never `rand()`), so the selection is reproducible
+    across runs/engines/partitionings and ships an exact oracle; heavier
+    rows win more often but any row can win -- the quality-WEIGHTED corpus
+    subsample, vs hash_sample's uniform keep.
+
+    Scale shape: scoring is map-only; top-k is ORDER BY + LIMIT =
+    TakeOrderedAndProject (per-partition heaps, no global sort). Weights
+    must be > 0; rows with null/non-positive weight are dropped (they have
+    zero selection probability by definition).
+
+    Returns the winning rows + their (rounded) score, ordered for the
+    oracle compare by score desc."""
+    u = (sample_hash(F.col(key_col), salt) + 1) / float(SAMPLE_MOD)  # (0, 1]
+    score = F.pow(u, 1.0 / weight)
+    return (
+        df.filter(weight > 0)
+        .withColumn("sample_score", F.round(score, 8))
+        .orderBy(F.col("sample_score").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -2127,3 +2127,37 @@ ORACLE_SQL["embedding_random_projection"] = _random_projection_sql()
 
 # the UDTF chunker is contract-identical to the JVM chunker; same oracle
 ORACLE_SQL["corpus_chunk_udtf"] = ORACLE_SQL["corpus_chunk"]
+
+# triangle census composes over the SAME edge list the LSH oracle produces
+ORACLE_SQL["dedup_triangles"] = f"""
+    WITH edges AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
+    ),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.doc_a = e1.doc_b
+        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles
+    FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY doc_id
+"""
+
+ORACLE_SQL["corpus_sample_weighted"] = """
+    SELECT doc_id, lang, source, n_chars,
+           ROUND(POW(u, 1.0 / n_chars), 8) AS sample_score
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               (CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 + 1) / 1000000.0 AS u
+        FROM documents
+        WHERE n_chars > 0
+    )
+    ORDER BY sample_score DESC, doc_id ASC
+    LIMIT 100
+"""

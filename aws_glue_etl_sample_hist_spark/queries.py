@@ -1611,6 +1611,57 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus subsample (operators.sampling.weighted_sample_topk):
+    Efraimidis-Spirakis u^(1/w) top-k with the deterministic md5 draw,
+    weight = doc length in chars -- longer docs proportionally likelier,
+    selection reproducible and oracle-exact. Map-only scoring +
+    TakeOrderedAndProject."""
+    from .operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample_topk(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        100,
+        weight=F.col("n_chars").cast("double"),
+    )
+
+
+def q_dedup_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the near-dup graph: per-document count of
+    triangles (mutually-similar triples) it belongs to -- the structure
+    signal that separates a pairwise-similar pile from a true template
+    cluster (triangle-dense neighborhoods = boilerplate families; the
+    graph-analytics complement of connected components).
+
+    Scale shape: edges come from the banded LSH generator (already sparse,
+    id_a < id_b). The census is the canonical two-join enumeration over the
+    ORIENTED edge list -- orientation (a<b<c) counts each triangle exactly
+    once AND bounds the join fan-out (the standard degree-ordering trick);
+    both joins are plain equi-joins shuffling edges on one key. The final
+    per-node explode aggregates on doc ids."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    edges = (
+        minhash_lsh_pairs(load_table(spark, sf, "documents"), num_hashes=12, band_size=3)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def q_corpus_semantic_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space decontamination: flag corpus vectors whose cosine
     against ANY benchmark vector reaches 0.5 -- the semantic complement of
@@ -2249,6 +2300,8 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "corpus_sample_weighted": q_corpus_sample_weighted,
+    "dedup_triangles": q_dedup_triangles,
     "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
     "customer_spend_outliers_mad": q_customer_spend_outliers_mad,
     "corpus_chunk_udtf": q_corpus_chunk_udtf,

@@ -107,3 +107,108 @@ def test_chunking_covers_every_token_with_exact_overlap(spark, n_tokens, window,
     assert covered == set(range(n_tokens))
     # dense chunk indices
     assert [i for i, _ in rows] == list(range(len(rows)))
+
+
+interval_strategy = st.tuples(
+    # events: (ts_minute, id)
+    st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=40),
+    # intervals: (start_minute, length_minutes)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=1, max_value=180),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(interval_strategy)
+def test_interval_join_binned_matches_bruteforce(spark, data):
+    """The binned range join returns EXACTLY the brute-force [start, end)
+    matches for arbitrary event/interval layouts -- including intervals
+    shorter/longer than the bin, bin-boundary timestamps, and overlaps."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.operators.asof import interval_join_binned
+
+    minutes, intervals = data
+    base = dt.datetime(2024, 1, 1)
+    ev_rows = [(i, base + dt.timedelta(minutes=m)) for i, m in enumerate(minutes)]
+    int_rows = [
+        (j, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + ln))
+        for j, (s, ln) in enumerate(intervals)
+    ]
+    left = spark.createDataFrame(ev_rows, "event_id long, ts timestamp")
+    ints = spark.createDataFrame(int_rows, "interval_id long, start timestamp, end timestamp")
+
+    got = {
+        (r.event_id, r.interval_id)
+        for r in interval_join_binned(left, ints, bin_seconds=3600).collect()
+    }
+    want = {
+        (i, j)
+        for i, m in enumerate(minutes)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= m < s + ln
+    }
+    assert got == want
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=25),  # left ts
+    st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=25),  # right ts
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_strategy)
+def test_asof_join_matches_python_reference(spark, data):
+    """For every left row, the attached right value is the LATEST right row
+    with right_ts <= left_ts (ties included), null when none exists --
+    against a brute-force python reference, same single key."""
+    import datetime as dt
+
+    from aws_glue_etl_sample_hist_spark.operators.asof import asof_join
+
+    left_m, right_m = data
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, 1, base + dt.timedelta(minutes=m)) for i, m in enumerate(left_m)],
+        "left_id long, k long, lts timestamp",
+    )
+    # unique right timestamps: duplicate (key, time) winners are the caller's
+    # contract (documented pre-reduce), so the property holds on distinct ts
+    right_rows = [
+        (100 + j, 1, base + dt.timedelta(minutes=m), float(m))
+        for j, m in enumerate(sorted(set(right_m)))
+    ]
+    right = spark.createDataFrame(
+        right_rows, "right_id long, k long, rts timestamp, rv double"
+    )
+    out = {
+        r.left_id: r.rv
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="lts",
+            right_time="rts",
+            value_cols=["rv"],
+        ).collect()
+    }
+    rset = sorted(set(right_m))
+    for i, m in enumerate(left_m):
+        eligible = [x for x in rset if x <= m]
+        want = float(eligible[-1]) if eligible else None
+        assert out[i] == want, (i, m, out[i], want)
