@@ -1,0 +1,133 @@
+"""The curation DAG: the LLM-training-data analog of the medallion pipeline.
+
+Where `plans/medallion.py` rebuilds the reference's retail tiers
+(bronze -> silver -> gold, ref:scripts/stepfunction.json), this plan wires the
+engine's corpus operators into the same materialized-tier architecture:
+
+    C0 (parallel)  doc_stats   per-doc quality statistics, partitioned by lang
+                   benchmark   the held-out eval docs (the decontamination list)
+    C1             cleaned     quality filter AND near-dup cluster keepers,
+                               TEXT carried forward (the tier later stages scan)
+    C2             released    C1 minus benchmark-contaminated docs (5-gram scrub)
+    C3 (parallel)  training    released docs sharded for a training run
+                               (deterministic shuffle shards, partitioned by shard)
+                   manifest    per-(lang, source) doc/token accounting of the release
+
+Every stage reads the PREVIOUS tier's parquet (not the in-memory frame), so
+each tier is independently restartable and inspectable -- the property that
+matters when C1 takes a day at 100 TB and C2 crashes. Stage internals are the
+oracle-checked operators (`text_stats` composition, `dedup_clusters`,
+`contamination_flags`, `shuffle_shards`); this plan pins their composition,
+and the test asserts the materialized release equals the in-memory
+composition exactly.
+
+Scale notes: the only data-scale shuffles are the ones the operators already
+own (shingle groupBys, the cluster-id exchange); every tier write is
+column-pruned parquet with the lang/shard partition layout downstream
+consumers prune on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..io.sinks import write_partitioned
+from .pipeline import Pipeline
+
+BENCH_MAX_DOC_ID = 10  # doc_id < 10 stand in for the held-out eval set
+
+
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..queries import q_text_stats
+
+    return q_text_stats(spark, sf_dir)
+
+
+def run_curation(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    n_shards: int = 8,
+    quality_min: float = 0.5,
+) -> dict[str, float]:
+    """Run the full curation DAG; returns per-task wall seconds."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = os.path.join
+
+    def c0_doc_stats() -> None:
+        write_partitioned(
+            _doc_stats(spark, sf_dir), p(out_dir, "c0", "doc_stats"),
+            partition_by=["lang"],
+        )
+
+    def c0_benchmark() -> None:
+        write_partitioned(
+            docs.filter(F.col("doc_id") < BENCH_MAX_DOC_ID),
+            p(out_dir, "c0", "benchmark"),
+        )
+
+    def c1_cleaned() -> None:
+        from ..queries import q_dedup_clusters
+
+        stats = spark.read.parquet(p(out_dir, "c0", "doc_stats")).select(
+            "doc_id", "quality_score"
+        )
+        keepers = (
+            q_dedup_clusters(spark, sf_dir)
+            .filter(F.col("is_keeper") == 1)
+            .select("doc_id", "cluster_id")
+        )
+        cleaned = (
+            docs.join(keepers, "doc_id")
+            .join(stats, "doc_id")
+            .filter(F.col("quality_score") >= quality_min)
+            .filter(F.col("doc_id") >= BENCH_MAX_DOC_ID)  # eval set never trains
+        )
+        write_partitioned(cleaned, p(out_dir, "c1", "cleaned"), partition_by=["lang"])
+
+    def c2_released() -> None:
+        from ..operators.dedup import contamination_flags
+
+        cleaned = spark.read.parquet(p(out_dir, "c1", "cleaned"))
+        bench = spark.read.parquet(p(out_dir, "c0", "benchmark"))
+        flags = contamination_flags(cleaned, bench, n=5).filter(
+            F.col("is_contaminated") == 1
+        ).select("doc_id")
+        write_partitioned(
+            cleaned.join(flags, "doc_id", "left_anti"),
+            p(out_dir, "c2", "released"),
+            partition_by=["lang"],
+        )
+
+    def c3_training() -> None:
+        from ..operators.sampling import shuffle_shards
+
+        released = spark.read.parquet(p(out_dir, "c2", "released"))
+        write_partitioned(
+            shuffle_shards(released, n_shards),
+            p(out_dir, "c3", "training"),
+            partition_by=["shard"],
+        )
+
+    def c3_manifest() -> None:
+        from ..operators.text import token_count
+
+        released = spark.read.parquet(p(out_dir, "c2", "released"))
+        manifest = released.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+        write_partitioned(manifest, p(out_dir, "c3", "manifest"))
+
+    pipe = (
+        Pipeline()
+        .add_stage("c0", doc_stats=c0_doc_stats, benchmark=c0_benchmark)
+        .add_stage("c1", cleaned=c1_cleaned)
+        .add_stage("c2", released=c2_released)
+        .add_stage("c3", training=c3_training, manifest=c3_manifest)
+    )
+    return pipe.run()

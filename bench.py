@@ -99,6 +99,15 @@ def main() -> None:
         pipeline_sec = round(time.perf_counter() - t0, 3)
     timings["medallion_pipeline"] = pipeline_sec
 
+    # the LLM-curation DAG (stats ∥ benchmark -> cleaned -> released ->
+    # training ∥ manifest), same materialized-tier architecture
+    from aws_glue_etl_sample_hist_spark.plans.curation import run_curation
+
+    with tempfile.TemporaryDirectory(prefix="curation_bench_") as tmp:
+        t0 = time.perf_counter()
+        run_curation(spark, sf_dir, tmp)
+        timings["curation_pipeline"] = round(time.perf_counter() - t0, 3)
+
     # bucketed-bronze variant: the shuffle-free T1 layout (plans.medallion)
     with tempfile.TemporaryDirectory(prefix="medallion_bkt_bench_") as tmp:
         t0 = time.perf_counter()

@@ -144,3 +144,31 @@ def test_interval_join_binned_restores_equi_join(spark, sf_oracle):
     )
     naive = ev.join(ints, (ev.ts >= ints.start) & (ev.ts < ints["end"]))
     assert "BroadcastNestedLoopJoin" in _plan(naive)
+
+
+def test_funnel_uses_single_data_scale_exchange(spark, sf_oracle):
+    """All N funnel-step window minima and the per-user agg share ONE
+    hash(user_id) exchange; the only other exchange is the final
+    SinglePartition reduction of the per-user frame to step counts."""
+    plan = _plan(QUERIES["events_funnel"](spark, sf_oracle))
+    n_shuffle = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
+    assert n_shuffle == 2, plan  # hashpartitioning(user_id) + SinglePartition
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_random_projection_is_map_only(spark, sf_oracle):
+    """The JL projection never shuffles, broadcasts, or aggregates -- pure
+    per-row arithmetic over the scan."""
+    plan = _plan(QUERIES["embedding_random_projection"](spark, sf_oracle))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_markov_matrix_aggregates_on_bounded_keys(spark, sf_oracle):
+    """The transition matrix shuffles events once on user_id for the lag
+    window; the matrix agg itself runs on (prev,next) type pairs -- no
+    second data-scale exchange on a per-event key."""
+    plan = _plan(QUERIES["events_markov_transitions"](spark, sf_oracle))
+    assert plan.count("hashpartitioning(user_id") >= 1
+    # remaining exchanges partition on the type-pair/grouping keys only
+    assert "hashpartitioning(event_id" not in plan
