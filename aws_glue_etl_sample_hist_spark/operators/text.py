@@ -451,3 +451,39 @@ def strip_repeated_chunks(
             ).alias("clean_md5"),
         )
     )
+
+
+def quality_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document quality statistics + composite score over an ARBITRARY
+    document frame (factored out of the sf-bound query so incremental
+    pipelines can score a new crawl batch with byte-identical expressions).
+    Columns: doc_id, lang, n_chars_measured, n_tokens, n_distinct_tokens,
+    distinct_ratio, stopword_ratio, avg_token_len, quality_score."""
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        "lang",
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        stopword_count(toks, QUALITY_STOPWORDS).alias("n_stopwords"),
+        sum_token_lengths(toks).alias("sum_token_len"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars_measured",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(F.col("sum_token_len") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        F.round(
+            0.4 * (F.col("n_distinct_tokens") / F.col("n_tokens"))
+            + 0.3 * (1 - F.col("n_stopwords") / F.col("n_tokens"))
+            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            4,
+        ).alias("quality_score"),
+    )

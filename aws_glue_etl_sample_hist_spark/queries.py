@@ -523,36 +523,12 @@ def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document text statistics + composite quality score (length,
     lexical diversity, stopword density) -- the quality-filter stage of a
-    training-data pipeline, all JVM expressions."""
-    from .operators.text import QUALITY_STOPWORDS, stopword_count, sum_token_lengths, tokens
+    training-data pipeline, all JVM expressions
+    (operators.text.quality_stats, frame-generic so incremental pipelines
+    score new batches with byte-identical expressions)."""
+    from .operators.text import quality_stats
 
-    docs = load_table(spark, sf, "documents")
-    toks = tokens(F.col("text"))
-    d = docs.select(
-        "doc_id",
-        "lang",
-        F.length("text").cast("long").alias("n_chars_measured"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-        stopword_count(toks, QUALITY_STOPWORDS).alias("n_stopwords"),
-        sum_token_lengths(toks).alias("sum_token_len"),
-    )
-    return d.select(
-        "doc_id",
-        "lang",
-        "n_chars_measured",
-        "n_tokens",
-        "n_distinct_tokens",
-        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 4).alias("distinct_ratio"),
-        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(F.col("sum_token_len") / F.col("n_tokens"), 4).alias("avg_token_len"),
-        F.round(
-            0.4 * (F.col("n_distinct_tokens") / F.col("n_tokens"))
-            + 0.3 * (1 - F.col("n_stopwords") / F.col("n_tokens"))
-            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
-            4,
-        ).alias("quality_score"),
-    )
+    return quality_stats(load_table(spark, sf, "documents"))
 
 
 def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
