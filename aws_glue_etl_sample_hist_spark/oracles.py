@@ -2161,3 +2161,19 @@ ORACLE_SQL["corpus_sample_weighted"] = """
     ORDER BY sample_score DESC, doc_id ASC
     LIMIT 100
 """
+
+ORACLE_SQL["nation_trade_matrix"] = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           strftime(l.l_shipdate, '%Y') AS ship_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2, 3
+"""

@@ -14,7 +14,10 @@ jb_de_enhancement_t2_salesbyageproducts_s2s.py:55-56).
 
 Float discipline: any aggregated double is rounded (2-4 dp) in BOTH engines
 so partial-aggregation order cannot flip the value hash; pass-through doubles
-are left exact.
+are left exact. Where fine-grained groups land sums on rounding boundaries
+anyway (nation_trade_matrix), the accumulation is DECIMAL: each addend
+rounds to 6 dp once, identically in both engines, and decimal addition is
+exact -- the sum is partitioning-invariant by construction.
 """
 
 from __future__ import annotations
@@ -1587,6 +1590,59 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nation_trade_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Bilateral trade matrix (TPC-H Q7's shape): discounted revenue per
+    (supplier nation -> customer nation, year) -- the one join topology the
+    surface lacked: the SAME fact row joins dimensions through BOTH of its
+    foreign keys (suppkey chain and orderkey->custkey chain) before the
+    agg.
+
+    Scale shape: supplier/customer/nation all broadcast (the fact never
+    shuffles for them); lineitem⋈orders is the one fact-to-fact exchange,
+    same as the silver build (and deleted by the bucketed layout); the
+    final agg runs on (nation, nation, year) keys -- bounded."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(
+            # decimal accumulation: double sums are order-dependent and this
+            # matrix's fine groups land on 2-dp rounding boundaries; each
+            # product rounds to 6 dp ONCE (identically in both engines) and
+            # decimal addition is exact, so the sum is partitioning-invariant
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_corpus_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted corpus subsample (operators.sampling.weighted_sample_topk):
     Efraimidis-Spirakis u^(1/w) top-k with the deterministic md5 draw,
@@ -2276,6 +2332,7 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "nation_trade_matrix": q_nation_trade_matrix,
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "dedup_triangles": q_dedup_triangles,
     "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
