@@ -2177,3 +2177,32 @@ ORACLE_SQL["nation_trade_matrix"] = """
     JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
     GROUP BY 1, 2, 3
 """
+
+ORACLE_SQL["promo_revenue_share"] = """
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) * 100
+                      / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS promo_pct,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE strftime(l.l_shipdate, '%Y') = '1996'
+    GROUP BY 1
+"""
+
+ORACLE_SQL["special_revenue"] = """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+"""

@@ -1590,6 +1590,67 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-aggregate ratio (TPC-H Q14's shape): per month of 1996,
+    the percentage of revenue coming from PROMO-type parts -- one broadcast
+    part join, one agg computing numerator and denominator together (a
+    CASE inside SUM, never two scans). Decimal accumulation keeps both
+    sums partitioning-invariant before the ratio."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.filter(F.date_format("l_shipdate", "yyyy") == "1996")
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "ship_month",
+            F.round((F.col("_promo") * 100 / F.col("_total")).cast("double"), 4).alias(
+                "promo_pct"
+            ),
+            F.round(F.col("_total"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_special_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive multi-branch predicate (TPC-H Q19's shape): revenue from
+    lineitems matching ANY of three (brand x size-range x quantity-range)
+    branches -- the OR-of-ANDs boolean tree Catalyst must push through the
+    broadcast join and into both scans as a residual filter. One row out;
+    decimal accumulation."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return joined.filter(branch).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def q_nation_trade_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Bilateral trade matrix (TPC-H Q7's shape): discounted revenue per
     (supplier nation -> customer nation, year) -- the one join topology the
@@ -2332,6 +2393,8 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "promo_revenue_share": q_promo_revenue_share,
+    "special_revenue": q_special_revenue,
     "nation_trade_matrix": q_nation_trade_matrix,
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "dedup_triangles": q_dedup_triangles,
