@@ -2206,3 +2206,34 @@ ORACLE_SQL["special_revenue"] = """
        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
            AND l.l_quantity BETWEEN 20 AND 40)
 """
+
+ORACLE_SQL["shipping_priority"] = """
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(o.o_orderdate AS DATE) < DATE '1996-06-30'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-30'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+"""
+
+ORACLE_SQL["returned_revenue_customers"] = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS returned_revenue,
+           COUNT(*) AS n_returned_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND strftime(l.l_shipdate, '%Y%m%d') BETWEEN '19960701' AND '19961231'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY returned_revenue DESC, c.c_custkey ASC
+    LIMIT 20
+"""

@@ -1590,6 +1590,65 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-crossed join filter + top-k (TPC-H Q3's shape): the 10 highest-
+    revenue orders placed BEFORE a date whose lineitems ship AFTER it --
+    the filter cuts BOTH join sides on opposite sides of the same date, so
+    each cut pushes to its own parquet scan before the orderkey exchange.
+    Decimal revenue; TakeOrderedAndProject top-k with the orderkey
+    tiebreak."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cut = "1996-06-30"
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        orders.filter(F.to_date("o_orderdate") < F.lit(cut).cast("date"))
+        .join(
+            li.filter(F.to_date("l_shipdate") > F.lit(cut).cast("date")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_returned_revenue_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item loss report (TPC-H Q10's shape): the 20 customers with
+    the most revenue tied up in RETURNED lineitems over H2-1996, with their
+    nation -- the selective-filter-then-4-table-join report. The returnflag
+    + date cuts prune lineitem at its scan; customer/nation broadcast;
+    decimal revenue; top-k heap, custkey tiebreak."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    returned = li.filter(
+        (F.col("l_returnflag") == "R")
+        & F.date_format("l_shipdate", "yyyyMMdd").between("19960701", "19961231")
+    )
+    cust_geo = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_geo), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("returned_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     """Conditional-aggregate ratio (TPC-H Q14's shape): per month of 1996,
     the percentage of revenue coming from PROMO-type parts -- one broadcast
@@ -2393,6 +2452,8 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "shipping_priority": q_shipping_priority,
+    "returned_revenue_customers": q_returned_revenue_customers,
     "promo_revenue_share": q_promo_revenue_share,
     "special_revenue": q_special_revenue,
     "nation_trade_matrix": q_nation_trade_matrix,
