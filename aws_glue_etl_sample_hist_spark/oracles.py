@@ -2237,3 +2237,26 @@ ORACLE_SQL["returned_revenue_customers"] = """
     ORDER BY returned_revenue DESC, c.c_custkey ASC
     LIMIT 20
 """
+
+ORACLE_SQL["nation_balance_sheet"] = """
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_balance
+        FROM customer WHERE c_nationkey < 20 GROUP BY 1
+    ),
+    supp AS (
+        SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_balance
+        FROM supplier WHERE s_nationkey >= 5 GROUP BY 1
+    ),
+    merged AS (
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(c.cust_balance, 0.0) AS cust_balance,
+               COALESCE(s.supp_balance, 0.0) AS supp_balance
+        FROM cust c FULL OUTER JOIN supp s ON s.nationkey = c.nationkey
+    )
+    SELECT m.nationkey, n.n_name, m.cust_balance, m.supp_balance,
+           ROUND(m.cust_balance + m.supp_balance, 2) AS combined,
+           CAST(dense_rank() OVER (ORDER BY ROUND(m.cust_balance + m.supp_balance, 2) DESC)
+                AS BIGINT) AS balance_rank
+    FROM merged m
+    LEFT JOIN nation n ON n.n_nationkey = m.nationkey
+"""

@@ -1590,6 +1590,49 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nation_balance_sheet(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join (the one join type the surface lacked) + dense_rank:
+    per-nation customer-side vs supplier-side account-balance totals, where
+    each side covers a DIFFERENT nation range (customers: nations < 20,
+    suppliers: nations >= 5) so both unmatched directions genuinely occur
+    and null-fill to zero. dense_rank orders nations by combined balance
+    with no rank gaps on ties.
+
+    Scale: both inputs pre-aggregate to nation cardinality BEFORE the full
+    outer join -- dims-sized frames, broadcast-able; the window runs over
+    ~25 rows."""
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    cust = (
+        customer.filter(F.col("c_nationkey") < 20)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_balance"))
+    )
+    supp = (
+        supplier.filter(F.col("s_nationkey") >= 5)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_balance"))
+    )
+    merged = (
+        cust.join(supp, "nationkey", "full_outer")
+        .join(F.broadcast(nation), F.col("nationkey") == nation.n_nationkey, "left")
+        .select(
+            "nationkey",
+            "n_name",
+            F.coalesce("cust_balance", F.lit(0.0)).alias("cust_balance"),
+            F.coalesce("supp_balance", F.lit(0.0)).alias("supp_balance"),
+        )
+        .withColumn(
+            "combined", F.round(F.col("cust_balance") + F.col("supp_balance"), 2)
+        )
+    )
+    w = Window.orderBy(F.col("combined").desc())
+    return merged.withColumn(
+        "balance_rank", F.dense_rank().over(w).cast("long")
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """Date-crossed join filter + top-k (TPC-H Q3's shape): the 10 highest-
     revenue orders placed BEFORE a date whose lineitems ship AFTER it --
@@ -2452,6 +2495,7 @@ QUERIES = {
     # --- block 1b: added after the round-3 rotation was fixed; never
     #     driver-recorded, so they sit right at the window edge (the first
     #     ~2 land in this round's 50; the rest rotate in next round) ---
+    "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,
     "returned_revenue_customers": q_returned_revenue_customers,
     "promo_revenue_share": q_promo_revenue_share,
