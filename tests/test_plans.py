@@ -172,3 +172,62 @@ def test_markov_matrix_aggregates_on_bounded_keys(spark, sf_oracle):
     assert plan.count("hashpartitioning(user_id") >= 1
     # remaining exchanges partition on the type-pair/grouping keys only
     assert "hashpartitioning(event_id" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """With AQE skew-join thresholds lowered, a join against a massively
+    skewed key (one key = ~90% of rows) executes with skew-split shuffle
+    reads -- the runtime defense the engine relies on for hot keys it
+    didn't salt by hand."""
+    skewed = spark.range(0, 200_000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN id ELSE 0 END AS k",
+        "id AS payload",
+        # high-entropy pad: shuffle sizes are COMPRESSED, so a constant
+        # string would deflate below the skew threshold and defeat the test
+        "concat(md5(cast(id AS string)), md5(cast(id + 1 AS string))) AS pad",
+    )
+    dim = spark.range(0, 200_000, 1000).selectExpr("id AS k", "id * 2 AS dim_val")
+    skewed.write.parquet(str(tmp_path / "skewed"))
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        f = spark.read.parquet(str(tmp_path / "skewed"))
+        d = spark.read.parquet(str(tmp_path / "dim"))
+        # collect() executes THIS Dataset's queryExecution, so the adaptive
+        # final plan is inspectable afterwards (a .write action builds a
+        # separate execution whose AQE result is invisible here)
+        joined = f.join(d, "k").selectExpr("k", "length(pad) AS lp")
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:4000]
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A selective dim filter prunes a Hive-partitioned fact's directories
+    at RUNTIME (dynamicpruning subquery in the scan) -- the optimizer
+    feature that makes dim-filtered fact scans cheap without writing the
+    filter by hand."""
+    fact = spark.range(0, 50_000).selectExpr("id % 20 AS part_key", "id AS v")
+    fact.write.partitionBy("part_key").parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 20).selectExpr("id AS part_key", "id % 4 AS grp")
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = dim.filter(F.col("grp") == 1)
+    joined = f.join(d, "part_key")
+    plan = joined._jdf.queryExecution().sparkPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
