@@ -212,3 +212,46 @@ def test_asof_join_matches_python_reference(spark, data):
         eligible = [x for x in rset if x <= m]
         want = float(eligible[-1]) if eligible else None
         assert out[i] == want, (i, m, out[i], want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 1000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 10),
+)
+def test_weighted_sample_topk_matches_python_reference(spark, rows, k):
+    """The A-ES winners are exactly the python-computed top-k of
+    u^(1/w) with the same md5 draw -- selection is a pure function of
+    (ids, weights, salt), independent of partitioning."""
+    import hashlib
+
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        SAMPLE_MOD,
+        weighted_sample_topk,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, w long").repartition(7)
+    got = [
+        r.doc_id
+        for r in weighted_sample_topk(df, k, weight=F.col("w").cast("double"))
+        .orderBy(F.col("sample_score").desc(), F.col("doc_id").asc())
+        .collect()
+    ]
+
+    def score(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h % SAMPLE_MOD + 1) / SAMPLE_MOD
+        return round(u ** (1.0 / w), 8)
+
+    want = [d for d, _ in sorted(rows, key=lambda t: (-score(*t), t[0]))[:k]]
+    assert got == want
