@@ -2492,9 +2492,13 @@ QUERIES = {
     "sql_product_category_revenue": q_sql_product_category_revenue,
     "sql_segment_category_revenue": q_sql_segment_category_revenue,
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
-    # --- block 1b: added after the round-3 rotation was fixed; never
-    #     driver-recorded, so they sit right at the window edge (the first
-    #     ~2 land in this round's 50; the rest rotate in next round) ---
+    # --- block 1b: round-3 additions made AFTER the rotation above was
+    #     frozen. Also never driver-recorded, but the 48 block-1 entries
+    #     take priority for this round's 50-row window (they were verified
+    #     in r02 and still lack a driver row); only the first ~2 of this
+    #     block land in the window now, the rest are next round's rotation
+    #     candidates. All are oracle-checked locally regardless
+    #     (tests/test_oracle_parity.py + scratch/drive_driver_contract.py). ---
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,
     "returned_revenue_customers": q_returned_revenue_customers,
