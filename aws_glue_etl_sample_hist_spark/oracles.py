@@ -2260,3 +2260,20 @@ ORACLE_SQL["nation_balance_sheet"] = """
     FROM merged m
     LEFT JOIN nation n ON n.n_nationkey = m.nationkey
 """
+
+ORACLE_SQL["local_supplier_volume"] = """
+    SELECT n.n_name AS nation_name,
+           strftime(l.l_shipdate, '%Y') AS ship_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                   AND n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'REGION_1'
+    GROUP BY 1, 2
+"""

@@ -1590,6 +1590,49 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-chain equality constraint (TPC-H Q5's shape): revenue from
+    lineitems where the CUSTOMER'S nation equals the SUPPLIER'S nation --
+    the join predicate relates two different dimension chains of the same
+    fact row, which the trade matrix deliberately does not (it keeps all
+    nation pairs). Region-scoped to REGION_1's nations, per nation x year.
+
+    Plan shape: both nation chains broadcast; the cross-chain equality is a
+    post-join filter Catalyst pushes into the join; lineitem⋈orders stays
+    the only exchange. Decimal revenue."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+
+    r1_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "REGION_1")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(r1_nations), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_nationkey").alias("_s_nat"), F.col("n_name").alias("nation_name"))
+    cust = customer.join(
+        F.broadcast(r1_nations.select("n_nationkey")),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_nationkey").alias("_c_nat"))
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("_s_nat") == F.col("_c_nat"))  # the Q5 local constraint
+        .groupBy("nation_name", F.date_format("l_shipdate", "yyyy").alias("ship_year"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_nation_balance_sheet(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER join (the one join type the surface lacked) + dense_rank:
     per-nation customer-side vs supplier-side account-balance totals, where
@@ -2499,6 +2542,7 @@ QUERIES = {
     #     block land in the window now, the rest are next round's rotation
     #     candidates. All are oracle-checked locally regardless
     #     (tests/test_oracle_parity.py + scratch/drive_driver_contract.py). ---
+    "local_supplier_volume": q_local_supplier_volume,
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,
     "returned_revenue_customers": q_returned_revenue_customers,
