@@ -2277,3 +2277,25 @@ ORACLE_SQL["local_supplier_volume"] = """
     WHERE r.r_name = 'REGION_1'
     GROUP BY 1, 2
 """
+
+ORACLE_SQL["corpus_lang_source_chi2"] = """
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT lang, source, n,
+               POW(n - SUM(n) OVER (PARTITION BY lang)
+                       * SUM(n) OVER (PARTITION BY source)
+                       / CAST(SUM(n) OVER () AS DOUBLE), 2)
+               / (SUM(n) OVER (PARTITION BY lang)
+                  * SUM(n) OVER (PARTITION BY source)
+                  / CAST(SUM(n) OVER () AS DOUBLE)) AS contrib
+        FROM cells
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n,
+           ROUND(contrib, 6) AS chi2_contrib
+    FROM scored
+    UNION ALL
+    SELECT NULL, NULL, CAST(SUM(n) AS BIGINT), ROUND(SUM(contrib), 6)
+    FROM scored
+"""

@@ -1590,6 +1590,43 @@ def q_corpus_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_lang_source_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence test of the corpus's (lang x source)
+    contingency table -- the composition-drift detector: a large statistic
+    says language mix depends on source, i.e. a source went off-mix.
+    Returns the per-cell contributions plus the test row (gid=1: chi2
+    total, degrees of freedom) via a rollup-style union.
+
+    Scale shape: ONE map-side-combined agg builds the contingency table
+    (langs x sources rows); marginals and expectations are windows over
+    that tiny table; the corpus is scanned once."""
+    docs = load_table(spark, sf, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    scored = cells.select(
+        "lang",
+        "source",
+        "n",
+        (
+            (F.col("n") - F.sum("n").over(w_lang) * F.sum("n").over(w_src) / F.sum("n").over(w_all))
+            ** 2
+            / (F.sum("n").over(w_lang) * F.sum("n").over(w_src) / F.sum("n").over(w_all))
+        ).alias("_contrib"),
+    )
+    per_cell = scored.select(
+        "lang", "source", "n", F.round("_contrib", 6).alias("chi2_contrib")
+    )
+    total = scored.agg(
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.sum("n").alias("n"),
+        F.round(F.sum("_contrib"), 6).alias("chi2_contrib"),
+    )
+    return per_cell.unionByName(total)
+
+
 def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-chain equality constraint (TPC-H Q5's shape): revenue from
     lineitems where the CUSTOMER'S nation equals the SUPPLIER'S nation --
@@ -2542,6 +2579,7 @@ QUERIES = {
     #     block land in the window now, the rest are next round's rotation
     #     candidates. All are oracle-checked locally regardless
     #     (tests/test_oracle_parity.py + scratch/drive_driver_contract.py). ---
+    "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,
