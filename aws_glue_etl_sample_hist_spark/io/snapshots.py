@@ -87,15 +87,22 @@ def read_snapshot(
 
 
 def vacuum(base_dir: str, keep: int = 2) -> list[int]:
-    """Delete all but the newest ``keep`` versions, never the committed
-    latest. Returns the versions removed."""
+    """Delete all but the newest ``keep`` COMMITTED versions, never the
+    committed latest. Versions NEWER than the committed latest are
+    uncommitted by definition (a publish wrote the directory but crashed
+    before the pointer flip); they are invisible to readers and reclaimed
+    here too -- otherwise an orphan dir would survive every vacuum and
+    permanently consume a keep slot (round-3 ADVICE). Returns the versions
+    removed."""
     vs = list_versions(base_dir)
     latest = latest_version(base_dir)
-    candidates = vs[:-keep] if keep > 0 else vs
+    committed = vs if latest is None else [v for v in vs if v <= latest]
+    orphans = [] if latest is None else [v for v in vs if v > latest]
+    candidates = (committed[:-keep] if keep > 0 else committed) + orphans
     removed = []
     for v in candidates:
         if v == latest:
             continue
         shutil.rmtree(os.path.join(base_dir, f"v={v}"))
         removed.append(v)
-    return removed
+    return sorted(removed)

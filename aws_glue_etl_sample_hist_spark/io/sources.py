@@ -142,9 +142,18 @@ def read_parquet_evolved(
     100k files, which is why the target schema is explicit here, not
     re-inferred per read); columns the old files lack come back null, and
     ``fill_missing`` then applies any defaults the target schema's field
-    metadata carries under the key ``default``. Columns present on disk but
-    absent from the target are dropped (the read-side contract of a
-    column-pruned lake: readers name what they want, writers may run ahead).
+    metadata carries under the key ``default`` -- but ONLY to rows from
+    files that genuinely lack the column (detected from each file's own
+    footer), exactly like a table format's add-column default: a NULL
+    explicitly written by a new-schema file stays NULL (round-3 ADVICE; the
+    old behavior coalesced every null). Columns present on disk but absent
+    from the target are dropped (the read-side contract of a column-pruned
+    lake: readers name what they want, writers may run ahead).
+
+    Scale shape of the presence check: file paths are collected (O(n_files)
+    strings -- metadata-sized, same order as the footer merge Spark already
+    paid), the per-file footer reads run DISTRIBUTED via mapPartitions, and
+    the verdict re-attaches as a row-level `_metadata.file_path` test.
 
     This is the poor-lake's replacement for a table format's schema
     evolution (Delta/Iceberg metadata) -- same reader semantics, no
@@ -152,13 +161,48 @@ def read_parquet_evolved(
     from pyspark.sql import functions as F
 
     df = spark.read.option("mergeSchema", "true").parquet(path)
+    default_fields = {
+        f.name: f.metadata["default"]
+        for f in target_schema.fields
+        if fill_missing and "default" in (f.metadata or {})
+    }
+    # columns with a default that exist in SOME files need per-file presence
+    partial = [c for c in default_fields if c in df.columns]
+    files_missing: dict[str, list[str]] = {c: [] for c in partial}
+    if partial:
+        paths = [
+            r.fp
+            for r in df.select(F.col("_metadata.file_path").alias("fp")).distinct().collect()
+        ]
+
+        def _probe(it):
+            import pyarrow.parquet as pq
+
+            for p in it:
+                local = p.removeprefix("file://") if p.startswith("file:") else p
+                names = set(pq.read_schema(local).names)
+                yield (p, [c for c in partial if c not in names])
+
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(paths), sc.defaultParallelism))
+        for p, miss in sc.parallelize(paths, n_slices).mapPartitions(_probe).collect():
+            for c in miss:
+                files_missing[c].append(p)
+
     cols = []
     for field in target_schema.fields:
         if field.name in df.columns:
             c = F.col(field.name).cast(field.dataType)
+            miss = files_missing.get(field.name)
+            if miss:
+                c = F.when(
+                    F.col("_metadata.file_path").isin(miss),
+                    F.lit(default_fields[field.name]).cast(field.dataType),
+                ).otherwise(c)
+        elif field.name in default_fields:
+            # absent from every file: pure back-fill
+            c = F.lit(default_fields[field.name]).cast(field.dataType)
         else:
             c = F.lit(None).cast(field.dataType)
-        if fill_missing and "default" in (field.metadata or {}):
-            c = F.coalesce(c, F.lit(field.metadata["default"]).cast(field.dataType))
         cols.append(c.alias(field.name))
     return df.select(*cols)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ._cache import tracked_persist
 from .text import tokens, word_shingles
 
 
@@ -182,7 +183,9 @@ def minhash_lsh_pairs(
     # persisted: the self-join's two sides do NOT share a physical subtree
     # (one side broadcasts, so Spark's ReusedExchange never fires), which
     # otherwise runs the whole scan->shingle->md5->12-min pipeline twice
-    bands = wide.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig")).persist()
+    bands = tracked_persist(
+        wide.select("doc_id", F.posexplode(band_sigs).alias("band", "band_sig"))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -561,8 +564,9 @@ def simhash_near_pairs(
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         "band_val", F.expr(f"shiftright(simhash, band * {band_bits})").bitwiseAND(F.lit(mask))
-    ).persist()  # self-join sides don't share a subtree (one broadcasts):
-    # without this the whole fingerprint pipeline runs twice
+    )
+    banded = tracked_persist(banded)  # self-join sides don't share a subtree
+    # (one broadcasts): without this the whole fingerprint pipeline runs twice
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -620,8 +624,8 @@ def incremental_minhash_dedup(
     # frame (persisted: at real scale the existing side's shingles+bands
     # live as the on-disk dedup index, so recomputing them per stage is
     # exactly the waste this operator exists to avoid)
-    sh_new_base = _distinct_shingles(new, shingle_n, text_col, id_col, max_df).persist()
-    sh_old_base = _distinct_shingles(existing, shingle_n, text_col, id_col, max_df).persist()
+    sh_new_base = tracked_persist(_distinct_shingles(new, shingle_n, text_col, id_col, max_df))
+    sh_old_base = tracked_persist(_distinct_shingles(existing, shingle_n, text_col, id_col, max_df))
 
     def _bands(sh: DataFrame, out_id: str) -> DataFrame:
         wide = _minhash_from_shingles(sh, num_hashes)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ._cache import tracked_persist
+
 DEFAULT_LSH_DIMS = (1, 17, 33, 49)
 
 
@@ -505,9 +507,9 @@ def near_dup_pairs(
         # pairs first, then attach each side's normalized vector by id.
         # persisted x2: neither self-join side nor the two vector joins
         # share a physical subtree, so each frame would otherwise recompute.
-        banded = normed.select(
+        banded = tracked_persist(normed.select(
             F.col(id_col), F.posexplode(sigs).alias("band", "sig")
-        ).persist()
+        ))
         a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
         b = banded.select(
             F.col(id_col).alias("id_b"),
@@ -519,7 +521,7 @@ def near_dup_pairs(
             & (F.col("sig") == F.col("sig_b"))
             & (F.col("id_a") < F.col("id_b")),
         ).select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
-        vecs = normed.select(F.col(id_col).alias("_vid"), F.col("_nv")).persist()
+        vecs = tracked_persist(normed.select(F.col(id_col).alias("_vid"), F.col("_nv")))
         cand = cand_ids.join(
             vecs.select(F.col("_vid").alias("id_a"), F.col("_nv").alias("va")), "id_a"
         ).join(

@@ -102,7 +102,14 @@ def repetition_stats(docs, n: int = 2, *, text_col: str = "text", id_col: str = 
 
     Shape: explode WITH duplicates (frequency is the signal) -> one
     groupBy(doc, shingle) with map-side partial counts -> one per-doc agg.
-    Both shuffles key on high-cardinality (doc, shingle) / doc -- no skew."""
+    Both shuffles key on high-cardinality (doc, shingle) / doc -- no skew.
+
+    Ratios are emitted as integer basis points (x10^4, floor integer
+    division) rather than rounded doubles: 10000*(a)/b DIV is exact and
+    identical across Spark/DuckDB, while ROUND on a double has
+    engine-dependent behavior at representation-boundary ties (the r3
+    driver hash mismatch). The integer columns n_shingles/n_distinct/
+    top_count fully determine the ratios anyway."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
@@ -119,9 +126,9 @@ def repetition_stats(docs, n: int = 2, *, text_col: str = "text", id_col: str = 
             "doc_id",
             "n_shingles",
             "n_distinct",
-            F.round(1 - F.col("n_distinct") / F.col("n_shingles"), 4).alias("dup_ratio"),
+            F.expr("(10000 * (n_shingles - n_distinct)) DIV n_shingles").alias("dup_ratio_bp"),
             "top_count",
-            F.round(F.col("top_count") / F.col("n_shingles"), 4).alias("top_ratio"),
+            F.expr("(10000 * top_count) DIV n_shingles").alias("top_ratio_bp"),
         )
     )
 

@@ -402,9 +402,9 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                SUM(cnt) AS n_shingles,
                COUNT(*) AS n_distinct,
-               ROUND(1 - COUNT(*) / SUM(cnt), 4) AS dup_ratio,
+               (10000 * (SUM(cnt) - COUNT(*))) // SUM(cnt) AS dup_ratio_bp,
                MAX(cnt) AS top_count,
-               ROUND(MAX(cnt) / SUM(cnt), 4) AS top_ratio
+               (10000 * MAX(cnt)) // SUM(cnt) AS top_ratio_bp
         FROM per
         GROUP BY 1
     """,
@@ -948,6 +948,32 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(quantile_cont(quality_score, 0.9), 6) AS p90
         FROM q
         GROUP BY 1
+    """,
+    # Sketch-accuracy contracts: the Spark query computes the sketch AND its
+    # exact bound in one plan and emits booleans; the oracle asserts the
+    # exact group keys/counts and all-true flags. This replaces the former
+    # rows-only (`no_oracle`) driver rows for the three sketch queries.
+    "quality_quantiles_by_lang_approx": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               TRUE AS p50_in_rank_window,
+               TRUE AS p90_in_rank_window
+        FROM documents
+        GROUP BY 1
+    """,
+    "customer_base_stats_approx": """
+        SELECT o_orderpriority,
+               COUNT(o_custkey) AS count_of_purchase,
+               TRUE AS hll_within_rel_err
+        FROM orders
+        GROUP BY 1
+    """,
+    "embedding_ivf_ann_trained": """
+        SELECT unnest(generate_series(0, 4))::BIGINT AS query_id,
+               CAST(5 AS BIGINT) AS n_neighbors,
+               TRUE AS ranks_complete,
+               TRUE AS cosine_monotone,
+               TRUE AS overall_recall_ok
     """,
     "events_daily_pivot": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date,
@@ -1572,7 +1598,7 @@ ORACLE_SQL: dict[str, str] = {
             WHERE rn = 1
         )
         SELECT vec_id,
-               list(code_id ORDER BY s) AS codes,
+               string_agg(CAST(code_id AS VARCHAR), '-' ORDER BY s) AS codes,
                ROUND(SUM(dist), 6) AS recon_err,
                md5(string_agg(CAST(code_id AS VARCHAR), ',' ORDER BY s)) AS code_md5
         FROM enc GROUP BY vec_id
@@ -1856,12 +1882,15 @@ ORACLE_SQL: dict[str, str] = {
                    COALESCE(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0)
             FROM orders
             UNION ALL
+            -- DISTINCT subselect (not COUNT(DISTINCT k)) so NULL keys count
+            -- as a group, matching Spark's groupBy-NULLs-together unique
+            -- check (round-3 ADVICE: COUNT(DISTINCT) drops NULLs)
             SELECT 'customer.c_custkey.unique', 'customer', COUNT(*),
-                   COUNT(*) - COUNT(DISTINCT c_custkey)
+                   COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer))
             FROM customer
             UNION ALL
             SELECT 'orders.o_orderkey.unique', 'orders', COUNT(*),
-                   COUNT(*) - COUNT(DISTINCT o_orderkey)
+                   COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
             FROM orders
             UNION ALL
             SELECT 'lineitem.pk.unique', 'lineitem', COUNT(*),
@@ -2293,9 +2322,11 @@ ORACLE_SQL["corpus_lang_source_chi2"] = """
         FROM cells
     )
     SELECT lang, source, CAST(n AS BIGINT) AS n,
-           ROUND(contrib, 6) AS chi2_contrib
+           ROUND(contrib, 6) AS chi2_contrib,
+           CAST(NULL AS BIGINT) AS df
     FROM scored
     UNION ALL
-    SELECT NULL, NULL, CAST(SUM(n) AS BIGINT), ROUND(SUM(contrib), 6)
+    SELECT NULL, NULL, CAST(SUM(n) AS BIGINT), ROUND(SUM(contrib), 6),
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT)
     FROM scored
 """

@@ -209,4 +209,13 @@ def curate_increment(
             )
         )
         write_partitioned(manifest, p(out_dir, "c3", "manifest"))
+    # counts/writes above consumed every persisted frame eagerly, so release
+    # them (and the band frames incremental_minhash_dedup tracked) before
+    # returning -- a long-lived ingest session runs this per batch and must
+    # not accumulate cached blocks (round-3 ADVICE)
+    from ..operators._cache import release_operator_caches
+
+    for df in (fresh, passing, keep):
+        df.unpersist()
+    release_operator_caches()
     return {"fresh": n_fresh, "quality_pass": n_passing, "kept": n_kept}

@@ -2,12 +2,20 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sentinel_sec": N, "ratios_to_sentinel": {...}, "sf": ...}
 
 `value` is the end-to-end medallion pipeline wall-clock (the reference's
 comparable number: its full initial load ran 20 min on 28.6M rows / 2-4
 G.1X workers, BASELINE.md). Queries are materialized with the noop sink so
 the whole plan executes without driver-collect or disk-write skew.
+
+The SENTINEL is a frozen scan+shuffle+agg workload written inline (never
+via QUERIES, never to be edited): a uniform wall-clock shift that also
+moves the sentinel is machine state, a query whose RATIO to the sentinel
+moved is a real code delta. It is timed before AND after the query loop so
+load changes during the run are visible too (r3 VERDICT item 4: BENCH_r03's
+~1.2x uniform drift was only attributable via a manual idle re-run).
 """
 
 from __future__ import annotations
@@ -70,6 +78,30 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _sentinel_trial(spark, sf_dir: str) -> float:
+    """FROZEN drift probe -- do not edit this function between rounds.
+
+    Pure built-in scan -> shuffle agg -> noop write over lineitem, touching
+    no engine code, so its wall time can only move with machine state /
+    Spark runtime -- never with this repo's changes."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.avg("l_quantity").alias("a"),
+            F.count("*").alias("c"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -83,6 +115,7 @@ def main() -> None:
     # median of 3 trials per query: run-to-run machine-load variance was
     # measured at ~25%, which buried real regressions between rounds
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    sentinel_trials = [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -92,6 +125,8 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(trials), 3)
+    sentinel_trials += [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
+    sentinel_sec = round(statistics.median(sentinel_trials), 3)
 
     with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
         t0 = time.perf_counter()
@@ -128,6 +163,10 @@ def main() -> None:
                 "value": pipeline_sec,
                 "unit": "sec",
                 "queries": timings,
+                "sentinel_sec": sentinel_sec,
+                "ratios_to_sentinel": {
+                    k: round(v / sentinel_sec, 2) for k, v in timings.items()
+                },
                 "sf": _sf_from_dir(sf_dir),
             }
         )

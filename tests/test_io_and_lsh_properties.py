@@ -248,5 +248,14 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
     assert read_snapshot(spark, base).count() == 2
 
     removed = vacuum(base, keep=1)
-    assert removed == [1]  # v=2 is committed latest, v=3 is within keep window
+    # v=2 is the committed latest (kept); v=1 ages out of the keep window;
+    # v=3 is newer than the committed latest => an uncommitted orphan, so
+    # vacuum reclaims it instead of letting it camp in a keep slot forever
+    assert removed == [1, 3]
+    assert list_versions(base) == [2]
     assert read_snapshot(spark, base).count() == 2
+    # the next publish reuses the reclaimed number and commits it
+    assert write_snapshot(
+        spark.createDataFrame([(4, "d")], "id long, s string"), base
+    ) == 3
+    assert latest_version(base) == 3
