@@ -37,6 +37,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+try:  # real video decoding is stubbed: PyAV/ffmpeg is not in this container
+    import av  # pragma: no cover  # noqa: F401
+
+    HAVE_PYAV = True
+except ImportError:
+    HAVE_PYAV = False
+
 try:  # real image decoding is stubbed: PIL is not shipped in this container
     from PIL import Image  # pragma: no cover  # noqa: F401
 
@@ -99,6 +106,28 @@ def decode_image(payload: bytes):  # pragma: no cover - explicit stub
     raise NotImplementedError(
         "image decoding requires PIL; container ships without it -- "
         "use extract_media_meta for the deterministic metadata path"
+    )
+
+
+def decode_video_frames(payload: bytes, stride: int = 1):  # pragma: no cover - explicit stub
+    """STUB: real video decode requires PyAV (ffmpeg bindings), not present
+    in this container. Contract when the dependency appears: yield every
+    ``stride``-th decoded frame as an object exposing width/height/
+    to_image() -- the exact per-payload iteration `sample_frames` performs
+    over its fixed-size fake frames, so a real decoder slots into the same
+    mapInPandas batch shape / FRAME_SCHEMA with no plumbing change
+    (tests/test_operators_unit.py::test_decode_video_real_pyav_slot_in)."""
+    if HAVE_PYAV:
+        import io
+
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % stride == 0:
+                    yield frame
+        return
+    raise NotImplementedError(
+        "video decoding requires PyAV/ffmpeg; container ships without it -- "
+        "use sample_frames for the deterministic fixed-size-frame path"
     )
 
 

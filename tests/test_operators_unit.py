@@ -111,6 +111,14 @@ def test_decode_image_is_explicit_stub():
             multimodal.decode_image(b"\x89PNG")
 
 
+def test_decode_video_is_explicit_stub():
+    from aws_glue_etl_sample_hist_spark.operators import multimodal
+
+    if not multimodal.HAVE_PYAV:
+        with pytest.raises(NotImplementedError):
+            list(multimodal.decode_video_frames(b"\x00\x00\x00 ftypisom"))
+
+
 def test_multimodal_meta_and_frames(spark):
     from aws_glue_etl_sample_hist_spark.operators.multimodal import (
         attach_fake_payload,
@@ -447,6 +455,66 @@ def test_decode_image_real_pil_slot_in(spark):
     assert out[0].thumb_n_bytes == 5 * 2 * 3  # 20x10 RGB -> 5x2 thumb
     assert out[1].thumb_n_bytes == 16 * 16 * 3
     assert all(len(r.thumb_md5) == 32 for r in out.values())
+
+
+def test_decode_video_real_pyav_slot_in(spark):
+    """Runs ONLY where PyAV exists (skips in this container): proves the
+    video-decode stub's contract -- decode_video_frames yields every
+    stride-th real frame, and a PyAV decode drops into the exact
+    mapInPandas batch shape / FRAME_SCHEMA the deterministic sample_frames
+    stage uses -- the day the dependency appears, with no code changes."""
+    from aws_glue_etl_sample_hist_spark.operators import multimodal
+
+    if not multimodal.HAVE_PYAV:
+        pytest.skip("PyAV not installed in this container")
+
+    import hashlib
+    import io
+
+    import av
+
+    def mp4_bytes(n_frames, w=16, h=16):
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as container:
+            stream = container.add_stream("mpeg4", rate=4)
+            stream.width, stream.height = w, h
+            for i in range(n_frames):
+                frame = av.VideoFrame(w, h, "rgb24")
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+        return buf.getvalue()
+
+    payload = mp4_bytes(8)
+    # driver-side contract: stride-2 decode yields every other frame
+    frames = list(multimodal.decode_video_frames(payload, stride=2))
+    assert len(frames) == 4
+    assert frames[0].width == 16
+
+    # executor-side contract: real decode behind FRAME_SCHEMA
+    wp = spark.createDataFrame(
+        [(0, "video", payload)], "doc_id long, media_type string, payload binary"
+    )
+
+    def pyav_frames(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(
+                    multimodal.decode_video_frames(bytes(payload), stride=2)
+                ):
+                    digest = hashlib.md5(frame.to_image().tobytes()).hexdigest()
+                    rows.append((doc_id, i, digest))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in multimodal.FRAME_SCHEMA.fields]
+            )
+
+    out = wp.mapInPandas(pyav_frames, multimodal.FRAME_SCHEMA).collect()
+    assert len(out) == 4
+    assert all(len(r.frame_md5) == 32 for r in out)
 
 
 def test_chunk_documents_windows_and_tail(spark):
