@@ -341,19 +341,26 @@ def connected_components(
     own label and its neighbors' labels; converges in O(graph diameter)
     rounds (near-dup graphs are shallow: dup clusters are cliques-ish, so
     2-4 rounds in practice). Each round is one shuffle join + one hash agg;
-    intermediate labels are cached and the loop is driven by a changed-count
-    action -- the standard Pregel-shaped DataFrame iteration. For adversarial
-    long-chain graphs at 100 TB, swap in large-star/small-star (alternating
-    min-propagation that halves path lengths per round).
-    """
+    intermediate labels are localCheckpoint'ed and the loop is driven by a
+    changed-count action -- the standard Pregel-shaped DataFrame iteration.
+    For adversarial long-chain graphs at 100 TB, swap in
+    large-star/small-star (alternating min-propagation that halves path
+    lengths per round).
+
+    Why checkpoint, not cache: with cache() round N's LOGICAL plan still
+    embeds rounds 1..N-1, so every round re-pays analysis + codegen for the
+    whole history -- measured as ~15 s of cold per-round plan compile in the
+    sf0.1 curation pipeline (r3 VERDICT item 6). localCheckpoint truncates
+    lineage to the materialized blocks; on a real cluster prefer a reliable
+    `checkpoint()` dir if executor loss must be survivable mid-loop."""
     a, b = pair_cols
     e1 = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = e1.union(
         pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    ).cache()
+    ).localCheckpoint(eager=True)
     labels = nodes.select(F.col(node_col).alias("node")).withColumn(
         "label", F.col("node")
-    ).cache()
+    ).localCheckpoint(eager=True)
     # labels only ever decrease, so sum(label) strictly decreases iff any
     # label changed: convergence needs ONE aggregate action per round, not a
     # join-and-count against the previous labels
@@ -363,10 +370,14 @@ def connected_components(
             F.col("dst").alias("node"), "label"
         )
         new_labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label")).cache()
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        # old checkpoint blocks are dropped by the ContextCleaner once the
+        # previous frame's reference goes away -- no explicit unpersist hook
         labels = new_labels
         if cur_sum == prev_sum:
             break

@@ -699,6 +699,84 @@ def test_semantic_dedup_marks_higher_id_within_cell_only(spark):
     assert not out[4].is_dup
 
 
+def test_auto_centroids_keeps_cells_bounded_at_10x(spark, sf_oracle):
+    """The n_centroids='auto' scaling rule (r3 VERDICT item 3): at 10x the
+    oracle corpus, k tracks n/target so the cell-bounded pair-join cost
+    sum(|cell|^2) stays LINEAR in n -- the property a fixed toy k loses
+    (k=8 would make it ~n^2/8). Asserts the k formula, a linear sum-sq
+    bound, and no degenerate collapse of the distribution."""
+    import pyspark.sql.functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        auto_centroids,
+        ivf_assign,
+    )
+
+    base = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    # 10x the corpus with id-shifted, slightly perturbed copies (new ids so
+    # the seeded path couldn't cheat; perturbation keeps copies off-identical)
+    n_base = base.count()
+    copies = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * n_base)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(float(i)) * 0.01 * x
+            ).alias("embedding"),
+        )
+        for i in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.localCheckpoint(eager=True)
+    n = n_base * 10
+
+    target = 128
+    cent = auto_centroids(big, target_cell_size=target)
+    k = cent.count()
+    assert k == -(-n // target)  # ceil(n / target)
+
+    cells = (
+        ivf_assign(big, k, centroids=cent)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    stats = cells.agg(
+        F.sum("sz").alias("total"),
+        F.sum(F.col("sz") * F.col("sz")).alias("sum_sq"),
+        F.max("sz").alias("max_sz"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).collect()[0]
+    assert stats.total == n
+    # linear bound: sum |cell|^2 <= 16 * n * target  (n^2 here is 25M,
+    # the bound 10.2M -- a collapsed clustering cannot pass)
+    assert stats.sum_sq <= 16 * n * target
+    # distribution sanity: most centroids actually used, no mega-cell
+    assert stats.n_cells >= k // 2
+    assert stats.max_sz <= 16 * target
+
+
+def test_semantic_dedup_auto_matches_seeded_semantics(spark):
+    """n_centroids='auto' changes the QUANTIZER, not the dedup rule: on a
+    fixture whose duplicates are near-identical vectors, the auto path must
+    flag the same higher-id duplicates the seeded path flags."""
+    from aws_glue_etl_sample_hist_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 40
+        base[i] = 1.0  # 40 mutually orthogonal originals
+        rows.append((i, base))
+        rows.append((100 + i, [x * 1.001 + (0.0001 if j == (i + 1) % 40 else 0.0) for j, x in enumerate(base)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_dup for r in semantic_dedup(emb, 0.99, "auto").collect()}
+    # every 100+i is a near-copy of i; with cosine>=0.99 each pair flags the
+    # higher id IF both land in the same cell -- near-identical vectors
+    # always co-cluster, so all 40 copies must be dups and no original may be
+    assert sum(out[100 + i] for i in range(40)) == 40
+    assert not any(out[i] for i in range(40))
+
+
 # ------------------------------------------------- product quantization
 
 
