@@ -83,3 +83,29 @@ def customer_base_stats(
             2,
         ).alias("amount_per_customer_10k"),
     )
+
+
+def merge_partial_aggs(
+    mart: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str,
+) -> DataFrame:
+    """Incremental aggregation maintenance: combine an EXISTING pre-aggregated
+    mart with the partial aggregate of a new batch -- union + re-agg over the
+    associative components (sums / counts), never re-reading history.
+
+    This is the 100 TB mart-refresh shape: a day's delta shuffles
+    delta-sized rows, the mart contributes group-cardinality rows, and the
+    merged result is byte-equal to a full recompute because sum and count
+    are commutative monoids. Derived columns (avg = sum/count) must be
+    recomputed AFTER the merge, never merged -- callers add them on the
+    result. Both inputs must carry exactly ``keys + sum_cols + [count_col]``.
+    """
+    cols = [*keys, *sum_cols, count_col]
+    unioned = mart.select(*cols).unionByName(delta.select(*cols))
+    return unioned.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.sum(count_col).cast("long").alias(count_col),
+    )

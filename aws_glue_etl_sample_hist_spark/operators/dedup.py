@@ -701,3 +701,89 @@ def incremental_minhash_dedup(
             "jaccard",
         )
     )
+
+
+def prefix_filter_jaccard_join(
+    records: DataFrame,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "id",
+    text_col: str = "name",
+) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= threshold) over token SETS,
+    with prefix-filter candidate generation (Chaudhuri et al. 2006 SSJoin /
+    Xiao et al. 2008 PPJoin family) -- the exact complement to the
+    probabilistic MinHash path above.
+
+    Prefix filter: order each record's tokens by ascending global document
+    frequency (rarest first, ties by token text); two sets with
+    Jaccard >= t MUST share a token within each other's first
+    ``|s| - ceil(t * |s|) + 1`` tokens, so candidate pairs come from an
+    EQUI-join on prefix tokens only. At 100 TB this is the inverted-index
+    shape: the join key is a single token, prefixes are built from a
+    vocabulary-sized df frame broadcast back, and frequent tokens are
+    SKIPPED by construction (they sort last, out of the prefix) -- the same
+    skew bomb max_df defuses for shingles, here defused for free by the
+    rarest-first ordering. Verification counts shared tokens with one more
+    equi-join restricted to candidate ids.
+
+    Returns (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
+    """
+    import math
+
+    toks = records.select(
+        F.col(id_col).alias("rid"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("rid").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("rid").orderBy(F.col("df").asc(), F.col("tok").asc())
+            ),
+        )
+        .join(sizes, "rid")
+        # prefix length |s| - ceil(t*|s|) + 1
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("rid", "tok", "sz")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "tok")
+        .filter(F.col("a.rid") < F.col("b.rid"))
+        # length filter: Jaccard >= t requires t*max(|a|,|b|) <= min(|a|,|b|)
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), cand.id_a == F.col("ta.rid"))
+        .join(
+            toks.alias("tb"),
+            (cand.id_b == F.col("tb.rid")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.withColumnRenamed("rid", "id_a").withColumnRenamed("sz", "sz_a")
+    sz_b = sizes.withColumnRenamed("rid", "id_b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("n_union", (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("long"))
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            "n_union",
+            "jaccard",
+        )
+    )

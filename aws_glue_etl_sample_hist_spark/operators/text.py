@@ -494,3 +494,38 @@ def quality_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
             4,
         ).alias("quality_score"),
     )
+
+
+def word_entropy_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document unigram Shannon entropy (nats) + type/token ratio -- the
+    information-density quality signal (low entropy = template/boilerplate,
+    a standard pre-training screen alongside the repetition stats above).
+
+    entropy(d) = -sum_t (c_t/n) * ln(c_t/n) over the doc's word frequencies.
+
+    Scale shape: explode -> groupBy(doc, term) -> groupBy(doc); both
+    shuffles key on the HIGH-cardinality doc id (term only disambiguates
+    within a doc), so partial aggregation collapses each doc's tokens
+    map-side and no low-cardinality skew exists. Rounded to 6 dp in both
+    engines to absorb ln() last-ulp differences."""
+    from pyspark.sql import functions as F
+
+    per_term = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_term.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+        F.round(
+            -F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c")
+            + F.log(F.sum("c")),
+            6,
+        ).alias("entropy_nats"),
+    )

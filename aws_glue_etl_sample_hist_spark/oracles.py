@@ -2330,3 +2330,289 @@ ORACLE_SQL["corpus_lang_source_chi2"] = """
            CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT)
     FROM scored
 """
+
+# ---------------------------------------------------------------- round 4
+
+ORACLE_SQL["documents_bm25_topk"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(len(regexp_split_to_array(trim(text), '\s+'))) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms_matched,
+               ROUND(SUM(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched, score
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["corpus_bigram_pmi"] = r"""
+    WITH t AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i AS INTEGER) + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    bgf AS (SELECT w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''),
+    bgc AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM bgf GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    uni AS (
+        SELECT term, COUNT(*) AS c FROM (
+            SELECT unnest(toks) AS term FROM t
+        ) WHERE term <> '' GROUP BY 1
+    ),
+    totals AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigrams FROM bgf),
+    ntok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tokens FROM uni),
+    scored AS (
+        SELECT bgc.w1, bgc.w2, CAST(c_xy AS BIGINT) AS c_xy,
+               ROUND(ln((c_xy / n_bigrams)
+                     / ((ux.c / n_tokens) * (uy.c / n_tokens))), 4) AS pmi
+        FROM bgc
+        JOIN uni ux ON ux.term = bgc.w1
+        JOIN uni uy ON uy.term = bgc.w2
+        CROSS JOIN totals CROSS JOIN ntok
+    ),
+    top AS (
+        SELECT * FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank,
+           w1, w2, c_xy, pmi
+    FROM top
+"""
+
+ORACLE_SQL["text_word_entropy"] = r"""
+    WITH pt AS (
+        SELECT doc_id, term, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ) WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio,
+           ROUND(-SUM(c * ln(c)) / SUM(c) + ln(SUM(c)), 6) AS entropy_nats
+    FROM pt GROUP BY doc_id
+"""
+
+ORACLE_SQL["mart_incremental_update"] = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           ROUND(SUM(o_totalprice) / COUNT(*), 4) AS avg_price
+    FROM orders GROUP BY 1
+"""
+
+ORACLE_SQL["events_distinct_rolling7"] = """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT DISTINCT ud.day + CAST(x AS INTEGER) AS day, user_id
+        FROM ud, UNNEST(generate_series(0, 6)) AS u(x)
+    )
+    SELECT c.day AS day, CAST(COUNT(*) AS BIGINT) AS n_users_7d
+    FROM contrib c JOIN days d USING (day)
+    GROUP BY 1
+"""
+
+ORACLE_SQL["orders_median_mode"] = """
+    WITH base AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT o_orderpriority, o_orderstatus AS mode_status,
+               CAST(c AS BIGINT) AS mode_count,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY c DESC, o_orderstatus ASC) AS rn
+        FROM c
+    )
+    SELECT b.o_orderpriority, n_orders, median_price, mode_status, mode_count
+    FROM base b JOIN m USING (o_orderpriority) WHERE rn = 1
+"""
+
+ORACLE_SQL["part_set_similarity_join"] = r"""
+    WITH t AS (
+        SELECT DISTINCT rid, tok FROM (
+            SELECT p_partkey AS rid,
+                   unnest(regexp_split_to_array(trim(lower(
+                       p_name || ' ' || p_brand || ' ' || p_type || ' '
+                              || CAST(p_size AS VARCHAR))), '\s+')) AS tok
+            FROM part
+        ) WHERE tok <> ''
+    ),
+    sizes AS (SELECT rid, COUNT(*) AS sz FROM t GROUP BY 1),
+    inter AS (
+        SELECT a.rid AS id_a, b.rid AS id_b, COUNT(*) AS n_inter
+        FROM t a JOIN t b ON a.tok = b.tok AND a.rid < b.rid
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT id_a, id_b, n_inter, sa.sz + sb.sz - n_inter AS n_union
+        FROM inter
+        JOIN sizes sa ON sa.rid = id_a
+        JOIN sizes sb ON sb.rid = id_b
+    )
+    SELECT id_a AS partkey_a, id_b AS partkey_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union,
+           ROUND(n_inter / CAST(n_union AS DOUBLE), 6) AS jaccard
+    FROM j
+    WHERE ROUND(n_inter / CAST(n_union AS DOUBLE), 6) >= 0.6
+"""
+
+ORACLE_SQL["supplier_pareto"] = """
+    WITH rev AS (
+        SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    dims AS (
+        SELECT s_suppkey, r_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),
+    per AS (
+        SELECT r_name, rev, s_suppkey FROM rev JOIN dims ON l_suppkey = s_suppkey
+    ),
+    ranked AS (
+        SELECT r_name, rev,
+               SUM(rev) OVER (PARTITION BY r_name
+                              ORDER BY rev DESC, s_suppkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - rev AS cum_before,
+               SUM(rev) OVER (PARTITION BY r_name) AS total,
+               MAX(rev) OVER (PARTITION BY r_name) AS top_rev
+        FROM per
+    )
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN cum_before < 0.8 * total THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top80,
+           ROUND(MAX(top_rev / total), 6) AS top1_share
+    FROM ranked GROUP BY 1
+"""
+
+ORACLE_SQL["corpus_winsorized_length"] = """
+    WITH pcts AS (
+        SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(ANY_VALUE(p05), 4) AS p05,
+           ROUND(ANY_VALUE(p95), 4) AS p95,
+           ROUND(AVG(n_chars), 4) AS mean_chars,
+           ROUND(AVG(GREATEST(p05, LEAST(p95, n_chars))), 4) AS winsorized_mean
+    FROM documents d JOIN pcts USING (lang)
+    GROUP BY 1
+"""
+
+ORACLE_SQL["events_heavy_hitters"] = """
+    WITH tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM events, tot
+    GROUP BY user_id, n
+    HAVING COUNT(*) >= CEIL(n * 0.0075)
+"""
+
+ORACLE_SQL["events_hopping_window"] = """
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - CAST(x AS INTEGER) * INTERVAL '15 minutes' AS w_start,
+               event_type, value
+        FROM events, UNNEST(generate_series(0, 3)) AS u(x)
+    )
+    SELECT w_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM expanded GROUP BY 1, 2
+"""
+
+ORACLE_SQL["customer_order_value_window"] = """
+    WITH e AS (
+        SELECT o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               last_value(o_totalprice) OVER w AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(ANY_VALUE(first_price), 2) AS first_price,
+           ROUND(ANY_VALUE(second_price), 2) AS second_price,
+           ROUND(ANY_VALUE(last_price), 2) AS last_price
+    FROM e GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
+ORACLE_SQL["corpus_tokens_hof"] = r"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+               AS max_token_len,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT)
+               AS n_digit_tokens,
+           len(list_filter(toks, t -> regexp_matches(t, '[0-9]'))) > 0 AS has_digit,
+           ROUND(list_sum(list_transform(toks, t -> length(t)))
+                 / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+    FROM (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    )
+"""
+
+ORACLE_SQL["events_ohlc"] = """
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#'
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(arg_min(value, k), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, k), 4) AS close
+    FROM e GROUP BY 1, 2
+"""

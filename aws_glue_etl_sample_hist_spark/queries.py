@@ -2601,6 +2601,356 @@ def q_part_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- round 4
+
+
+def q_documents_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus (operators.ranking.bm25_topk):
+    top-10 documents for a fixed bag-of-words query -- the lexical-ranking
+    baseline every retrieval/dedup pipeline needs next to the embedding ANN
+    path. Corpus stats broadcast; explode is pre-filtered to query terms, so
+    the shuffle is query-sized, not vocabulary-sized."""
+    from .operators.ranking import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf, "documents"), ["spark", "window", "merge"], k=10
+    )
+
+
+def q_corpus_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining (operators.ranking.bigram_pmi): top-30 adjacent
+    bigrams by pointwise mutual information with count >= 5 -- the
+    tokenizer-merge / phrase-detection signal. Bigrams come from a per-row
+    JVM transform (no self-join); counts are map-side combined."""
+    from .operators.ranking import bigram_pmi
+
+    return bigram_pmi(load_table(spark, sf, "documents"), min_count=5, k=30)
+
+
+def q_text_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type/token ratio
+    (operators.text.word_entropy_stats): the information-density screen that
+    catches templated/boilerplate docs the repetition stats miss."""
+    from .operators.text import word_entropy_stats
+
+    return word_entropy_stats(load_table(spark, sf, "documents"))
+
+
+def q_mart_incremental_update(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregation maintenance (operators.aggregates
+    .merge_partial_aggs): the monthly-revenue mart refreshed by merging the
+    EXISTING mart (months before the latest) with the latest month's delta
+    aggregate -- union + re-agg over sums/counts, avg recomputed after the
+    merge. Result is provably identical to a full recompute (sum/count are
+    commutative monoids), which is exactly what the oracle asserts.
+
+    Scale shape: history contributes GROUP-cardinality rows (the stored
+    mart), only the delta shuffles at data scale -- the 100 TB mart-refresh
+    pattern. The month cutoff arrives via one 1-row collected scalar (the
+    same bounded-calibration pattern as the gap-fill spine)."""
+    from .operators.aggregates import merge_partial_aggs
+
+    orders = load_table(spark, sf, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    (maxm,) = orders.agg(F.max("month")).first()
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.sum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+
+    mart = agg(orders.filter(F.col("month") < maxm))
+    delta = agg(orders.filter(F.col("month") == maxm))
+    merged = merge_partial_aggs(mart, delta, ["month"], ["sum_price"], "n_orders")
+    return merged.select(
+        "month",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.round(F.col("sum_price") / F.col("n_orders"), 4).alias("avg_price"),
+    )
+
+
+def q_events_distinct_rolling7(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day -- the rolling-retention
+    dashboard metric, computed WITHOUT a range join: each (user, day) pair
+    contributes itself to days d..d+6 via a JVM sequence explode, then one
+    distinct + groupBy(day) counts users. Linear in events (x7), map-side
+    expanded, no window over an unbounded distinct -- the shape that
+    survives 100 TB where `COUNT(DISTINCT) OVER (RANGE 7 days)` cannot
+    (engines would keep per-day state or rescan). Output days are
+    restricted to days that actually appear in the data (semi join against
+    the observed-day set)."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    contrib = (
+        ud.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .join(days, "day", "left_semi")
+    )
+    return contrib.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_7d")
+    )
+
+
+def q_orders_median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median + deterministic mode per order priority: median order
+    value (linear-interpolated percentile, the engine-exact twin of the
+    approx sketch family) and the most frequent order STATUS with ties
+    broken to the lexicographically smallest -- built from count+rank so
+    the answer is engine-stable, unlike a bare mode() whose tie behavior is
+    undefined. Both aggs are tiny-key (5 priorities); the mode rank runs on
+    the POST-AGG (priority x status) frame."""
+    orders = load_table(spark, sf, "orders")
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+    )
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("c").desc(), F.col("o_orderstatus").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+    )
+    return base.join(mode, "o_orderpriority")
+
+
+def q_part_set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Jaccard set-similarity self-join over part-name token sets
+    (operators.dedup.prefix_filter_jaccard_join, threshold 0.6): the
+    SSJoin/PPJoin prefix-filter algorithm -- candidates only from shared
+    RAREST-first prefix tokens, so frequent tokens never generate pairs and
+    the join stays an inverted-index equi-join at any scale. The record
+    string is the part's full attribute profile (name + brand + type +
+    size), the entity-resolution shape: pairs agreeing on >= 4 of ~5
+    profile tokens."""
+    from .operators.dedup import prefix_filter_jaccard_join
+
+    part = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.concat_ws(
+            " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
+        ).alias("profile"),
+    )
+    return prefix_filter_jaccard_join(
+        part, threshold=0.6, id_col="p_partkey", text_col="profile"
+    ).select(
+        F.col("id_a").alias("partkey_a"),
+        F.col("id_b").alias("partkey_b"),
+        "n_inter",
+        "n_union",
+        "jaccard",
+    )
+
+
+def q_supplier_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto concentration per region: how many suppliers cover 80% of
+    discounted revenue, plus the top supplier's share -- the
+    skew-diagnostics query run before choosing a partitioning key.
+
+    Scale shape: revenue aggregates on the HIGH-cardinality supplier key
+    with map-side combine; dims broadcast; the ranking window runs on the
+    POST-AGG supplier frame partitioned by region. A supplier needs
+    cum_share_before < 0.8 to be counted -- computed from a running sum,
+    never a global sort of raw lineitems."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    per_supp = rev.join(F.broadcast(dims), rev.l_suppkey == dims.s_suppkey)
+    w = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("s_suppkey").asc())
+    wtot = Window.partitionBy("r_name")
+    ranked = per_supp.select(
+        "r_name",
+        "rev",
+        (
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("rev")
+        ).alias("cum_before"),
+        F.sum("rev").over(wtot).alias("total"),
+        F.max("rev").over(wtot).alias("top_rev"),
+    )
+    return ranked.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum((F.col("cum_before") < 0.8 * F.col("total")).cast("long")).alias(
+            "n_top80"
+        ),
+        F.round(F.max(F.col("top_rev") / F.col("total")), 6).alias("top1_share"),
+    )
+
+
+def q_corpus_winsorized_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized document-length statistics per language: exact p05/p95
+    (linear interpolation), raw mean, and the mean with lengths clamped into
+    [p05, p95] -- the outlier-robust corpus profile. Two passes over a
+    lang-keyed agg (percentiles first, broadcast back, then the clamped
+    mean); both shuffles are tiny-key but operate on the post-scan pruned
+    (lang, n_chars) projection only."""
+    docs = load_table(spark, sf, "documents").select("lang", "n_chars")
+    pcts = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    return (
+        docs.join(F.broadcast(pcts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(
+                F.avg(F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("n_chars")))),
+                4,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters via per-partition Misra-Gries + candidate re-count
+    (operators.frequency.heavy_hitters_exact): users generating >= 0.75% of
+    all events. The sketch pass keeps O(k) state per task and ships only
+    surviving keys; the re-count is a semi-join-pruned aggregate -- no
+    full-frequency table ever materializes, unlike a plain groupBy. The
+    answer is EXACT (candidates are a guaranteed superset; recount filters
+    with true counts), so the oracle is plain GROUP BY / HAVING."""
+    from .operators.frequency import heavy_hitters_exact
+
+    return heavy_hitters_exact(
+        load_table(spark, sf, "events"), "user_id", threshold_frac=0.0075
+    )
+
+
+def q_events_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows advancing every
+    15 minutes, per event type -- F.window with a slide, the batch twin of
+    the streaming sliding-window job. Each event lands in exactly 4 windows
+    (JVM-side expansion); the agg shuffles on (window, type) with map-side
+    combine. Output keys are the window START timestamps."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def q_customer_order_value_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Window VALUE-function family (first_value / nth_value / last_value
+    over a full frame -- the last uncovered window functions): per customer
+    with >= 3 orders, the first, second, and latest order price in
+    (date, orderkey) order. The frame must be UNBOUNDED FOLLOWING for
+    last_value/nth_value to see the whole partition -- the classic frame
+    trap, pinned here against DuckDB's implementation. One shuffle on the
+    high-cardinality customer key."""
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enriched = orders.select(
+        "o_custkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+    )
+    return (
+        enriched.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.first("first_price"), 2).alias("first_price"),
+            F.round(F.first("second_price"), 2).alias("second_price"),
+            F.round(F.first("last_price"), 2).alias("last_price"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+def q_corpus_tokens_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array functions as the per-doc token profiler: transform
+    + array_max (longest token), filter + size (digit-token count), exists
+    (any digit), aggregate (mean token length) -- all JVM lambda
+    expressions inside whole-stage codegen, zero explode/shuffle: the whole
+    query is map-only, the shape to prefer over explode+groupBy whenever
+    the aggregation is per-row."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).cast("long").alias(
+            "max_token_len"
+        ),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long").alias(
+            "n_digit_tokens"
+        ),
+        F.exists(toks, lambda t: t.rlike("[0-9]")).alias("has_digit"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_events_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample to daily OHLC bars per event type: open/close via
+    min_by/max_by on a deterministic (timestamp, event_id) string key --
+    the argmin/argmax aggregate family (uncovered until now), which at
+    scale replaces the window-rank idiom with ONE map-side-combinable agg
+    and no per-group sort. The composite key makes ties impossible, so the
+    answer is engine-stable by construction."""
+    ev = load_table(spark, sf, "events")
+    key = F.concat_ws(
+        "#",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("_k", key)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min_by("value", F.col("_k")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("_k")), 4).alias("close"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2652,7 +3002,21 @@ QUERIES = {
     "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
     "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
     "customer_base_stats_approx": q_customer_base_stats_approx,
-    # --- block 3: round-4 additions land here (window slots 37-50) ---
+    # --- block 3: round-4 additions (window slots 37-50) ---
+    "documents_bm25_topk": q_documents_bm25_topk,
+    "corpus_bigram_pmi": q_corpus_bigram_pmi,
+    "text_word_entropy": q_text_word_entropy,
+    "mart_incremental_update": q_mart_incremental_update,
+    "events_distinct_rolling7": q_events_distinct_rolling7,
+    "orders_median_mode": q_orders_median_mode,
+    "part_set_similarity_join": q_part_set_similarity_join,
+    "supplier_pareto": q_supplier_pareto,
+    "corpus_winsorized_length": q_corpus_winsorized_length,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_hopping_window": q_events_hopping_window,
+    "customer_order_value_window": q_customer_order_value_window,
+    "corpus_tokens_hof": q_corpus_tokens_hof,
+    "events_ohlc": q_events_ohlc,
     # --- block 4: driver-green in a prior round (r01/r02/r03) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

@@ -1206,3 +1206,137 @@ def test_markov_transitions_counts_and_conditional_probs(spark, tmp_path):
         ("B", "A"): (1, 0.5),
         ("B", "B"): (1, 0.5),
     }
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_prefix_filter_join_equals_brute_force(spark):
+    """Prefix-filter completeness: the SSJoin candidate pruning must find
+    EVERY pair with Jaccard >= t, verified against all-pairs brute force on
+    a crafted frame with shared frequent tokens (which the prefix skips)
+    and rare discriminating tokens."""
+    from itertools import combinations
+
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    recs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "alpha beta zeta eta"),
+        (4, "alpha theta iota kappa"),
+        (5, "alpha beta gamma delta"),  # exact dup of 1
+        (6, "mu nu xi"),
+        (7, "mu nu xi"),  # exact dup of 6
+        (8, "alpha"),  # single frequent token
+    ]
+    df = spark.createDataFrame(recs, ["id", "name"])
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_join(df, threshold=t).collect()
+    }
+    sets = {i: set(s.split()) for i, s in recs}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6) >= t
+    }
+    assert got == want
+    # and the verify stage reports exact Jaccard
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_join(df, threshold=t).collect()
+    }
+    assert out[(1, 5)] == 1.0
+    assert out[(1, 2)] == round(3 / 5, 6)
+
+
+def test_heavy_hitters_exact_partition_invariant(spark):
+    """Misra-Gries candidates + re-count must equal the exact GROUP BY answer
+    under any partitioning (the merge undercount bound is what guarantees
+    the candidate superset)."""
+    from aws_glue_etl_sample_hist_spark.operators.frequency import (
+        heavy_hitters_exact,
+    )
+
+    # 1000 rows: value 1 x400, 2 x200, 3..8 x50 each, 9..108 x1
+    vals = [1] * 400 + [2] * 200 + sum([[v] * 50 for v in range(3, 9)], []) + list(
+        range(9, 109)
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["user_id"])
+    for parts in (1, 7):
+        got = {
+            (r.user_id, r.freq)
+            for r in heavy_hitters_exact(
+                df.repartition(parts), "user_id", threshold_frac=0.05
+            ).collect()
+        }
+        assert got == {(1, 400), (2, 200), (3, 50), (4, 50), (5, 50), (6, 50), (7, 50), (8, 50)}
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    """Incremental mart merge is exact for ANY split of the input (sum/count
+    monoid property), including groups present on only one side."""
+    from aws_glue_etl_sample_hist_spark.operators.aggregates import (
+        merge_partial_aggs,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("c", 4.0), ("b", 5.0), ("d", 6.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    full = {(r.k, r.s, r.n) for r in agg(df).collect()}
+    for split in (1, 3, 5):
+        old = spark.createDataFrame(rows[:split], ["k", "v"])
+        new = spark.createDataFrame(rows[split:], ["k", "v"])
+        merged = merge_partial_aggs(agg(old), agg(new), ["k"], ["s"], "n")
+        assert {(r.k, r.s, r.n) for r in merged.collect()} == full
+
+
+def test_bm25_ranks_rare_term_doc_first(spark):
+    """BM25 sanity on a hand-checkable corpus: the doc containing the RARE
+    query term outscores docs stuffed with the common one (idf dominates),
+    and scores match the closed-form Okapi formula."""
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "rare common filler filler"),
+            (3, "filler filler filler filler"),
+            (4, "common filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.score for r in bm25_topk(docs, ["rare"], k=4).collect()}
+    assert set(out) == {2}  # only doc 2 matches at all
+    n, df_t, tf, dl, avgdl, k1, b = 4, 1, 1, 4, 4.0, 1.2, 0.75
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert out[2] == pytest.approx(round(expect, 4))
+
+
+def test_word_entropy_uniform_and_degenerate(spark):
+    """Entropy closed forms: uniform over k distinct tokens -> ln(k); a
+    single repeated token -> 0."""
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.text import word_entropy_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x x")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in word_entropy_stats(docs).collect()}
+    assert got[1].entropy_nats == pytest.approx(round(math.log(4), 6))
+    assert got[1].type_token_ratio == 1.0
+    assert got[2].entropy_nats == 0.0
+    assert got[2].n_types == 1
