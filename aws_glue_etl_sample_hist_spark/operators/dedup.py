@@ -709,6 +709,7 @@ def prefix_filter_jaccard_join(
     *,
     id_col: str = "id",
     text_col: str = "name",
+    block: int = 1,
 ) -> DataFrame:
     """EXACT set-similarity self-join (Jaccard >= threshold) over token SETS,
     with prefix-filter candidate generation (Chaudhuri et al. 2006 SSJoin /
@@ -727,9 +728,22 @@ def prefix_filter_jaccard_join(
     rarest-first ordering. Verification counts shared tokens with one more
     equi-join restricted to candidate ids.
 
+    ``block=2`` joins on SORTED PAIRS of prefix tokens instead (prefix
+    extended by one): a qualifying pair shares at least ``|s| -
+    ceil(t*|s|)|`` + 2-long prefixes' two globally-rarest COMMON tokens
+    (pigeonhole: each side has at most |s| - ceil(t*|s|) non-shared tokens,
+    so of its p = |s| - ceil(t*|s|) + 2 prefix slots at least 2 hold the
+    smallest common tokens -- both sides therefore emit the key (c1, c2)).
+    Pair-key frequency is ~df^2/n, so this collapses the candidate blow-up
+    on LOW-VOCABULARY record sets (attribute profiles, category strings)
+    where every single token is frequent and the plain prefix join
+    degenerates toward n^2/|V| -- the PartEnum-style trade (Arasu et al.
+    2006): more keys per record (p choose 2), quadratically rarer each.
+
     Returns (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
     """
-    import math
+    if block not in (1, 2):
+        raise ValueError(f"block must be 1 or 2, got {block}")
 
     toks = records.select(
         F.col(id_col).alias("rid"),
@@ -746,13 +760,49 @@ def prefix_filter_jaccard_join(
             ),
         )
         .join(sizes, "rid")
-        # prefix length |s| - ceil(t*|s|) + 1
-        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("rid", "tok", "sz")
+        # prefix length |s| - ceil(t*|s|) + block
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + block
+        )
+        .select("rid", "pos", "tok", "sz")
     )
+    if block == 1:
+        keyed = ranked.select("rid", F.col("tok").alias("key"), "sz")
+    else:
+        if threshold < 0.5:
+            # a size-1 set could then pair with a size-2 set, which emits
+            # only pair keys -- the single-token fallback below would miss it
+            raise ValueError("block=2 requires threshold >= 0.5")
+        # per-record pair keys from the prefix: (p choose 2) rows, p <= ~5;
+        # the "self-join" is per-rid and tiny, not a data-scale join
+        pair_keys = (
+            ranked.alias("x")
+            .join(
+                ranked.alias("y"),
+                (F.col("x.rid") == F.col("y.rid")) & (F.col("x.pos") < F.col("y.pos")),
+            )
+            .select(
+                F.col("x.rid").alias("rid"),
+                # key on the token TEXTS sorted (not df rank), so both sides
+                # of any candidate pair build the identical key string
+                F.concat_ws(
+                    "\x1f",
+                    F.least(F.col("x.tok"), F.col("y.tok")),
+                    F.greatest(F.col("x.tok"), F.col("y.tok")),
+                ).alias("key"),
+                F.col("x.sz").alias("sz"),
+            )
+        )
+        # size-1 sets have no pair to emit; with t >= 0.5 their only
+        # eligible partners are size-1 with the SAME token -> self-pair key
+        single_keys = ranked.filter(F.col("sz") == 1).select(
+            "rid", F.concat_ws("\x1f", "tok", "tok").alias("key"), "sz"
+        )
+        keyed = pair_keys.unionByName(single_keys)
     cand = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "tok")
+        keyed.alias("a")
+        .join(keyed.alias("b"), "key")
         .filter(F.col("a.rid") < F.col("b.rid"))
         # length filter: Jaccard >= t requires t*max(|a|,|b|) <= min(|a|,|b|)
         .filter(

@@ -2737,7 +2737,9 @@ def q_part_set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     the join stays an inverted-index equi-join at any scale. The record
     string is the part's full attribute profile (name + brand + type +
     size), the entity-resolution shape: pairs agreeing on >= 4 of ~5
-    profile tokens."""
+    profile tokens. Profile vocabularies are SMALL (every token frequent),
+    so this uses block=2 pair-key generation -- single-token prefix keys
+    would degenerate toward n^2/|V| candidates here."""
     from .operators.dedup import prefix_filter_jaccard_join
 
     part = load_table(spark, sf, "part").select(
@@ -2747,7 +2749,7 @@ def q_part_set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("profile"),
     )
     return prefix_filter_jaccard_join(
-        part, threshold=0.6, id_col="p_partkey", text_col="profile"
+        part, threshold=0.6, id_col="p_partkey", text_col="profile", block=2
     ).select(
         F.col("id_a").alias("partkey_a"),
         F.col("id_b").alias("partkey_b"),

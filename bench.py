@@ -70,6 +70,12 @@ HEADLINE = [
     "customer_cohort_retention",
     "corpus_zipf",
     "dq_audit",
+    # round-4 additions (the scale-interesting ones)
+    "documents_bm25_topk",
+    "part_set_similarity_join",
+    "events_heavy_hitters",
+    "events_distinct_rolling7",
+    "mart_incremental_update",
 ]
 
 

@@ -1234,17 +1234,18 @@ def test_prefix_filter_join_equals_brute_force(spark):
     ]
     df = spark.createDataFrame(recs, ["id", "name"])
     t = 0.5
-    got = {
-        (r.id_a, r.id_b)
-        for r in prefix_filter_jaccard_join(df, threshold=t).collect()
-    }
     sets = {i: set(s.split()) for i, s in recs}
     want = {
         (a, b)
         for a, b in combinations(sorted(sets), 2)
         if round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6) >= t
     }
-    assert got == want
+    for block in (1, 2):
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_jaccard_join(df, threshold=t, block=block).collect()
+        }
+        assert got == want, f"block={block}"
     # and the verify stage reports exact Jaccard
     out = {
         (r.id_a, r.id_b): r.jaccard
