@@ -50,9 +50,15 @@ def bm25_topk(
     ).filter(F.array_contains(terms, F.col("term")))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+    )
+    # corpus stats derive from the dl frame -- two text scans total (the
+    # filtered explode and the length pass), not three
+    stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -62,10 +68,6 @@ def bm25_topk(
             + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         ).alias("idf"),
         "avgdl",
-    )
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).cast("double").alias("dl"),
     )
     scored = (
         tf.join(F.broadcast(idf), "term")

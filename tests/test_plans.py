@@ -107,6 +107,9 @@ NESTED_LOOP_WHITELIST = {
     "corpus_source_budget",        # 1-row token total x sources-cardinality agg
     "dq_audit",                    # 1-row x 1-row count joins inside fk_check
     "corpus_semantic_decontamination",  # bounded benchmark set broadcast x corpus
+    "documents_bm25_topk",         # 1-row (N, avgdl) stats x |query|-sized df frame
+    "corpus_bigram_pmi",           # 1-row bigram/token totals x collocation frame
+    "events_heavy_hitters",        # 1-row corpus count x candidate-count frame
 }
 
 
