@@ -739,6 +739,10 @@ def prefix_filter_jaccard_join(
     where every single token is frequent and the plain prefix join
     degenerates toward n^2/|V| -- the PartEnum-style trade (Arasu et al.
     2006): more keys per record (p choose 2), quadratically rarer each.
+    Size-1 sets (no pair to emit) go through a single-token side channel
+    together with every record small enough (sz <= 1/t) to partner one;
+    those partners' prefixes provably cover their whole set, so the
+    channel is complete at any threshold.
 
     Returns (id_a, id_b, n_inter, n_union, jaccard) with id_a < id_b.
     """
@@ -770,10 +774,6 @@ def prefix_filter_jaccard_join(
     if block == 1:
         keyed = ranked.select("rid", F.col("tok").alias("key"), "sz")
     else:
-        if threshold < 0.5:
-            # a size-1 set could then pair with a size-2 set, which emits
-            # only pair keys -- the single-token fallback below would miss it
-            raise ValueError("block=2 requires threshold >= 0.5")
         # per-record pair keys from the prefix: (p choose 2) rows, p <= ~5;
         # the "self-join" is per-rid and tiny, not a data-scale join
         pair_keys = (
@@ -794,10 +794,19 @@ def prefix_filter_jaccard_join(
                 F.col("x.sz").alias("sz"),
             )
         )
-        # size-1 sets have no pair to emit; with t >= 0.5 their only
-        # eligible partners are size-1 with the SAME token -> self-pair key
-        single_keys = ranked.filter(F.col("sz") == 1).select(
-            "rid", F.concat_ws("\x1f", "tok", "tok").alias("key"), "sz"
+        # size-1 sets have no pair to emit. A size-1 record {x} can only
+        # pair with sets of size <= 1/t that CONTAIN x, and for those
+        # partner sizes the prefix covers the whole set (sz - ceil(t*sz) + 2
+        # >= sz whenever t*sz <= 1), so indexing the partners' prefix
+        # tokens as single-token keys is complete. Both the single and its
+        # partner enter this channel (partner sz bound below), and the
+        # shared length filter in `cand` prunes the rest.
+        import math
+
+        max_partner_sz = int(math.floor(1.0 / threshold))
+        single_keys = (
+            ranked.filter(F.col("sz") <= max_partner_sz)
+            .select("rid", F.concat_ws("\x1f", F.lit("1"), "tok").alias("key"), "sz")
         )
         keyed = pair_keys.unionByName(single_keys)
     cand = (

@@ -2616,3 +2616,17 @@ ORACLE_SQL["events_ohlc"] = """
            ROUND(arg_max(value, k), 4) AS close
     FROM e GROUP BY 1, 2
 """
+
+ORACLE_SQL["stream_events_hopping"] = """
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - CAST(x AS INTEGER) * INTERVAL '15 minutes' AS w_start,
+               event_type, value
+        FROM events, UNNEST(generate_series(0, 3)) AS u(x)
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM expanded GROUP BY 1, 2
+"""

@@ -2927,6 +2927,16 @@ def q_corpus_tokens_hof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_events_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming twin of events_hopping_window: readStream ->
+    watermark -> 1h/15min sliding window agg -> availableNow drain
+    (streaming/jobs.py) -- each event updates 4 windows of state; oracle =
+    the same per-window SQL as the batch path."""
+    from .streaming.jobs import stream_events_hopping
+
+    return stream_events_hopping(spark, sf)
+
+
 def q_events_ohlc(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series resample to daily OHLC bars per event type: open/close via
     min_by/max_by on a deterministic (timestamp, event_id) string key --
@@ -3019,7 +3029,9 @@ QUERIES = {
     "customer_order_value_window": q_customer_order_value_window,
     "corpus_tokens_hof": q_corpus_tokens_hof,
     "events_ohlc": q_events_ohlc,
-    # --- block 4: driver-green in a prior round (r01/r02/r03) ---
+    # --- block 4: first entry is new-in-r4 but past the 50-slot window
+    # (rotates into the r5 window); the rest are driver-green r01-r03 ---
+    "stream_events_hopping": q_stream_events_hopping,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

@@ -397,3 +397,26 @@ def stream_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window twin of the batch events_hopping_window
+    query: 1-hour windows every 15 minutes over the event stream -- each
+    event updates 4 windows' state; the watermark bounds state to windows
+    whose END is older than (max event time - 1 hour). Complete output so
+    availableNow drains to exactly the batch/oracle answer."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")

@@ -255,3 +255,70 @@ def test_weighted_sample_topk_matches_python_reference(spark, rows, k):
 
     want = [d for d, _ in sorted(rows, key=lambda t: (-score(*t), t[0]))[:k]]
     assert got == want
+
+
+# ---------------------------------------------------------------- round 4
+
+_token_strategy = st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"])
+_record_strategy = st.lists(  # records: each a token list (dups allowed)
+    st.lists(_token_strategy, min_size=1, max_size=5),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(recs=_record_strategy, block=st.sampled_from([1, 2]))
+def test_prefix_filter_join_matches_bruteforce(spark, recs, block):
+    """SSJoin completeness under BOTH blocking schemes on adversarial
+    small-vocab records (every token frequent, heavy duplication, size-1
+    sets): output must equal the all-pairs ground truth exactly."""
+    from itertools import combinations
+
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    t = 0.5
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(recs)], ["id", "name"]
+    )
+    got = {
+        (r.id_a, r.id_b, r.n_inter, r.n_union)
+        for r in prefix_filter_jaccard_join(df, threshold=t, block=block).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(recs)}
+    want = {
+        (a, b, len(sets[a] & sets[b]), len(sets[a] | sets[b]))
+        for a, b in combinations(sorted(sets), 2)
+        if round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 6) >= t
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    freqs=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=12),
+    parts=st.sampled_from([1, 3, 8]),
+    frac=st.sampled_from([0.05, 0.1, 0.3]),
+)
+def test_heavy_hitters_matches_exact_counts(spark, freqs, parts, frac):
+    """Misra-Gries + re-count equals plain GROUP BY/HAVING for any value
+    distribution, partitioning, and threshold -- including thresholds no
+    value reaches (empty answer) and single-partition streams."""
+    from aws_glue_etl_sample_hist_spark.operators.frequency import (
+        heavy_hitters_exact,
+    )
+
+    rows = [(v,) for v, n in enumerate(freqs) for _ in range(n)]
+    total = len(rows)
+    df = spark.createDataFrame(rows, ["user_id"]).repartition(parts)
+    got = {
+        (r.user_id, r.freq)
+        for r in heavy_hitters_exact(df, "user_id", threshold_frac=frac).collect()
+    }
+    import math
+
+    thresh = math.ceil(total * frac)
+    want = {(v, n) for v, n in enumerate(freqs) if n >= thresh}
+    assert got == want
