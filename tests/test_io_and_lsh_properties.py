@@ -259,3 +259,53 @@ def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
         spark.createDataFrame([(4, "d")], "id long, s string"), base
     ) == 3
     assert latest_version(base) == 3
+
+
+# ------------------------------------------------- python data source API
+
+
+def test_synthetic_docs_source_deterministic_and_partitioned(spark):
+    """The custom Python Data Source plans real partitions and generates a
+    byte-identical corpus on every read regardless of partitioning --
+    the reproducibility contract a generated load test depends on."""
+    from aws_glue_etl_sample_hist_spark.io.pydatasource import (
+        SYNTH_SCHEMA,
+        _synth_doc,
+        register_synthetic_docs,
+    )
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 100)
+        .option("n_partitions", 5)
+        .option("seed", 7)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang", "n_tokens"]
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r.doc_id: (r.text, r.lang, r.n_tokens) for r in df.collect()}
+    assert len(rows) == 100
+    # pure-python reference: identical content, any partitioning
+    for doc_id in (0, 13, 99):
+        _, text, lang, n = _synth_doc(doc_id, 7)
+        assert rows[doc_id] == (text, lang, n)
+    # re-read with DIFFERENT partitioning -> same corpus
+    df2 = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 100)
+        .option("n_partitions", 2)
+        .option("seed", 7)
+        .load()
+    )
+    assert {tuple(r) for r in df2.collect()} == {
+        (k, *v) for k, v in rows.items()
+    }
+    # and a different seed -> a different corpus
+    df3 = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 100)
+        .option("seed", 8)
+        .load()
+    )
+    assert {tuple(r) for r in df3.collect()} != {(k, *v) for k, v in rows.items()}
