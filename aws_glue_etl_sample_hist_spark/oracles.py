@@ -2630,3 +2630,22 @@ ORACLE_SQL["stream_events_hopping"] = """
            ROUND(SUM(value), 4) AS sum_value
     FROM expanded GROUP BY 1, 2
 """
+
+ORACLE_SQL["orders_month_spine_recursive"] = """
+    WITH RECURSIVE spine(m, mx) AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+        FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL '1 month' AS DATE), mx FROM spine WHERE m < mx
+    ),
+    agg AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n, SUM(o_totalprice) AS s
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(spine.m, '%Y-%m') AS month,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(agg.s, 0.0), 2) AS sum_price
+    FROM spine LEFT JOIN agg ON spine.m = agg.m
+"""

@@ -2927,6 +2927,46 @@ def q_corpus_tokens_hof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orders_month_spine_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE + UNION ALL -- the last
+    uncovered SQL construct): a calendar month spine generated IN SQL.
+    Anchor = first order month carrying the last month as a bound column
+    (no subquery needed in the recursive member), step = add_months(+1)
+    until the bound; the monthly order aggregate left-joins onto the spine
+    so empty months would surface with zero.
+
+    Scale shape: recursion depth is bounded by the CALENDAR (80 levels
+    here, under Spark's default 100-level recursion limit), never by data
+    volume -- each level is a 1-row frame. The data-scale work is the
+    ordinary monthly agg; the spine join is calendar-cardinality. Cyclic
+    graph closure is deliberately NOT expressed this way: Spark recursion
+    is UNION ALL-only, so unbounded structures belong to the iterative
+    operators (operators.dedup.connected_components)."""
+    from .catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m, mx) AS (
+            SELECT CAST(date_trunc('MM', MIN(o_orderdate)) AS DATE),
+                   CAST(date_trunc('MM', MAX(o_orderdate)) AS DATE)
+            FROM orders
+            UNION ALL
+            SELECT add_months(m, 1), mx FROM spine WHERE m < mx
+        ),
+        agg AS (
+            SELECT CAST(date_trunc('MM', o_orderdate) AS DATE) AS m,
+                   COUNT(*) AS n, SUM(o_totalprice) AS s
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS month,
+               CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(agg.s, 0.0), 2) AS sum_price
+        FROM spine LEFT JOIN agg ON spine.m = agg.m
+        """
+    )
+
+
 def q_stream_events_hopping(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming twin of events_hopping_window: readStream ->
     watermark -> 1h/15min sliding window agg -> availableNow drain
@@ -3032,6 +3072,7 @@ QUERIES = {
     # --- block 4: first entry is new-in-r4 but past the 50-slot window
     # (rotates into the r5 window); the rest are driver-green r01-r03 ---
     "stream_events_hopping": q_stream_events_hopping,
+    "orders_month_spine_recursive": q_orders_month_spine_recursive,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
