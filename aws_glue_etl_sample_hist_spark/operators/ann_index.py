@@ -1,0 +1,148 @@
+"""Persistent IVF index: build once, append batches, query many times --
+the production shape of similarity search over an embedding corpus.
+
+The in-plan IVF in operators/similarity.py recomputes assignment per query
+job; at 100 TB the index must live AT REST instead (Jegou et al. 2011's
+coarse quantizer + inverted lists, mapped onto a lakehouse):
+
+  <index_dir>/centroids/   (cent_id, cv)           -- k x dim, broadcast-sized
+  <index_dir>/vectors/     cell=<c>/*.parquet      -- corpus partitioned by cell
+
+Querying then reads ONLY the probed cells via Hive-partition pruning
+(`filter(cell IN probes)` -> PartitionFilters on the scan): per query
+nprobe/k of the corpus's FILES are touched, which is the entire point of
+IVF -- the pruning happens in the storage layout, not in compute. Appending
+a crawl batch assigns it with the PERSISTED centroids (never retrain on
+append -- cell ids must stay stable) and writes new files into the same
+partition dirs.
+
+Probe selection runs driver-side over the collected centroid table (k x dim
+floats -- the same bounded-calibration collect as the z-order bounds): the
+serving path needs cell literals BEFORE the scan so the planner can prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .similarity import auto_centroids, cosine, ivf_assign, seeded_centroids
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    n_centroids: int | str = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize centroids + cell-partitioned vectors under index_dir."""
+    if centroids is None:
+        if n_centroids == "auto":
+            centroids = auto_centroids(emb, id_col=id_col, vec_col=vec_col)
+        else:
+            centroids = seeded_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    centroids.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    spark = emb.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = ivf_assign(emb, 0, centroids=cent, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+
+
+def append_ivf_index(
+    new_emb: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign a NEW batch with the persisted centroids and append its files
+    into the existing cell partitions. Centroids are never retrained here:
+    cell ids must stay stable or every existing inverted list is wrong."""
+    spark = new_emb.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    assigned = ivf_assign(new_emb, 0, centroids=cent, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k cosine neighbors for each (query_id, vector) against the
+    persisted index, touching only the probed cells' files.
+
+    Returns (query_id, neighbor_id, rank, cosine); a query vector whose id
+    exists in the index never matches itself.
+    """
+    import math
+
+    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return dot / (na * nb)
+
+    probes: dict[int, list[int]] = {}
+    for qid, qv in queries:
+        ranked = sorted(
+            ((_cos(qv, r.cv), -r.cent_id) for r in cent_rows), reverse=True
+        )
+        probes[qid] = [-c for _, c in ranked[:nprobe]]
+    cells = sorted({c for cs in probes.values() for c in cs})
+
+    # cell literals BEFORE the scan => PartitionFilters prune to probed dirs
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("cell").isin(cells)
+    )
+    # one row per (query, probed cell) -> the cell join stays an EQUI join
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (qid, qv, cell)
+                for qid, qv in queries
+                for cell in probes[qid]
+            ],
+            "query_id long, qv array<float>, cell long",
+        )
+    )
+    cand = q_df.join(
+        vectors.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), "cell"
+        ),
+        "cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

@@ -2649,3 +2649,6 @@ ORACLE_SQL["orders_month_spine_recursive"] = """
            ROUND(COALESCE(agg.s, 0.0), 2) AS sum_price
     FROM spine LEFT JOIN agg ON spine.m = agg.m
 """
+
+# full-probe IVF over the persisted index == exact brute force
+ORACLE_SQL["embedding_ivf_index_search"] = ORACLE_SQL["embedding_cosine_topk"]

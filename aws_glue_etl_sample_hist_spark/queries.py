@@ -2927,6 +2927,27 @@ def q_corpus_tokens_hof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_index_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent IVF index round-trip (operators.ann_index): build the
+    cell-partitioned index on disk (seeded centroids -> deterministic), then
+    answer 5 queries through the PERSISTED layout with every cell probed --
+    full probe makes the index answer EXACTLY the brute-force top-k, which
+    is what the oracle asserts. The storage-pruning contract (partial probe
+    reads only probed cells' files) is pinned in tests/test_ann_index.py."""
+    import tempfile
+
+    from .operators.ann_index import build_ivf_index, query_ivf_index
+
+    emb = load_table(spark, sf, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, idx, n_centroids=8)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return query_ivf_index(spark, idx, queries, k=10, nprobe=8)
+
+
 def q_orders_month_spine_recursive(spark: SparkSession, sf: str) -> DataFrame:
     """Recursive CTE (Spark 4.1 WITH RECURSIVE + UNION ALL -- the last
     uncovered SQL construct): a calendar month spine generated IN SQL.
@@ -3073,6 +3094,7 @@ QUERIES = {
     # (rotates into the r5 window); the rest are driver-green r01-r03 ---
     "stream_events_hopping": q_stream_events_hopping,
     "orders_month_spine_recursive": q_orders_month_spine_recursive,
+    "embedding_ivf_index_search": q_embedding_ivf_index_search,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
