@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 @dataclass(frozen=True)
@@ -148,3 +148,35 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Partitioned parquet write that collects in-flight metrics via
+    ``df.observe`` -- row counts, null counts, sums ride along INSIDE the
+    write job (accumulator-backed), so the pipeline gets its audit numbers
+    without a second scan-and-count action over the tier it just wrote.
+
+    This is the production ingestion contract at 100 TB: every tier write
+    reports its own volumetrics for free; a separate `count()` would re-read
+    the tier (or recompute the lineage) and double the job's cost.
+
+    ``metrics`` maps name -> aggregate Column (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(F.col('x').isNull().cast('long'))``). Returns the observed
+    values as a plain dict after the write completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return dict(obs.get)

@@ -247,3 +247,29 @@ def test_upsert_partitioned_touches_only_affected_partitions(spark, sf_small, tm
     assert got[victim.event_id] == ("corrected", 99.5)
     assert got[10_000_001] == ("late_arrival", 1.25)
     assert os.path.exists(marker)  # untouched partition dir survived
+
+
+def test_observed_write_reports_metrics_without_second_scan(spark, tmp_path):
+    """io.sinks.observed_write: volumetrics ride inside the write job
+    (df.observe accumulators) and match a ground-truth recount."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.io.sinks import observed_write
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (3, "c", None), (4, "d", 8.0)],
+        ["id", "name", "val"],
+    )
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        df,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_names": F.sum(F.col("name").isNull().cast("long")),
+            "sum_val": F.sum("val"),
+        },
+    )
+    assert got == {"n_rows": 4, "n_null_names": 1, "sum_val": 14.0}
+    back = spark.read.parquet(out)
+    assert back.count() == 4
