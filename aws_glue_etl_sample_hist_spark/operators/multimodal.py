@@ -95,17 +95,22 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - explicit stub
-    """STUB: real image decode requires PIL, not present in this container.
-    The metadata path (extract_media_meta) exercises the same Spark plumbing
-    with a deterministic fake."""
-    if HAVE_PIL:
+def decode_image(payload: bytes):
+    """Decode an image payload. REAL for 24-bit uncompressed BMP (pure
+    numpy, no library -- returns a uint8 (H, W, 3) RGB array via
+    `decode_bmp` below); compressed formats (JPEG/PNG/...) require PIL,
+    absent from this container, so they remain an explicit stub until the
+    dependency appears (then they return a PIL Image)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if HAVE_PIL:  # pragma: no cover - dependency absent in this container
         import io
 
         return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
-        "image decoding requires PIL; container ships without it -- "
-        "use extract_media_meta for the deterministic metadata path"
+        "compressed-image decoding requires PIL; container ships without it "
+        "-- BMP decodes natively, use extract_media_meta for the "
+        "deterministic metadata path on other formats"
     )
 
 
@@ -265,3 +270,96 @@ def sample_frames(
 
     video = with_payload.filter(F.col("media_type") == "video")
     return video.mapInPandas(frames, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------- real BMP path
+#
+# PIL is absent, but 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB) needs
+# no codec library at all -- so the image-decode path is REAL for BMP and
+# stub-only for compressed formats. Pure numpy: header via struct, pixel grid
+# via one frombuffer + reshape (bottom-up rows, BGR order, rows padded to 4).
+
+REAL_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", StringType()),
+        StructField("mean_g", StringType()),
+        StructField("mean_b", StringType()),
+    ]
+)
+
+
+def encode_bmp(pixels) -> bytes:
+    """uint8 (H, W, 3) RGB array -> 24-bit BI_RGB .bmp bytes."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    body_size = (row_raw + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + body_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(arr[y, :, ::-1].tobytes() + b"\x00" * pad)  # RGB -> BGR
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """24-bit BI_RGB .bmp bytes -> uint8 (H, W, 3) RGB array. Pure numpy."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP is supported")
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    grid = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs(h), offset=data_offset
+    ).reshape(abs(h), stride)[:, :row_raw].reshape(abs(h), w, 3)
+    if h > 0:
+        grid = grid[::-1]  # bottom-up -> top-down
+    return grid[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def real_image_meta(with_payload: DataFrame) -> DataFrame:
+    """TRUE header/pixel metadata from real BMP payloads: width, height and
+    per-channel means read from the DECODED grid (4-dp strings so an exact
+    compare never hits float formatting). Same mapInPandas batch shape as
+    extract_media_meta -- this is the deterministic-fake path's real twin
+    for the one format the container can decode without any library."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(payload)
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        doc_id,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        f"{means[0]:.4f}",
+                        f"{means[1]:.4f}",
+                        f"{means[2]:.4f}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_IMAGE_SCHEMA.fields]
+            )
+
+    return with_payload.mapInPandas(meta, REAL_IMAGE_SCHEMA)

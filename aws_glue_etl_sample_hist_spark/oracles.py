@@ -2652,3 +2652,20 @@ ORACLE_SQL["orders_month_spine_recursive"] = """
 
 # full-probe IVF over the persisted index == exact brute force
 ORACLE_SQL["embedding_ivf_index_search"] = ORACLE_SQL["embedding_cosine_topk"]
+
+# the BMP round-trip must reproduce channel means computed straight from
+# the text bytes (flat pixel i = byte text[i mod n]; channel = i mod 3)
+ORACLE_SQL["multimodal_bmp_decode"] = """
+    WITH px AS (
+        SELECT doc_id, x,
+               ascii(substr(text, CAST(x % len(text) AS INTEGER) + 1, 1)) AS v
+        FROM documents, UNNEST(generate_series(0, 95)) AS u(x)
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           printf('%.4f', AVG(CASE WHEN x % 3 = 0 THEN v END)) AS mean_r,
+           printf('%.4f', AVG(CASE WHEN x % 3 = 1 THEN v END)) AS mean_g,
+           printf('%.4f', AVG(CASE WHEN x % 3 = 2 THEN v END)) AS mean_b
+    FROM px GROUP BY doc_id
+"""

@@ -2927,6 +2927,45 @@ def q_corpus_tokens_hof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end (no codec library): each doc's text
+    bytes become an 8x4 24-bit BMP (pure-numpy encoder), and
+    operators.multimodal.real_image_meta decodes the HEADERS AND PIXELS
+    back -- true width/height plus exact per-channel means. The oracle
+    recomputes the channel means from the same text bytes in SQL, so the
+    whole decode path (struct unpack, bottom-up rows, BGR swap, row
+    padding) is pinned by a dual-engine compare, not just a unit test.
+    Arrow-batched map-only; the binary payload never shuffles."""
+    import numpy as np
+
+    from .operators.multimodal import encode_bmp, real_image_meta
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_bmp(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                px = np.resize(b, 96).reshape(4, 8, 3)  # cycles if short
+                rows.append((doc_id, "image", bytearray(encode_bmp(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_bmp, "doc_id long, media_type string, payload binary"
+    )
+    return real_image_meta(with_payload).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 def q_embedding_ivf_index_search(spark: SparkSession, sf: str) -> DataFrame:
     """Persistent IVF index round-trip (operators.ann_index): build the
     cell-partitioned index on disk (seeded centroids -> deterministic), then
@@ -3095,6 +3134,7 @@ QUERIES = {
     "stream_events_hopping": q_stream_events_hopping,
     "orders_month_spine_recursive": q_orders_month_spine_recursive,
     "embedding_ivf_index_search": q_embedding_ivf_index_search,
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

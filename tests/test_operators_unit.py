@@ -1341,3 +1341,53 @@ def test_word_entropy_uniform_and_degenerate(spark):
     assert got[1].type_token_ratio == 1.0
     assert got[2].entropy_nats == 0.0
     assert got[2].n_types == 1
+
+
+def test_bmp_roundtrip_including_row_padding():
+    """Pure-numpy BMP codec: encode->decode is the identity for widths that
+    do and don't need 4-byte row padding (the classic BMP trap)."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 2), (5, 3), (4, 4), (7, 5)]:  # w=2,3,5 need padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(px)
+        assert payload[:2] == b"BM"
+        back = decode_bmp(payload)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+        # decode_image dispatches BMP to the native path -- no PIL involved
+        assert (decode_image(payload) == px).all()
+
+
+def test_real_image_meta_reads_true_dimensions(spark):
+    """real_image_meta extracts TRUE width/height/channel means from decoded
+    BMP payloads through the same mapInPandas plumbing as the fake path."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        encode_bmp,
+        real_image_meta,
+    )
+
+    imgs = {
+        1: np.full((2, 3, 3), 10, dtype=np.uint8),
+        2: np.zeros((4, 5, 3), dtype=np.uint8),
+    }
+    imgs[2][:, :, 0] = 200  # red plane
+    df = spark.createDataFrame(
+        [(k, "image", bytearray(encode_bmp(v))) for k, v in imgs.items()],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {r.doc_id: r for r in real_image_meta(df).collect()}
+    assert (got[1].width, got[1].height) == (3, 2)
+    assert got[1].mean_r == got[1].mean_g == got[1].mean_b == "10.0000"
+    assert (got[2].width, got[2].height) == (5, 4)
+    assert got[2].mean_r == "200.0000"
+    assert got[2].mean_b == "0.0000"
