@@ -363,3 +363,81 @@ def real_image_meta(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(meta, REAL_IMAGE_SCHEMA)
+
+
+# ------------------------------------------------------------- real WAV path
+#
+# Like BMP, RIFF/WAVE PCM is uncompressed -- the audio decode path is REAL
+# with zero dependencies: struct header parse + one int16 frombuffer.
+
+REAL_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", StringType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """int16 sample array -> RIFF/WAVE PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(pcm), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+            n_channels * 2, 16,
+        )
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 bytes -> (samples int16 array, sample_rate, n_channels)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        chunk_id, size = struct.unpack_from("<4sI", payload, pos)
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif chunk_id == b"data":
+            if fmt is None or fmt[0] != 1 or fmt[5] != 16:
+                raise NotImplementedError("only PCM16 WAV is supported")
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=pos + 8)
+            return samples, fmt[2], fmt[1]
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def real_audio_meta(with_payload: DataFrame) -> DataFrame:
+    """TRUE audio metadata from real WAV payloads: channel count, sample
+    rate, sample count and RMS amplitude computed from the DECODED PCM --
+    the audio twin of real_image_meta, same mapInPandas batch shape."""
+    import numpy as np
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate, ch = decode_wav(payload)
+                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                rows.append((doc_id, ch, rate, len(samples), f"{rms:.4f}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_AUDIO_SCHEMA.fields]
+            )
+
+    return with_payload.mapInPandas(meta, REAL_AUDIO_SCHEMA)

@@ -2669,3 +2669,17 @@ ORACLE_SQL["multimodal_bmp_decode"] = """
            printf('%.4f', AVG(CASE WHEN x % 3 = 2 THEN v END)) AS mean_b
     FROM px GROUP BY doc_id
 """
+
+ORACLE_SQL["multimodal_wav_decode"] = """
+    WITH sm AS (
+        SELECT doc_id, x,
+               ascii(substr(text, CAST(x % len(text) AS INTEGER) + 1, 1)) - 128 AS v
+        FROM documents, UNNEST(generate_series(0, 63)) AS u(x)
+    )
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(64 AS BIGINT) AS n_samples,
+           printf('%.4f', sqrt(AVG(CAST(v AS DOUBLE) * v))) AS rms
+    FROM sm GROUP BY doc_id
+"""

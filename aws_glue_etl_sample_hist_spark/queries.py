@@ -2966,6 +2966,42 @@ def q_multimodal_bmp_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end (no codec library): each doc's text
+    bytes become 64 centered int16 PCM samples in a RIFF/WAVE container
+    (pure-struct encoder), and operators.multimodal.real_audio_meta parses
+    the chunks back -- true channel count, sample rate, sample count, and
+    RMS amplitude from the DECODED samples. Oracle recomputes the RMS from
+    the same text bytes in SQL. The audio twin of multimodal_bmp_decode."""
+    import numpy as np
+
+    from .operators.multimodal import encode_wav, real_audio_meta
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = np.resize(b, 64).astype(np.int16) - 128
+                rows.append((doc_id, "audio", bytearray(encode_wav(samples, 8000, 1))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_wav, "doc_id long, media_type string, payload binary"
+    )
+    return real_audio_meta(with_payload).select(
+        "doc_id",
+        F.col("n_channels").cast("long").alias("n_channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_samples",
+        "rms",
+    )
+
+
 def q_embedding_ivf_index_search(spark: SparkSession, sf: str) -> DataFrame:
     """Persistent IVF index round-trip (operators.ann_index): build the
     cell-partitioned index on disk (seeded centroids -> deterministic), then
@@ -3135,6 +3171,7 @@ QUERIES = {
     "orders_month_spine_recursive": q_orders_month_spine_recursive,
     "embedding_ivf_index_search": q_embedding_ivf_index_search,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

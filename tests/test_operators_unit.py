@@ -1391,3 +1391,27 @@ def test_real_image_meta_reads_true_dimensions(spark):
     assert (got[2].width, got[2].height) == (5, 4)
     assert got[2].mean_r == "200.0000"
     assert got[2].mean_b == "0.0000"
+
+
+def test_wav_roundtrip_and_real_audio_meta(spark):
+    """Pure-struct WAV codec: encode->decode identity on full-range int16,
+    and real_audio_meta reads true rate/channels/RMS from decoded PCM."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        real_audio_meta,
+    )
+
+    x = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    s, rate, ch = decode_wav(encode_wav(x, 16000, 1))
+    assert (s == x).all() and rate == 16000 and ch == 1
+
+    const = np.full(8, 100, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(const, 8000, 1)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    r = real_audio_meta(df).collect()[0]
+    assert (r.n_channels, r.sample_rate, r.n_samples, r.rms) == (1, 8000, 8, "100.0000")
