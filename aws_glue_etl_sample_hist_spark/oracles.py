@@ -2683,3 +2683,22 @@ ORACLE_SQL["multimodal_wav_decode"] = """
            printf('%.4f', sqrt(AVG(CAST(v AS DOUBLE) * v))) AS rms
     FROM sm GROUP BY doc_id
 """
+
+# frame f's luma = text bytes cycled from offset f*32 (np.roll then resize):
+# pixel i of frame f = byte text[(f*32 + i) mod n]
+ORACLE_SQL["multimodal_y4m_decode"] = """
+    WITH px AS (
+        SELECT doc_id, f, i,
+               ascii(substr(text,
+                   CAST((f * 32 + i) % len(text) AS INTEGER) + 1, 1)) AS v
+        FROM documents,
+             UNNEST(generate_series(0, 2)) AS uf(f),
+             UNNEST(generate_series(0, 31)) AS ui(i)
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(8 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           printf('%.4f', AVG(CAST(v AS DOUBLE))) AS mean_y
+    FROM px GROUP BY doc_id, f
+"""

@@ -3002,6 +3002,46 @@ def q_multimodal_wav_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_y4m_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode end-to-end (no codec library): each doc's text
+    bytes become a 3-frame 8x4 YUV4MPEG2 stream (luma = cycled text bytes,
+    frame f offset by f*32), and operators.multimodal.real_video_meta
+    decodes headers + planes back -- per-frame dimensions and mean luma,
+    1 payload -> 3 rows (the video fan-out shape). Oracle recomputes each
+    frame's mean from the same bytes in SQL. Completes the modality trio:
+    BMP image, WAV audio, y4m video -- all with REAL decoders."""
+    import numpy as np
+
+    from .operators.multimodal import encode_y4m, real_video_meta
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_y4m(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                frames = [
+                    np.resize(np.roll(b, -(f * 32)), 32).reshape(4, 8)
+                    for f in range(3)
+                ]
+                rows.append((doc_id, "video", bytearray(encode_y4m(frames))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_y4m, "doc_id long, media_type string, payload binary"
+    )
+    return real_video_meta(with_payload).select(
+        "doc_id",
+        "frame_idx",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_y",
+    )
+
+
 def q_embedding_ivf_index_search(spark: SparkSession, sf: str) -> DataFrame:
     """Persistent IVF index round-trip (operators.ann_index): build the
     cell-partitioned index on disk (seeded centroids -> deterministic), then
@@ -3172,6 +3212,7 @@ QUERIES = {
     "embedding_ivf_index_search": q_embedding_ivf_index_search,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

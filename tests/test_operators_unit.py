@@ -1415,3 +1415,32 @@ def test_wav_roundtrip_and_real_audio_meta(spark):
     )
     r = real_audio_meta(df).collect()[0]
     assert (r.n_channels, r.sample_rate, r.n_samples, r.rms) == (1, 8000, 8, "100.0000")
+
+
+def test_y4m_roundtrip_and_real_video_meta(spark):
+    """Pure-python YUV4MPEG2 codec: encode->decode identity on luma planes,
+    and real_video_meta fans each payload out to per-frame rows with true
+    decoded dimensions and mean luma."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        real_video_meta,
+    )
+
+    f0 = np.arange(32, dtype=np.uint8).reshape(4, 8)
+    f1 = np.full((4, 8), 200, dtype=np.uint8)
+    w, h, frames = decode_y4m(encode_y4m([f0, f1]))
+    assert (w, h, len(frames)) == (8, 4, 2)
+    assert (frames[0] == f0).all() and (frames[1] == f1).all()
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(encode_y4m([f0, f1])))],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {r.frame_idx: r for r in real_video_meta(df).collect()}
+    assert len(got) == 2
+    assert (got[0].width, got[0].height) == (8, 4)
+    assert got[0].mean_y == "15.5000"  # mean of 0..31
+    assert got[1].mean_y == "200.0000"
