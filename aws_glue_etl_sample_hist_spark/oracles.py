@@ -2702,3 +2702,17 @@ ORACLE_SQL["multimodal_y4m_decode"] = """
            printf('%.4f', AVG(CAST(v AS DOUBLE))) AS mean_y
     FROM px GROUP BY doc_id, f
 """
+
+ORACLE_SQL["orders_price_histogram"] = """
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+    binned AS (
+        SELECT LEAST(9, CAST(FLOOR((o_totalprice - lo) * 10.0 / (hi - lo)) AS BIGINT))
+                   AS bin, lo, hi
+        FROM orders, b
+    )
+    SELECT bin,
+           ROUND(ANY_VALUE(lo) + bin * (ANY_VALUE(hi) - ANY_VALUE(lo)) / 10.0, 4) AS bin_lo,
+           ROUND(ANY_VALUE(lo) + (bin + 1) * (ANY_VALUE(hi) - ANY_VALUE(lo)) / 10.0, 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM binned GROUP BY bin
+"""

@@ -3042,6 +3042,33 @@ def q_multimodal_y4m_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orders_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram (the profiling family's last gap): 10 bins over
+    [min, max] of order value, with bin bounds and counts. The bounds come
+    from a 1-row broadcast aggregate (plan stays lazy), binning is a
+    map-side expression, the count is a 10-key agg -- the whole thing is
+    one scan + one tiny shuffle at any scale. Bin edges are identical
+    IEEE-double arithmetic in both engines, so assignment is
+    deterministic."""
+    orders = load_table(spark, sf, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("o_totalprice") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
+        ).cast("long").alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.round(F.first("lo") + F.col("bin") * (F.first("hi") - F.first("lo")) / 10.0, 4).alias("bin_lo"),
+        F.round(F.first("lo") + (F.col("bin") + 1) * (F.first("hi") - F.first("lo")) / 10.0, 4).alias("bin_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
 def q_embedding_ivf_index_search(spark: SparkSession, sf: str) -> DataFrame:
     """Persistent IVF index round-trip (operators.ann_index): build the
     cell-partitioned index on disk (seeded centroids -> deterministic), then
@@ -3213,6 +3240,7 @@ QUERIES = {
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
+    "orders_price_histogram": q_orders_price_histogram,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

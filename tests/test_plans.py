@@ -110,6 +110,7 @@ NESTED_LOOP_WHITELIST = {
     "documents_bm25_topk",         # 1-row (N, avgdl) stats x |query|-sized df frame
     "corpus_bigram_pmi",           # 1-row bigram/token totals x collocation frame
     "events_heavy_hitters",        # 1-row corpus count x candidate-count frame
+    "orders_price_histogram",      # 1-row min/max bounds x fact scan (binning)
 }
 
 
