@@ -2716,3 +2716,73 @@ ORACLE_SQL["orders_price_histogram"] = """
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM binned GROUP BY bin
 """
+
+ORACLE_SQL["hybrid_retrieval_rrf"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(len(regexp_split_to_array(trim(text), '\s+'))) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    bm25 AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+        FROM bm25
+        QUALIFY lex_rank <= 20
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    sem AS (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                   list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))) DESC,
+                   e.vec_id ASC) AS sem_rank
+        FROM e, q WHERE e.vec_id != 0
+        QUALIFY sem_rank <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60.0 + lex_rank), 0)
+                     + COALESCE(1.0 / (60.0 + sem_rank), 0), 6) AS rrf_score,
+               CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ),
+    top AS (
+        SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT)
+               AS rank,
+           doc_id, rrf_score, lex_rank, sem_rank
+    FROM top
+"""

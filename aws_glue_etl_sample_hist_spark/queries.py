@@ -3042,6 +3042,53 @@ def q_multimodal_y4m_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    BM25 lexical top-20 fused with embedding-cosine top-20 (query = vec 0's
+    embedding, doc ids align with the corpus), fused score = sum of
+    1/(60 + rank) over the lists a doc appears in, final top-10.
+
+    The modern RAG retrieval stack in one plan: both branches are the
+    already-bounded top-k operators (query-sized frames), the fusion is a
+    20-row full outer join -- nothing data-scale happens after the two
+    retrievals. Ranked on the ROUNDED fused score with doc_id tie-break so
+    the cutoff is engine-stable."""
+    from .operators.ranking import bm25_topk
+    from .operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = bm25_topk(docs, ["spark", "window", "merge"], k=20)
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+    sem_r = (
+        cosine_topk(emb, [0], k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60.0 + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (60.0 + F.col("sem_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "rrf_score", "lex_rank", "sem_rank")
+    )
+
+
 def q_orders_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (the profiling family's last gap): 10 bins over
     [min, max] of order value, with bin bounds and counts. The bounds come
@@ -3241,6 +3288,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
+    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

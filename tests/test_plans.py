@@ -111,6 +111,7 @@ NESTED_LOOP_WHITELIST = {
     "corpus_bigram_pmi",           # 1-row bigram/token totals x collocation frame
     "events_heavy_hitters",        # 1-row corpus count x candidate-count frame
     "orders_price_histogram",      # 1-row min/max bounds x fact scan (binning)
+    "hybrid_retrieval_rrf",        # composes bm25 (1-row stats) + cosine_topk
 }
 
 
