@@ -1,5 +1,6 @@
-"""Persistent IVF index: build once, append batches, query many times --
-the production shape of similarity search over an embedding corpus.
+"""Persistent vector indexes (IVF and PQ): build once, append batches,
+query many times -- the production shape of similarity search over an
+embedding corpus.
 
 The in-plan IVF in operators/similarity.py recomputes assignment per query
 job; at 100 TB the index must live AT REST instead (Jegou et al. 2011's
@@ -145,4 +146,106 @@ def query_ivf_index(
             F.col("rank").cast("long").alias("rank"),
             F.round("cos_raw", 6).alias("cosine"),
         )
+    )
+
+
+# ------------------------------------------------------------ persisted PQ
+
+def build_pq_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    m: int | None = None,
+    n_codes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ index at rest: <index_dir>/codebook (subspace,
+    code_id, cv) + <index_dir>/codes (vec_id, codes) -- the encoded corpus
+    is all a search ever reads; full vectors never re-enter. A 64-float
+    embedding persists as m small longs."""
+    from .similarity import PQ_CODES, PQ_SUBSPACES, pq_codebook, pq_codes
+
+    m = m if m is not None else PQ_SUBSPACES
+    n_codes = n_codes if n_codes is not None else PQ_CODES
+    cb = pq_codebook(emb, m, n_codes, id_col=id_col, vec_col=vec_col)
+    spark = emb.sparkSession
+    cb_rows = [
+        (s, c, cb[s][c]) for s in range(len(cb)) for c in range(len(cb[s]))
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, code_id int, cv array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "codebook"))
+    (
+        pq_codes(emb, m, n_codes, codebook=cb, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", "codes")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+
+
+def _load_codebook(spark: SparkSession, index_dir: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(os.path.join(index_dir, "codebook")).collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r.subspace, {})[r.code_id] = [float(x) for x in r.cv]
+    return [
+        [by_sub[s][c] for c in sorted(by_sub[s])] for s in sorted(by_sub)
+    ]
+
+
+def append_pq_index(
+    new_emb: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode a NEW batch with the persisted codebook and append -- the PQ
+    analog of append_ivf_index (codebook never retrains on append)."""
+    from .similarity import pq_codes
+
+    cb = _load_codebook(new_emb.sparkSession, index_dir)
+    (
+        pq_codes(new_emb, len(cb), len(cb[0]), codebook=cb, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", "codes")
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "codes"))
+    )
+
+
+def query_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k against the persisted codes: queries stay exact, the
+    corpus side is ONLY the (vec_id, codes) table -- same literal-codebook
+    distance expression as the in-plan search (`similarity.adc_distance`),
+    so persisted and in-plan results are bit-identical for the same
+    codebook."""
+    from .similarity import adc_distance
+
+    cb = _load_codebook(spark, index_dir)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    q_df = F.broadcast(
+        spark.createDataFrame(queries, "query_id long, qv array<float>")
+    )
+    joined = q_df.join(
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes"),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_raw").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select(
+            "query_id",
+            "neighbor_id",
+            adc_distance(cb, F.col("qv"), F.col("codes")).alias("adc_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc_raw", 6).alias("adc_dist"))
     )

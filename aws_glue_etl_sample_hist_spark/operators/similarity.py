@@ -733,6 +733,23 @@ def pq_codes(
     )
 
 
+def adc_distance(cb: list[list[list[float]]], qv: Column, codes: Column) -> Column:
+    """The ADC estimator as one literal-codebook expression: sum over
+    subspaces of L2^2(query sub-vector, codebook[code]). Shared by the
+    in-plan search and the persisted-index query path so both rank with
+    bit-identical math."""
+    m = len(cb)
+    sub = len(cb[0][0])
+    adc = None
+    for s in range(m):
+        cb_lit = F.array(*[F.array(*[F.lit(x) for x in code]) for code in cb[s]])
+        qsub = F.slice(qv, s * sub + 1, sub)
+        code_vec = F.element_at(cb_lit, (F.element_at(codes, s + 1) + 1).cast("int"))
+        d = _l2sq(qsub, code_vec)
+        adc = d if adc is None else adc + d
+    return adc
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -765,13 +782,7 @@ def pq_adc_topk(
         codes.select(F.col("vec_id").alias("neighbor_id"), "codes"),
         F.col("query_id") != F.col("neighbor_id"),
     )
-    adc = None
-    for s in range(m):
-        cb_lit = F.array(*[F.array(*[F.lit(x) for x in code]) for code in cb[s]])
-        qsub = F.slice(F.col("qv"), s * sub + 1, sub)
-        code_vec = F.element_at(cb_lit, (F.element_at(F.col("codes"), s + 1) + 1).cast("int"))
-        d = _l2sq(qsub, code_vec)
-        adc = d if adc is None else adc + d
+    adc = adc_distance(cb, F.col("qv"), F.col("codes"))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_raw").asc(), F.col("neighbor_id").asc())
     return (
         joined.select("query_id", "neighbor_id", adc.alias("adc_raw"))

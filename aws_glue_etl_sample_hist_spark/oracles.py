@@ -2786,3 +2786,6 @@ ORACLE_SQL["hybrid_retrieval_rrf"] = r"""
            doc_id, rrf_score, lex_rank, sem_rank
     FROM top
 """
+
+# persisted-PQ search == in-plan ADC for the same seeded codebook
+ORACLE_SQL["embedding_pq_index_search"] = ORACLE_SQL["embedding_pq_topk"]

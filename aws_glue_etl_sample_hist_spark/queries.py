@@ -3089,6 +3089,26 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted PQ index round-trip (operators.ann_index.build_pq_index /
+    query_pq_index): codebook + encoded corpus written to parquet, then
+    ADC top-5 answered from the CODES TABLE alone -- shares the literal-
+    codebook distance expression with the in-plan search, so it carries
+    the same exact oracle as embedding_pq_topk."""
+    import tempfile
+
+    from .operators.ann_index import build_pq_index, query_pq_index
+
+    emb = load_table(spark, sf, "embeddings")
+    idx = tempfile.mkdtemp(prefix="pq_index_")
+    build_pq_index(emb, idx)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return query_pq_index(spark, idx, queries, k=5)
+
+
 def q_orders_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (the profiling family's last gap): 10 bins over
     [min, max] of order value, with bin bounds and counts. The bounds come
@@ -3289,6 +3309,7 @@ QUERIES = {
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    "embedding_pq_index_search": q_embedding_pq_index_search,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

@@ -112,6 +112,9 @@ NESTED_LOOP_WHITELIST = {
     "events_heavy_hitters",        # 1-row corpus count x candidate-count frame
     "orders_price_histogram",      # 1-row min/max bounds x fact scan (binning)
     "hybrid_retrieval_rrf",        # composes bm25 (1-row stats) + cosine_topk
+    "embedding_pq_index_search",   # broadcast 5 queries x persisted codes (ADC)
+    "embedding_ivf_index_search",  # probe-cell equi-join, but the build's
+                                   # assignment pass crossJoins broadcast centroids
 }
 
 
