@@ -3109,6 +3109,23 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_corpus_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (operators.bpe.train_bpe), first 3 learned
+    merges over the corpus -- an ITERATIVE distributed algorithm with a
+    driver-checkable oracle: DuckDB unrolls the 3 rounds as chained CTEs
+    (pair-count agg -> argmax -> list_reduce fold merge), so the learned
+    merge sequence is pinned exactly, tie-breaks and greedy overlap
+    semantics included. Each Spark round touches only the vocabulary
+    table and collects ONE row (the argmax pair)."""
+    from .operators.bpe import train_bpe
+
+    merges, _ = train_bpe(load_table(spark, sf, "documents"), n_merges=3)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "round long, merge_left string, merge_right string, pair_count long",
+    )
+
+
 def q_orders_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (the profiling family's last gap): 10 bins over
     [min, max] of order value, with bin bounds and counts. The bounds come
@@ -3310,6 +3327,7 @@ QUERIES = {
     "orders_price_histogram": q_orders_price_histogram,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "embedding_pq_index_search": q_embedding_pq_index_search,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

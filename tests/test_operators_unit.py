@@ -1444,3 +1444,56 @@ def test_y4m_roundtrip_and_real_video_meta(spark):
     assert (got[0].width, got[0].height) == (8, 4)
     assert got[0].mean_y == "15.5000"  # mean of 0..31
     assert got[1].mean_y == "200.0000"
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Pure-python reference BPE (Sennrich 2016 pseudocode, deterministic
+    tie-break (count desc, pair asc))."""
+    vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_matches_python_reference(spark):
+    """Distributed BPE learns the SAME merge sequence and final symbol
+    arrays as the single-threaded reference -- including overlapping-run
+    greediness (aaa + (a,a) -> [aa, a]) and tie-breaks."""
+    from aws_glue_etl_sample_hist_spark.operators.bpe import train_bpe
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest low newest aaa aaa aaa",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    word_freqs = {}
+    for t in texts:
+        for w in t.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    want_merges, want_vocab = _bpe_reference(word_freqs, 8)
+
+    got_merges, got_vocab_df = train_bpe(docs, 8)
+    assert got_merges == want_merges
+    got_vocab = {r.word: list(r.symbols) for r in got_vocab_df.collect()}
+    assert got_vocab == want_vocab
