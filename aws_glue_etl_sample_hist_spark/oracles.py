@@ -2874,3 +2874,88 @@ ORACLE_SQL["corpus_bpe_merges"] = r"""
     UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM t2
     UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM t3
 """
+
+ORACLE_SQL["corpus_bpe_compression"] = r"""
+    WITH w AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY 1
+    ),
+    v0 AS (
+        SELECT word, freq,
+               list_append(
+                   list_transform(generate_series(1, length(word)),
+                                  i -> substr(word, CAST(i AS INTEGER), 1)),
+                   '</w>') AS symbols
+        FROM w
+    )
+    , p1 AS (
+        SELECT l, r, SUM(freq) AS c FROM (
+            SELECT freq,
+                   symbols[CAST(i AS INTEGER)] AS l,
+                   symbols[CAST(i AS INTEGER) + 1] AS r
+            FROM v0, UNNEST(generate_series(1, len(symbols) - 1)) u(i)
+        ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
+    ),
+    t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    v1 AS (
+        SELECT word, freq,
+               string_split(
+                   list_reduce(symbols, (acc, x) ->
+                       CASE WHEN (acc = t1.l OR acc LIKE '%' || chr(31) || t1.l)
+                                 AND x = t1.r
+                            THEN substr(acc, 1, length(acc) - length(t1.l))
+                                 || t1.l || t1.r
+                            ELSE acc || chr(31) || x END),
+                   chr(31)) AS symbols
+        FROM v0, t1
+    )
+    , p2 AS (
+        SELECT l, r, SUM(freq) AS c FROM (
+            SELECT freq,
+                   symbols[CAST(i AS INTEGER)] AS l,
+                   symbols[CAST(i AS INTEGER) + 1] AS r
+            FROM v1, UNNEST(generate_series(1, len(symbols) - 1)) u(i)
+        ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
+    ),
+    t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    v2 AS (
+        SELECT word, freq,
+               string_split(
+                   list_reduce(symbols, (acc, x) ->
+                       CASE WHEN (acc = t2.l OR acc LIKE '%' || chr(31) || t2.l)
+                                 AND x = t2.r
+                            THEN substr(acc, 1, length(acc) - length(t2.l))
+                                 || t2.l || t2.r
+                            ELSE acc || chr(31) || x END),
+                   chr(31)) AS symbols
+        FROM v1, t2
+    )
+    , p3 AS (
+        SELECT l, r, SUM(freq) AS c FROM (
+            SELECT freq,
+                   symbols[CAST(i AS INTEGER)] AS l,
+                   symbols[CAST(i AS INTEGER) + 1] AS r
+            FROM v2, UNNEST(generate_series(1, len(symbols) - 1)) u(i)
+        ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
+    ),
+    t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+    v3 AS (
+        SELECT word, freq,
+               string_split(
+                   list_reduce(symbols, (acc, x) ->
+                       CASE WHEN (acc = t3.l OR acc LIKE '%' || chr(31) || t3.l)
+                                 AND x = t3.r
+                            THEN substr(acc, 1, length(acc) - length(t3.l))
+                                 || t3.l || t3.r
+                            ELSE acc || chr(31) || x END),
+                   chr(31)) AS symbols
+        FROM v2, t3
+    )
+    
+    SELECT CAST(len(symbols) AS BIGINT) AS n_symbols,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS total_freq
+    FROM v3 GROUP BY 1
+"""

@@ -3126,6 +3126,17 @@ def q_corpus_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokens-per-word distribution AFTER the 3 learned BPE merges
+    (operators.bpe.bpe_segment_stats) -- the compression accounting
+    tokenizer training optimizes. Oracle = the same unrolled-round CTEs as
+    corpus_bpe_merges, read out at the final vocab state."""
+    from .operators.bpe import bpe_segment_stats, train_bpe
+
+    _, vocab = train_bpe(load_table(spark, sf, "documents"), n_merges=3)
+    return bpe_segment_stats(vocab)
+
+
 def q_orders_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-width histogram (the profiling family's last gap): 10 bins over
     [min, max] of order value, with bin bounds and counts. The bounds come
@@ -3328,6 +3339,7 @@ QUERIES = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_merges": q_corpus_bpe_merges,
+    "corpus_bpe_compression": q_corpus_bpe_compression,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
