@@ -2959,3 +2959,55 @@ ORACLE_SQL["corpus_bpe_compression"] = r"""
            CAST(SUM(freq) AS BIGINT) AS total_freq
     FROM v3 GROUP BY 1
 """
+
+ORACLE_SQL["part_entity_resolution"] = r"""
+    WITH RECURSIVE t AS (
+        SELECT DISTINCT rid, tok FROM (
+            SELECT p_partkey AS rid,
+                   unnest(regexp_split_to_array(trim(lower(
+                       p_name || ' ' || p_brand || ' ' || p_type || ' '
+                              || CAST(p_size AS VARCHAR))), '\s+')) AS tok
+            FROM part
+        ) WHERE tok <> ''
+    ),
+    sizes AS (SELECT rid, COUNT(*) AS sz FROM t GROUP BY 1),
+    inter AS (
+        SELECT a.rid AS id_a, b.rid AS id_b, COUNT(*) AS n_inter
+        FROM t a JOIN t b ON a.tok = b.tok AND a.rid < b.rid
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.rid = id_a
+        JOIN sizes sb ON sb.rid = id_b
+        WHERE ROUND(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labeled AS (
+        SELECT pt.p_partkey,
+               LEAST(pt.p_partkey, COALESCE(MIN(r.dst), pt.p_partkey))
+                   AS cluster_id
+        FROM part pt LEFT JOIN reach r ON r.src = pt.p_partkey
+        GROUP BY pt.p_partkey
+    ),
+    agg AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(AVG(p_retailprice), 4) AS avg_price,
+               ROUND(MIN(p_retailprice), 2) AS min_price,
+               ROUND(MAX(p_retailprice), 2) AS max_price
+        FROM labeled JOIN part USING (p_partkey)
+        GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT agg.*, pt.p_name AS canonical_name
+    FROM agg JOIN part pt ON pt.p_partkey = agg.cluster_id
+"""

@@ -3109,6 +3109,52 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_part_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end, the capstone composition: prefix-filter
+    SSJoin candidate pairs (block=2 pair keys) -> connected components
+    (min-label, checkpointed loop) -> one GOLDEN RECORD per resolved entity
+    (the min-id member's name, member count, price spread). The classic
+    record-linkage pipeline -- blocking, matching, clustering, canonical-
+    ization -- each stage an already-oracle-checked operator; here their
+    composition is oracle-checked too (DuckDB: all-pairs Jaccard + recursive
+    transitive closure). Only multi-member entities are emitted."""
+    from .operators.dedup import connected_components, prefix_filter_jaccard_join
+
+    part = load_table(spark, sf, "part")
+    profiled = part.select(
+        "p_partkey",
+        F.concat_ws(
+            " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
+        ).alias("profile"),
+    )
+    pairs = prefix_filter_jaccard_join(
+        profiled, threshold=0.6, id_col="p_partkey", text_col="profile", block=2
+    )
+    cc = connected_components(
+        part.select("p_partkey"),
+        pairs,
+        node_col="p_partkey",
+        pair_cols=("id_a", "id_b"),
+    )
+    members = cc.join(
+        part.select("p_partkey", "p_retailprice"), "p_partkey"
+    )
+    canon = part.select(
+        F.col("p_partkey").alias("cluster_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .join(F.broadcast(canon), "cluster_id")
+    )
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training (operators.bpe.train_bpe), first 3 learned
     merges over the corpus -- an ITERATIVE distributed algorithm with a
@@ -3340,6 +3386,7 @@ QUERIES = {
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "corpus_bpe_compression": q_corpus_bpe_compression,
+    "part_entity_resolution": q_part_entity_resolution,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
