@@ -235,3 +235,40 @@ def profile_table(df: DataFrame, table: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def key_skew_profile(df: DataFrame, table: str, key: str) -> DataFrame:
+    """Join/partition-key skew diagnostic: per-key cardinality statistics
+    condensed to ONE row -- the audit run before choosing a shuffle key at
+    scale (a skew_ratio in the hundreds means salting / AQE skew-join
+    territory; ~1 means the key partitions evenly).
+
+    Two-level shape: the per-key count agg is map-side combined on the key,
+    then the stats agg reduces the KEY-cardinality frame to one row --
+    nothing wider than the distinct-key count ever shuffles. Ties in the
+    top-key argmax break to the smallest key string for engine stability."""
+    counts = (
+        df.select(F.col(key).cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.lit(table).alias("table_name"),
+        F.lit(key).alias("key_column"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.round(F.avg("c"), 4).alias("avg_key_rows"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        # composite (count desc, key asc) argmin as a fixed-width string key
+        # (the same portable trick as events_ohlc; DuckDB arg_min needs a
+        # flat orderable type)
+        F.min_by(
+            "k",
+            F.concat_ws(
+                "#",
+                F.lpad((F.lit(10**12) - F.col("c")).cast("string"), 13, "0"),
+                F.col("k"),
+            ),
+        ).alias("top_key"),
+    )

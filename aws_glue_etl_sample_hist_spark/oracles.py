@@ -3011,3 +3011,29 @@ ORACLE_SQL["part_entity_resolution"] = r"""
     SELECT agg.*, pt.p_name AS canonical_name
     FROM agg JOIN part pt ON pt.p_partkey = agg.cluster_id
 """
+
+ORACLE_SQL["join_key_skew_audit"] = """
+    WITH prof AS (
+        SELECT 'lineitem' AS table_name, 'l_suppkey' AS key_column,
+               CAST(l_suppkey AS VARCHAR) AS k
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'events', 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'documents', 'lang', lang FROM documents
+    ),
+    counts AS (
+        SELECT table_name, key_column, k, COUNT(*) AS c
+        FROM prof GROUP BY 1, 2, 3
+    )
+    SELECT table_name, key_column,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(AVG(c), 4) AS avg_key_rows,
+           ROUND(MAX(c) / AVG(c), 4) AS skew_ratio,
+           arg_min(k, lpad(CAST(1000000000000 - c AS VARCHAR), 13, '0') || '#' || k) AS top_key
+    FROM counts GROUP BY 1, 2
+"""

@@ -3109,6 +3109,26 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_join_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew audit (operators.audit.key_skew_profile) across the
+    engine's four hottest join/partition keys -- the diagnostic run BEFORE
+    committing a partitioning at scale. Each profile is a map-side-combined
+    key count reduced to one summary row (n_keys, max/avg key rows, skew
+    ratio, deterministic top key); the union is 4 rows total."""
+    from .operators.audit import key_skew_profile
+
+    profiles = [
+        key_skew_profile(load_table(spark, sf, "lineitem"), "lineitem", "l_suppkey"),
+        key_skew_profile(load_table(spark, sf, "orders"), "orders", "o_custkey"),
+        key_skew_profile(load_table(spark, sf, "events"), "events", "user_id"),
+        key_skew_profile(load_table(spark, sf, "documents"), "documents", "lang"),
+    ]
+    out = profiles[0]
+    for pr in profiles[1:]:
+        out = out.unionByName(pr)
+    return out
+
+
 def q_part_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     """Entity resolution end-to-end, the capstone composition: prefix-filter
     SSJoin candidate pairs (block=2 pair keys) -> connected components
@@ -3387,6 +3407,7 @@ QUERIES = {
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "corpus_bpe_compression": q_corpus_bpe_compression,
     "part_entity_resolution": q_part_entity_resolution,
+    "join_key_skew_audit": q_join_key_skew_audit,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
