@@ -3378,35 +3378,38 @@ QUERIES = {
     "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
     "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
     "customer_base_stats_approx": q_customer_base_stats_approx,
-    # --- block 3: round-4 additions (window slots 37-50) ---
+    # --- block 3: round-4 additions (window slots 37-50; the marquee
+    # compositions -- BPE, entity resolution, real BMP decode, hybrid
+    # RRF -- take the last four slots, everything else new-in-r4 queues
+    # at the head of block 4 for the r5 window) ---
     "documents_bm25_topk": q_documents_bm25_topk,
     "corpus_bigram_pmi": q_corpus_bigram_pmi,
     "text_word_entropy": q_text_word_entropy,
     "mart_incremental_update": q_mart_incremental_update,
     "events_distinct_rolling7": q_events_distinct_rolling7,
-    "orders_median_mode": q_orders_median_mode,
     "part_set_similarity_join": q_part_set_similarity_join,
     "supplier_pareto": q_supplier_pareto,
-    "corpus_winsorized_length": q_corpus_winsorized_length,
     "events_heavy_hitters": q_events_heavy_hitters,
     "events_hopping_window": q_events_hopping_window,
     "customer_order_value_window": q_customer_order_value_window,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
+    "part_entity_resolution": q_part_entity_resolution,
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
+    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    # --- block 4: new-in-r4 but past the 50-slot window (r5 rotation
+    # candidates first); the rest are driver-green r01-r03 ---
+    "orders_median_mode": q_orders_median_mode,
+    "corpus_winsorized_length": q_corpus_winsorized_length,
     "corpus_tokens_hof": q_corpus_tokens_hof,
     "events_ohlc": q_events_ohlc,
-    # --- block 4: first entry is new-in-r4 but past the 50-slot window
-    # (rotates into the r5 window); the rest are driver-green r01-r03 ---
     "stream_events_hopping": q_stream_events_hopping,
     "orders_month_spine_recursive": q_orders_month_spine_recursive,
     "embedding_ivf_index_search": q_embedding_ivf_index_search,
-    "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
-    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "embedding_pq_index_search": q_embedding_pq_index_search,
-    "corpus_bpe_merges": q_corpus_bpe_merges,
     "corpus_bpe_compression": q_corpus_bpe_compression,
-    "part_entity_resolution": q_part_entity_resolution,
     "join_key_skew_audit": q_join_key_skew_audit,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
