@@ -73,3 +73,31 @@ def test_zorder_skips_files_on_second_dimension(spark, sf_small, tmp_path):
     assert lin_hit >= 15
     # z-order: most files' suppkey range misses the box entirely
     assert z_hit <= lin_hit // 2, (z_hit, lin_hit)
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """snapshot_diff between two versions: inserts, deletes, updates by
+    keyed row-hash; unchanged keys never appear."""
+    from aws_glue_etl_sample_hist_spark.io.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "s", "v"]
+        ),
+        base,
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], ["id", "s", "v"]
+        ),
+        base,
+    )
+    got = {
+        (r.id, r.change_type)
+        for r in snapshot_diff(spark, base, v1, v2, ["id"]).collect()
+    }
+    assert got == {(1, "delete"), (3, "update"), (4, "insert")}
