@@ -149,6 +149,15 @@ def main() -> None:
         run_curation(spark, sf_dir, tmp)
         timings["curation_pipeline"] = round(time.perf_counter() - t0, 3)
 
+    # the retrieval-serving DAG (cleaned -> postings ∥ lengths ∥ ivf ∥ pq ->
+    # hybrid serve from artifacts only)
+    from aws_glue_etl_sample_hist_spark.plans.retrieval import run_retrieval
+
+    with tempfile.TemporaryDirectory(prefix="retrieval_bench_") as tmp:
+        t0 = time.perf_counter()
+        run_retrieval(spark, sf_dir, tmp)
+        timings["retrieval_pipeline"] = round(time.perf_counter() - t0, 3)
+
     # bucketed-bronze variant: the shuffle-free T1 layout (plans.medallion)
     with tempfile.TemporaryDirectory(prefix="medallion_bkt_bench_") as tmp:
         t0 = time.perf_counter()

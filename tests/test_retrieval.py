@@ -1,0 +1,54 @@
+"""Retrieval-serving DAG (plans/retrieval.py): every index built at rest,
+serving reads only artifacts, and the persisted-postings BM25 equals the
+in-plan operator over the same cleaned corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_glue_etl_sample_hist_spark.plans.retrieval import (
+    QUERY_TERMS,
+    _cleaned,
+    run_retrieval,
+    serve_bm25,
+    serve_hybrid,
+)
+
+
+def test_retrieval_pipeline_end_to_end(spark, sf_small, tmp_path):
+    out = str(tmp_path / "retr")
+    walls = run_retrieval(spark, sf_small, out)
+    assert {k.split(".")[0] for k in walls} == {"r0", "r1", "r2"}
+
+    # persisted-postings BM25 == the in-plan operator over the SAME corpus
+    from aws_glue_etl_sample_hist_spark.operators.ranking import bm25_topk
+
+    want = {
+        (r.doc_id, r.n_terms_matched, r.score)
+        for r in bm25_topk(_cleaned(spark, sf_small), QUERY_TERMS, k=20).collect()
+    }
+    got = {
+        (r.doc_id, r.n_terms_matched, r.score)
+        for r in serve_bm25(spark, out, QUERY_TERMS, k=20).collect()
+    }
+    assert got == want
+
+    # the serve artifact exists, is a valid top-10, and re-serving from the
+    # artifacts alone reproduces it (restartability of r2)
+    served = spark.read.parquet(f"{out}/serve")
+    assert served.count() == 10
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qvec = (0, [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding])
+    again = serve_hybrid(spark, out, QUERY_TERMS, qvec)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in served.collect()}
+
+    # lexical pruning contract: a 1-term query's postings scan reads only
+    # that term's partition directory
+    one = (
+        spark.read.parquet(f"{out}/postings")
+        .filter(F.col("term") == "spark")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    assert one and all("/term=spark/" in r.f for r in one)
