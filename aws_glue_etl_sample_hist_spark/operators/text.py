@@ -529,3 +529,69 @@ def word_entropy_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
             6,
         ).alias("entropy_nats"),
     )
+
+
+HASH_CLS_BUCKETS = 256
+
+
+def hashed_linear_score(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Model inference at corpus scale: a hashing-trick linear classifier
+    (Weinberger et al. 2009 feature hashing; the fastText-style quality
+    filter shape) scored entirely JVM-side -- tokens hash into
+    HASH_CLS_BUCKETS buckets, the weight vector is DERIVED from md5 (a
+    stand-in for trained weights with the same plan shape), and
+    score = sigmoid(sum_b w[b] * count_b / n_tokens).
+
+    Scale shape: the weight "model" is a bucket-count-sized frame built
+    from spark.range -- broadcast like any small dim; the feature agg
+    shuffles (doc, bucket) with map-side combine; scoring is one more
+    doc-keyed agg. Swapping in REAL trained weights is a one-line change
+    (read them from parquet instead of deriving from md5) -- the plan, and
+    therefore the 100 TB behavior, is identical. Everything is md5/exp
+    arithmetic that DuckDB reproduces bit-for-bit, so this ships with an
+    exact oracle.
+
+    Returns (doc_id, n_tokens, score, keep)."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    weights = spark.range(HASH_CLS_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("w_"), F.col("id"))), 1, 8), 16, 10)
+            .cast("long")
+            / F.lit(4294967295.0)
+            * 2.0
+            - 1.0
+        ).alias("w"),
+    )
+    feats = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+                % HASH_CLS_BUCKETS
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            (F.sum(F.col("w") * F.col("c")) / F.sum("c")).alias("_z"),
+        )
+    )
+    return z.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z") * 10.0)), 6).alias("score"),
+        (F.col("_z") > 0).alias("keep"),
+    )

@@ -3037,3 +3037,34 @@ ORACLE_SQL["join_key_skew_audit"] = """
            arg_min(k, lpad(CAST(1000000000000 - c AS VARCHAR), 13, '0') || '#' || k) AS top_key
     FROM counts GROUP BY 1, 2
 """
+
+ORACLE_SQL["text_quality_classifier"] = r"""
+    WITH weights AS (
+        SELECT i AS bucket,
+               CAST(CAST('0x' || substr(md5('w_' || i), 1, 8) AS BIGINT) AS DOUBLE)
+                   / 4294967295.0 * 2.0 - 1.0 AS w
+        FROM UNNEST(generate_series(0, 255)) t(i)
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 256 AS bucket,
+               COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents
+        ) WHERE term <> ''
+        GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(w * c) / SUM(c) AS zv
+        FROM feats JOIN weights USING (bucket)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 / (1.0 + exp(-zv * 10.0)), 6) AS score,
+           zv > 0 AS keep
+    FROM z
+"""

@@ -3109,6 +3109,18 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier inference over the corpus (operators.text
+    .hashed_linear_score): hashing-trick features, broadcast weight vector,
+    sigmoid score, keep decision -- the model-based quality filter's exact
+    plan shape with md5-derived stand-in weights (trained weights slot in
+    as a parquet read; the plan does not change). Fully JVM-side, exact
+    DuckDB oracle."""
+    from .operators.text import hashed_linear_score
+
+    return hashed_linear_score(load_table(spark, sf, "documents"))
+
+
 def q_join_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle-key skew audit (operators.audit.key_skew_profile) across the
     engine's four hottest join/partition keys -- the diagnostic run BEFORE
@@ -3411,6 +3423,7 @@ QUERIES = {
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,
     "join_key_skew_audit": q_join_key_skew_audit,
+    "text_quality_classifier": q_text_quality_classifier,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
