@@ -3068,3 +3068,11 @@ ORACLE_SQL["text_quality_classifier"] = r"""
            zv > 0 AS keep
     FROM z
 """
+
+ORACLE_SQL["orders_geomean_udaf"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(exp(AVG(ln(o_totalprice))), 4) AS geomean_price,
+           ROUND(exp(AVG(ln(o_totalprice))), 4) AS geomean_builtin
+    FROM orders GROUP BY 1
+"""

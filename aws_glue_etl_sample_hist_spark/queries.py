@@ -3109,6 +3109,42 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_orders_geomean_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized pandas UDAF (the GROUPED_AGG pandas_udf API -- the last
+    uncovered Python-UDF surface, U-family): per-priority geometric mean of
+    order value computed by an Arrow-batched numpy kernel, beside its
+    pure-JVM twin exp(avg(ln(x))) in the SAME aggregate -- the two columns
+    must agree to 4 dp, and the oracle checks both. Grouped-agg pandas UDFs
+    receive whole-group columns as pandas Series (no per-row Python), so
+    this is the correct shape for custom numeric aggregates the built-ins
+    lack; the JVM twin documents that for THIS aggregate the built-in
+    composition is the better 100 TB path (partial-aggregatable, no Python
+    at all)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints module-wide, which defeats hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    orders = load_table(spark, sf, "orders")
+    # a grouped-agg pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) -- the twin runs as its own agg and
+    # joins back on the tiny group key
+    udaf = orders.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price")
+    )
+    builtin = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.exp(F.avg(F.log("o_totalprice"))), 4).alias("geomean_builtin"),
+    )
+    return builtin.join(udaf, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "geomean_price", "geomean_builtin"
+    )
+
+
 def q_text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Classifier inference over the corpus (operators.text
     .hashed_linear_score): hashing-trick features, broadcast weight vector,
@@ -3424,6 +3460,7 @@ QUERIES = {
     "corpus_bpe_compression": q_corpus_bpe_compression,
     "join_key_skew_audit": q_join_key_skew_audit,
     "text_quality_classifier": q_text_quality_classifier,
+    "orders_geomean_udaf": q_orders_geomean_udaf,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
