@@ -3076,3 +3076,6 @@ ORACLE_SQL["orders_geomean_udaf"] = """
            ROUND(exp(AVG(ln(o_totalprice))), 4) AS geomean_builtin
     FROM orders GROUP BY 1
 """
+
+# the mapInArrow twin computes the identical histogram
+ORACLE_SQL["multimodal_byte_features_arrow"] = ORACLE_SQL["multimodal_byte_features"]

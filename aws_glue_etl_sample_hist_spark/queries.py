@@ -3145,6 +3145,18 @@ def q_orders_geomean_udaf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_byte_features_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInArrow twin of multimodal_byte_features (the last uncovered
+    Arrow-Python API): RecordBatches in, RecordBatches out, no pandas
+    layer. Shares the pandas twin's oracle -- identical numbers prove the
+    two APIs are interchangeable here."""
+    from .operators.multimodal import attach_fake_payload, extract_byte_features_arrow
+
+    return extract_byte_features_arrow(
+        attach_fake_payload(load_table(spark, sf, "documents"))
+    )
+
+
 def q_text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Classifier inference over the corpus (operators.text
     .hashed_linear_score): hashing-trick features, broadcast weight vector,
@@ -3461,6 +3473,7 @@ QUERIES = {
     "join_key_skew_audit": q_join_key_skew_audit,
     "text_quality_classifier": q_text_quality_classifier,
     "orders_geomean_udaf": q_orders_geomean_udaf,
+    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
