@@ -309,3 +309,34 @@ def test_synthetic_docs_source_deterministic_and_partitioned(spark):
         .load()
     )
     assert {tuple(r) for r in df3.collect()} != {(k, *v) for k, v in rows.items()}
+
+
+def test_jsonl_corrupt_record_isolation(spark, tmp_path):
+    """Malformed lines in a JSONL corpus land in _corrupt_record under an
+    explicit permissive schema; good rows parse, nothing throws, and the
+    bad-line quarantine filter is a plain column predicate -- the ingest
+    contract for crawl dumps that always contain garbage."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aws_glue_etl_sample_hist_spark.io.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "another good row"}\n'
+        '{"doc_id": "not-a-number", "text": "type mismatch"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema=schema).cache()
+    good = df.filter(df._corrupt_record.isNull())
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # the non-JSON line and the type-mismatch line
+    df.unpersist()

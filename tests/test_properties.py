@@ -322,3 +322,71 @@ def test_heavy_hitters_matches_exact_counts(spark, freqs, parts, frac):
     thresh = math.ceil(total * frac)
     want = {(v, n) for v, n in enumerate(freqs) if n >= thresh}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_codec_roundtrip_property(h, w, seed):
+    """encode_bmp/decode_bmp identity for ANY dimensions (row padding takes
+    every value 0..3 across widths) and any pixel content."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = decode_bmp(encode_bmp(px))
+    assert back.shape == (h, w, 3) and (back == px).all()
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(min_value=1, max_value=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    x = (
+        np.random.default_rng(seed)
+        .integers(-(2**15), 2**15, size=n)
+        .astype(np.int16)
+    )
+    s, r, c = decode_wav(encode_wav(x, rate, 1))
+    assert r == rate and c == 1 and (s == x).all()
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.sampled_from([2, 4, 6]),
+    w=st.sampled_from([2, 4, 8]),
+    n_frames=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_y4m_codec_roundtrip_property(h, w, n_frames, seed):
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    gw, gh, got = decode_y4m(encode_y4m(frames))
+    assert (gw, gh, len(got)) == (w, h, n_frames)
+    assert all((a == b).all() for a, b in zip(got, frames))
