@@ -3079,3 +3079,19 @@ ORACLE_SQL["orders_geomean_udaf"] = """
 
 # the mapInArrow twin computes the identical histogram
 ORACLE_SQL["multimodal_byte_features_arrow"] = ORACLE_SQL["multimodal_byte_features"]
+
+ORACLE_SQL["orders_nullsafe_join"] = """
+    WITH o AS (
+        SELECT *, NULLIF(o_orderpriority, '1-URGENT') AS tier FROM orders
+    ),
+    tiers AS (
+        SELECT tier,
+               COALESCE('tier:' || tier, 'tier:urgent') AS tier_label
+        FROM (SELECT DISTINCT tier FROM o)
+    )
+    SELECT tier_label,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM o JOIN tiers d ON o.tier IS NOT DISTINCT FROM d.tier
+    GROUP BY 1
+"""

@@ -3109,6 +3109,38 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_orders_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM -- the one join
+    predicate semantics not yet pinned): orders carry a NULLable tier key
+    (priority demoted to NULL for '1-URGENT'), the tier dim carries the
+    same NULL row, and the join must MATCH the null keys (unlike plain =,
+    which drops them silently -- the classic dim-join bug for optional
+    attributes). Output proves the NULL tier matched: one row per tier
+    including the NULL one, with dim attribution."""
+    orders = load_table(spark, sf, "orders").withColumn(
+        "tier", F.nullif("o_orderpriority", F.lit("1-URGENT"))
+    )
+    tiers = (
+        orders.select("tier")
+        .distinct()
+        .withColumn(
+            "tier_label",
+            F.coalesce(F.concat(F.lit("tier:"), "tier"), F.lit("tier:urgent")),
+        )
+    )
+    # self-derived dim: alias both sides so <=> resolves unambiguously
+    o = orders.alias("o")
+    d = tiers.withColumnRenamed("tier", "d_tier")
+    return (
+        o.join(F.broadcast(d), F.col("o.tier").eqNullSafe(F.col("d_tier")))
+        .groupBy("tier_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 def q_orders_geomean_udaf(spark: SparkSession, sf: str) -> DataFrame:
     """Vectorized pandas UDAF (the GROUPED_AGG pandas_udf API -- the last
     uncovered Python-UDF surface, U-family): per-priority geometric mean of
@@ -3474,6 +3506,7 @@ QUERIES = {
     "text_quality_classifier": q_text_quality_classifier,
     "orders_geomean_udaf": q_orders_geomean_udaf,
     "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
+    "orders_nullsafe_join": q_orders_nullsafe_join,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
