@@ -3095,3 +3095,31 @@ ORACLE_SQL["orders_nullsafe_join"] = """
     FROM o JOIN tiers d ON o.tier IS NOT DISTINCT FROM d.tier
     GROUP BY 1
 """
+
+ORACLE_SQL["corpus_dataset_card"] = r"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                   AS n_tokens,
+               ROUND(AVG(n_chars), 4) AS mean_chars,
+               COUNT(DISTINCT md5(text)) AS n_uniq
+        FROM documents
+    ),
+    langs AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+    ls AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+               arg_min(lang, lpad(CAST(1000000000000 - c AS VARCHAR), 13, '0')
+                             || '#' || lang) AS top_lang,
+               MAX(c) AS top_c,
+               SUM(c) AS total,
+               ROUND(-SUM(c * ln(c)) / SUM(c) + ln(SUM(c)), 6)
+                   AS lang_entropy_nats
+        FROM langs
+    )
+    SELECT n_docs, n_tokens, mean_chars,
+           ROUND(1.0 - n_uniq / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
+           n_langs, top_lang,
+           ROUND(top_c / CAST(total AS DOUBLE), 6) AS top_lang_share,
+           lang_entropy_nats
+    FROM base, ls
+"""

@@ -3109,6 +3109,56 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_corpus_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The dataset card: one row summarizing the training corpus -- doc and
+    token counts, language diversity (count, majority share, Shannon
+    entropy), exact-duplicate rate, length profile. The release artifact
+    every curated corpus ships with, computed in two tiny-key aggregates
+    over one scan each (lang marginals + content-hash distinct) and joined
+    as 1-row frames."""
+    docs = load_table(spark, sf, "documents")
+    from .operators.text import token_count
+
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.count_distinct(F.md5("text")).cast("long").alias("_n_uniq"),
+    )
+    langs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_stats = langs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min_by(
+            "lang",
+            F.concat_ws(
+                "#",
+                F.lpad((F.lit(10**12) - F.col("c")).cast("string"), 13, "0"),
+                F.col("lang"),
+            ),
+        ).alias("top_lang"),
+        F.max("c").alias("_top_c"),
+        F.sum("c").alias("_total"),
+        F.round(
+            -F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c")
+            + F.log(F.sum("c")),
+            6,
+        ).alias("lang_entropy_nats"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lang_stats))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "mean_chars",
+            F.round(1.0 - F.col("_n_uniq") / F.col("n_docs"), 6).alias("exact_dup_rate"),
+            "n_langs",
+            "top_lang",
+            F.round(F.col("_top_c") / F.col("_total"), 6).alias("top_lang_share"),
+            "lang_entropy_nats",
+        )
+    )
+
+
 def q_orders_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
     """Null-safe equality join (<=> / IS NOT DISTINCT FROM -- the one join
     predicate semantics not yet pinned): orders carry a NULLable tier key
@@ -3507,6 +3557,7 @@ QUERIES = {
     "orders_geomean_udaf": q_orders_geomean_udaf,
     "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
     "orders_nullsafe_join": q_orders_nullsafe_join,
+    "corpus_dataset_card": q_corpus_dataset_card,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
