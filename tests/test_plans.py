@@ -113,6 +113,7 @@ NESTED_LOOP_WHITELIST = {
     "orders_price_histogram",      # 1-row min/max bounds x fact scan (binning)
     "hybrid_retrieval_rrf",        # composes bm25 (1-row stats) + cosine_topk
     "embedding_pq_index_search",   # broadcast 5 queries x persisted codes (ADC)
+    "corpus_dataset_card",         # 1-row base stats x 1-row lang stats
     "embedding_ivf_index_search",  # probe-cell equi-join, but the build's
                                    # assignment pass crossJoins broadcast centroids
 }
