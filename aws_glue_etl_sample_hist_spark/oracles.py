@@ -3123,3 +3123,54 @@ ORACLE_SQL["corpus_dataset_card"] = r"""
            lang_entropy_nats
     FROM base, ls
 """
+
+ORACLE_SQL["events_cusum_alerts"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sigma
+        FROM daily GROUP BY 1
+    ),
+    cum AS (
+        SELECT daily.event_type, day, CAST(n AS BIGINT) AS n_events,
+               SUM(n - mu - 0.5 * sigma)
+                   OVER (PARTITION BY daily.event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+               3.0 * sigma AS h
+        FROM daily JOIN stats USING (event_type)
+    )
+    SELECT event_type, day, n_events,
+           ROUND(c - LEAST(0.0, MIN(c) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS cusum,
+           (c - LEAST(0.0, MIN(c) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > h AS alert
+    FROM cum
+"""
+
+ORACLE_SQL["orders_market_basket"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_orders FROM orders),
+    ic AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+               ROUND(n_orders * support / (ca.c * cb.c), 4) AS lift
+        FROM pairs
+        JOIN ic ca ON ca.l_partkey = part_a
+        JOIN ic cb ON cb.l_partkey = part_b
+        CROSS JOIN n
+    )
+    SELECT * FROM scored
+    ORDER BY support DESC, lift DESC, part_a ASC, part_b ASC
+    LIMIT 25
+"""

@@ -3109,6 +3109,100 @@ def q_embedding_pq_index_search(spark: SparkSession, sf: str) -> DataFrame:
     return query_pq_index(spark, idx, queries, k=5)
 
 
+def q_orders_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence (the item-item recommendation primitive):
+    part pairs bought in the same order, with support and lift =
+    N * c_ab / (c_a * c_b), top-25 by (support, lift) with pair
+    tie-breaks.
+
+    Scale shape: pairs come from a SELF-EQUI-JOIN on the order key -- with
+    a bounded basket size b the blow-up is b^2/2 per order, linear in
+    orders; never an item-item cross join. Item marginals join back by
+    part key (vocabulary-sized), the order count broadcasts as a 1-row
+    scalar, and the top-25 is a TakeOrderedAndProject on rounded lift."""
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = load_table(spark, sf, "orders").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
+    item_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    scored = (
+        pairs.join(
+            item_counts.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")),
+            "part_a",
+        )
+        .join(
+            item_counts.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(
+                F.col("n_orders") * F.col("support") / (F.col("c_a") * F.col("c_b")), 4
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("support").desc(),
+            F.col("lift").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(25)
+    )
+
+
+def q_events_cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change-point detection over daily event volumes, windows-only:
+    the recursion S_t = max(0, S_{t-1} + y_t) rewrites EXACTLY as
+    S_t = cum_t - min(0, running_min(cum)) (prefix sum minus its running
+    minimum), so the sequential statistic becomes two ordered window
+    functions -- no fold, no UDF, no state, and both engines share the
+    identity. y_t centers each day's count on the type's mean minus a
+    slack of 0.5 sigma; days with S > 3 sigma flag as alerts.
+
+    Scale shape: the daily agg shuffles (type, day); both windows partition
+    on type over the POST-AGG calendar-sized frame. The classic streaming
+    statistic as a batch plan."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.sum(
+            F.col("n") - F.avg("n").over(wt) - 0.5 * F.stddev_samp("n").over(wt)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        (3.0 * F.stddev_samp("n").over(wt)).alias("_h"),
+    )
+    s_stat = F.col("_cum") - F.least(
+        F.lit(0.0), F.min("_cum").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return cum.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(s_stat, 4).alias("cusum"),
+        (s_stat > F.col("_h")).alias("alert"),
+    )
+
+
 def q_corpus_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     """The dataset card: one row summarizing the training corpus -- doc and
     token counts, language diversity (count, majority share, Shannon
@@ -3558,6 +3652,8 @@ QUERIES = {
     "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
     "orders_nullsafe_join": q_orders_nullsafe_join,
     "corpus_dataset_card": q_corpus_dataset_card,
+    "events_cusum_alerts": q_events_cusum_alerts,
+    "orders_market_basket": q_orders_market_basket,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

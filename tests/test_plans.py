@@ -114,6 +114,7 @@ NESTED_LOOP_WHITELIST = {
     "hybrid_retrieval_rrf",        # composes bm25 (1-row stats) + cosine_topk
     "embedding_pq_index_search",   # broadcast 5 queries x persisted codes (ADC)
     "corpus_dataset_card",         # 1-row base stats x 1-row lang stats
+    "orders_market_basket",        # 1-row order count x pair-support frame
     "embedding_ivf_index_search",  # probe-cell equi-join, but the build's
                                    # assignment pass crossJoins broadcast centroids
 }
