@@ -3174,3 +3174,19 @@ ORACLE_SQL["orders_market_basket"] = """
     ORDER BY support DESC, lift DESC, part_a ASC, part_b ASC
     LIMIT 25
 """
+
+ORACLE_SQL["orders_benford_audit"] = r"""
+    WITH d AS (
+        SELECT CAST(substr(regexp_replace(format('{:.10f}', o_totalprice),
+                                          '[0.,]', '', 'g'), 1, 1) AS BIGINT) AS d
+        FROM orders
+    ),
+    counts AS (SELECT d, COUNT(*) AS c FROM d WHERE d >= 1 GROUP BY 1),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM counts)
+    SELECT d, CAST(c AS BIGINT) AS n_orders,
+           ROUND(c / n, 6) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_share,
+           ROUND(pow(c / n - log10(1.0 + 1.0 / d), 2)
+                 / log10(1.0 + 1.0 / d) * n, 4) AS chi2_contrib
+    FROM counts, total
+"""

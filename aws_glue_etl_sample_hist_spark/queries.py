@@ -3164,6 +3164,39 @@ def q_orders_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orders_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law fraud/authenticity screen on order values: observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1 + 1/d), with each digit's chi-square contribution -- the
+    forensic-accounting dq check. One tiny-key agg over a map-side digit
+    extraction; 9 rows out. (Synthetic uniform-ish prices will FAIL
+    Benford -- the point of the audit is the measurement, which the oracle
+    pins exactly.)"""
+    orders = load_table(spark, sf, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.format_number(F.col("o_totalprice"), 10), "[0.,]", ""), 1, 1
+    ).cast("long")
+    counts = orders.select(digit.alias("d")).filter(F.col("d") >= 1).groupBy("d").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = counts.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            F.col("c").cast("long").alias("n_orders"),
+            F.round(F.col("c") / F.col("n"), 6).alias("observed_share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("c") / F.col("n") - F.log10(1.0 + 1.0 / F.col("d")), 2)
+                / F.log10(1.0 + 1.0 / F.col("d"))
+                * F.col("n"),
+                4,
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
 def q_events_cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
     """CUSUM change-point detection over daily event volumes, windows-only:
     the recursion S_t = max(0, S_{t-1} + y_t) rewrites EXACTLY as
@@ -3654,6 +3687,7 @@ QUERIES = {
     "corpus_dataset_card": q_corpus_dataset_card,
     "events_cusum_alerts": q_events_cusum_alerts,
     "orders_market_basket": q_orders_market_basket,
+    "orders_benford_audit": q_orders_benford_audit,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

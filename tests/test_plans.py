@@ -115,6 +115,7 @@ NESTED_LOOP_WHITELIST = {
     "embedding_pq_index_search",   # broadcast 5 queries x persisted codes (ADC)
     "corpus_dataset_card",         # 1-row base stats x 1-row lang stats
     "orders_market_basket",        # 1-row order count x pair-support frame
+    "orders_benford_audit",        # 1-row total x 9-digit frame
     "embedding_ivf_index_search",  # probe-cell equi-join, but the build's
                                    # assignment pass crossJoins broadcast centroids
 }
