@@ -3190,3 +3190,29 @@ ORACLE_SQL["orders_benford_audit"] = r"""
                  / log10(1.0 + 1.0 / d) * n, 4) AS chi2_contrib
     FROM counts, total
 """
+
+ORACLE_SQL["events_exp_smoothing"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(value) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, x,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS DOUBLE) AS t
+        FROM daily
+    ),
+    terms AS (
+        SELECT event_type, day, x, t,
+               CASE WHEN t = 1 THEN x
+                    ELSE x * 0.3 / pow(0.7, t - 1) END AS term
+        FROM idx
+    )
+    SELECT event_type, day, ROUND(x, 4) AS x,
+           ROUND(pow(0.7, t - 1)
+                 * SUM(term) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS smoothed
+    FROM terms
+"""

@@ -3164,6 +3164,42 @@ def q_orders_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Simple exponential smoothing (alpha=0.3) of daily event value per
+    type -- the second sequential statistic expressed as pure windows: the
+    recursion S_t = a*x_t + (1-a)*S_{t-1} (S_1 = x_1) unrolls to
+    S_t = (1-a)^(t-1)*x_1 + a * sum_{j=2..t} (1-a)^(t-j) * x_j, computed
+    as a row-number-weighted prefix sum -- each term carries
+    (1-a)^(-j) once, the outer factor (1-a)^t rescales, and no per-row
+    state survives. Bounded series (a calendar month) keeps the
+    (1-a)^(-j) growth far inside double range; both engines share the
+    identical pow/sum pipeline, so 4-dp rounding is stable."""
+    ev = load_table(spark, sf, "events")
+    # smooth the RAW sums: pre-rounding x to 4dp gives early S_t a 5-decimal
+    # granularity whose 4dp rounding lands exactly on .5 ties ~10% of the
+    # time (measured) -- the raw doubles have no structured tie points
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("x")
+    )
+    a = 0.3
+    wo = Window.partitionBy("event_type").orderBy("day")
+    t = F.row_number().over(wo).cast("double")
+    # factored by (1-a)^(t-1): term_1 = x_1 (full weight, no alpha),
+    # term_j = a * x_j / (1-a)^(j-1) for j >= 2
+    term = F.when(t == 1, F.col("x")).otherwise(
+        F.col("x") * F.lit(a) / F.pow(F.lit(1.0 - a), t - 1)
+    )
+    smoothed = F.pow(F.lit(1.0 - a), t - 1) * F.sum(term).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("x", 4).alias("x"),
+        F.round(smoothed, 4).alias("smoothed"),
+    )
+
+
 def q_orders_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Benford's-law fraud/authenticity screen on order values: observed
     first-significant-digit shares vs the Benford expectation
@@ -3688,6 +3724,7 @@ QUERIES = {
     "events_cusum_alerts": q_events_cusum_alerts,
     "orders_market_basket": q_orders_market_basket,
     "orders_benford_audit": q_orders_benford_audit,
+    "events_exp_smoothing": q_events_exp_smoothing,
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

@@ -1497,3 +1497,22 @@ def test_bpe_matches_python_reference(spark):
     assert got_merges == want_merges
     got_vocab = {r.word: list(r.symbols) for r in got_vocab_df.collect()}
     assert got_vocab == want_vocab
+
+
+def test_exp_smoothing_window_identity_matches_recursion(spark, sf_small):
+    """The closed-form window rewrite of S_t = a*x_t + (1-a)*S_{t-1} must
+    equal the literal python recursion -- the oracle only proves the two
+    ENGINES agree, this proves the math is the actual smoother."""
+    from aws_glue_etl_sample_hist_spark.queries import q_events_exp_smoothing
+
+    rows = q_events_exp_smoothing(spark, sf_small).collect()
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        by_type.setdefault(r.event_type, []).append(r)
+    a = 0.3
+    for series in by_type.values():
+        s = series[0].x
+        assert abs(series[0].smoothed - s) < 1e-3
+        for r in series[1:]:
+            s = a * r.x + (1 - a) * s
+            assert abs(r.smoothed - s) < 1e-3, (r.event_type, r.day)
