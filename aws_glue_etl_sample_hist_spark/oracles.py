@@ -399,12 +399,17 @@ ORACLE_SQL: dict[str, str] = {
         ), per AS (
             SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
         )
+        -- CAST(.. AS BIGINT) everywhere SUM() appears: DuckDB SUM(BIGINT) is
+        -- HUGEINT, which pandas fetches as float64 and the driver's canon hash
+        -- then mismatches against Spark's int64 (CORRECTNESS_r03/r04 red rows).
+        -- Same pattern as corpus_shard_pack below.
         SELECT doc_id,
-               SUM(cnt) AS n_shingles,
+               CAST(SUM(cnt) AS BIGINT) AS n_shingles,
                COUNT(*) AS n_distinct,
-               (10000 * (SUM(cnt) - COUNT(*))) // SUM(cnt) AS dup_ratio_bp,
+               CAST((10000 * (SUM(cnt) - COUNT(*))) // SUM(cnt) AS BIGINT)
+                   AS dup_ratio_bp,
                MAX(cnt) AS top_count,
-               (10000 * MAX(cnt)) // SUM(cnt) AS top_ratio_bp
+               CAST((10000 * MAX(cnt)) // SUM(cnt) AS BIGINT) AS top_ratio_bp
         FROM per
         GROUP BY 1
     """,

@@ -3636,16 +3636,42 @@ def q_events_ohlc(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-4 rotation (VERDICT r3 item 1): the 31
-    # entries that have never had a driver row come first, then the 5
-    # round-4 contract/typing fixes that need a fresh green row
-    # (embedding_pq_codes array->string, text_repetition integer basis
-    # points, and the three former no_oracle sketches now carrying
-    # within-bounds boolean contracts). Slots 37-50 are reserved for
-    # round-4 additions (inserted below as they land). Everything past
-    # slot 50 is already driver-green in r01/r02/r03 and stays
-    # oracle-checked via tests/test_oracle_parity.py.
-    # --- block 1: never-driver-recorded (31) ---
+    # the FIRST 50 entries. Round-5 rotation (VERDICT r4 items 3+7): slot 1
+    # is text_repetition (red in r03/r04 on an oracle HUGEINT->float64
+    # typing bug, fixed in oracles.py this round -- needs its fresh green
+    # row), slots 2-23 are the 22 round-4 queries that have never been in
+    # the driver window (including the persisted-index headline pair
+    # embedding_{ivf,pq}_index_search). Slots 24-50 hold round-5 additions
+    # as they land, then the r4 marquee rows. Everything past slot 50 is
+    # already driver-green in some round and stays oracle-checked via
+    # tests/test_oracle_parity.py.
+    # --- block 1: needs-a-driver-row (23) ---
+    "text_repetition": q_text_repetition,
+    "orders_median_mode": q_orders_median_mode,
+    "corpus_winsorized_length": q_corpus_winsorized_length,
+    "corpus_tokens_hof": q_corpus_tokens_hof,
+    "events_ohlc": q_events_ohlc,
+    "stream_events_hopping": q_stream_events_hopping,
+    "orders_month_spine_recursive": q_orders_month_spine_recursive,
+    "embedding_ivf_index_search": q_embedding_ivf_index_search,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_y4m_decode": q_multimodal_y4m_decode,
+    "orders_price_histogram": q_orders_price_histogram,
+    "embedding_pq_index_search": q_embedding_pq_index_search,
+    "corpus_bpe_compression": q_corpus_bpe_compression,
+    "join_key_skew_audit": q_join_key_skew_audit,
+    "text_quality_classifier": q_text_quality_classifier,
+    "orders_geomean_udaf": q_orders_geomean_udaf,
+    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
+    "orders_nullsafe_join": q_orders_nullsafe_join,
+    "corpus_dataset_card": q_corpus_dataset_card,
+    "events_cusum_alerts": q_events_cusum_alerts,
+    "orders_market_basket": q_orders_market_basket,
+    "orders_benford_audit": q_orders_benford_audit,
+    "events_exp_smoothing": q_events_exp_smoothing,
+    # --- block 2: round-5 additions (window slots 24-50, inserted as
+    # they land) ---
+    # --- block 3: driver-green r04 ---
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,
     "returned_revenue_customers": q_returned_revenue_customers,
@@ -3677,16 +3703,10 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "rich_idle_customers": q_rich_idle_customers,
     "part_small_qty_revenue": q_part_small_qty_revenue,
-    # --- block 2: round-4 fixes needing a fresh green row (5) ---
     "embedding_pq_codes": q_embedding_pq_codes,
-    "text_repetition": q_text_repetition,
     "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
     "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
     "customer_base_stats_approx": q_customer_base_stats_approx,
-    # --- block 3: round-4 additions (window slots 37-50; the marquee
-    # compositions -- BPE, entity resolution, real BMP decode, hybrid
-    # RRF -- take the last four slots, everything else new-in-r4 queues
-    # at the head of block 4 for the r5 window) ---
     "documents_bm25_topk": q_documents_bm25_topk,
     "corpus_bigram_pmi": q_corpus_bigram_pmi,
     "text_word_entropy": q_text_word_entropy,
@@ -3701,30 +3721,7 @@ QUERIES = {
     "part_entity_resolution": q_part_entity_resolution,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
-    # --- block 4: new-in-r4 but past the 50-slot window (r5 rotation
-    # candidates first); the rest are driver-green r01-r03 ---
-    "orders_median_mode": q_orders_median_mode,
-    "corpus_winsorized_length": q_corpus_winsorized_length,
-    "corpus_tokens_hof": q_corpus_tokens_hof,
-    "events_ohlc": q_events_ohlc,
-    "stream_events_hopping": q_stream_events_hopping,
-    "orders_month_spine_recursive": q_orders_month_spine_recursive,
-    "embedding_ivf_index_search": q_embedding_ivf_index_search,
-    "multimodal_wav_decode": q_multimodal_wav_decode,
-    "multimodal_y4m_decode": q_multimodal_y4m_decode,
-    "orders_price_histogram": q_orders_price_histogram,
-    "embedding_pq_index_search": q_embedding_pq_index_search,
-    "corpus_bpe_compression": q_corpus_bpe_compression,
-    "join_key_skew_audit": q_join_key_skew_audit,
-    "text_quality_classifier": q_text_quality_classifier,
-    "orders_geomean_udaf": q_orders_geomean_udaf,
-    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
-    "orders_nullsafe_join": q_orders_nullsafe_join,
-    "corpus_dataset_card": q_corpus_dataset_card,
-    "events_cusum_alerts": q_events_cusum_alerts,
-    "orders_market_basket": q_orders_market_basket,
-    "orders_benford_audit": q_orders_benford_audit,
-    "events_exp_smoothing": q_events_exp_smoothing,
+    # --- block 4: driver-green r01-r03 ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,

@@ -171,6 +171,16 @@ def main() -> None:
     drop_table(spark, FACT_BKT_TABLE)
     drop_table(spark, ORDERS_BKT_TABLE)
 
+    # Human-readable ratio table -> stderr ONLY. BENCH_r04 failed to parse
+    # because carrying both the walls dict and the ratios dict pushed the
+    # stdout JSON line (~4 KB) past the driver's tail-capture window, which
+    # cut the head of the line. Ratios are fully derivable (wall /
+    # sentinel_sec), so the compact driver-spec line below loses nothing.
+    for k in sorted(timings):
+        print(
+            f"ratio_to_sentinel {k} {timings[k] / sentinel_sec:.2f}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -179,9 +189,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sentinel_sec": sentinel_sec,
-                "ratios_to_sentinel": {
-                    k: round(v / sentinel_sec, 2) for k, v in timings.items()
-                },
                 "sf": _sf_from_dir(sf_dir),
             }
         )

@@ -6,6 +6,7 @@ decimals before comparing)."""
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import duckdb
 
@@ -15,12 +16,27 @@ FLOAT_DECIMALS = 6
 
 
 def _norm_cell(v):
+    """Canonicalize a cell, keeping the int-class/float-class distinction.
+
+    The driver's canon hashes the pandas representation of each frame, so an
+    oracle column fetched as float64 (e.g. DuckDB HUGEINT from SUM(BIGINT))
+    never hash-matches a Spark int64 column even when every value is equal
+    (6000.0 vs 6000) -- that is exactly how `text_repetition` stayed red for
+    two rounds while passing the old value-only local compare. Tagging the
+    numeric class here makes int-valued floats fail locally too. Decimals
+    join the float class because pandas fetches DuckDB DECIMAL as float64."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, FLOAT_DECIMALS)
+            return ("f", "NaN")
+        return ("f", round(v, FLOAT_DECIMALS))
     return v
 
 
