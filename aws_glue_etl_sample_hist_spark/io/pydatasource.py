@@ -65,6 +65,10 @@ class SyntheticDocsReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         """Even ranges -- the planner sees n_partitions independent splits,
         so generation scales out like any partitioned scan."""
+        if self.n_docs <= 0:
+            # empty corpus is zero rows, not range(0, 0, 0); one empty-range
+            # split (not []: Spark calls read(None) when there are no splits)
+            return [_RangePartition(0, 0, self.seed)]
         per = -(-self.n_docs // self.n_partitions)
         return [
             _RangePartition(lo, min(lo + per, self.n_docs), self.seed)

@@ -130,12 +130,17 @@ def snapshot_diff(
     def keyed_hash(v: int):
         df = read_snapshot(spark, base_dir, version=v)
         others = [c for c in df.columns if c not in key_cols]
-        return df.select(
-            *key_cols,
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(others)])).alias(
-                "_h"
-            ),
+        # Hash the JSON of the non-key struct, not concat_ws: concat_ws
+        # silently drops NULL columns and uses an in-band separator, so rows
+        # differing only in WHICH column is NULL -- or containing the
+        # separator byte -- collide and real updates are classified as
+        # unchanged. JSON keeps field names, escapes values, and (with
+        # ignoreNullFields=false) keeps explicit nulls.
+        row_json = F.to_json(
+            F.struct(*[F.col(c) for c in sorted(others)]),
+            {"ignoreNullFields": "false"},
         )
+        return df.select(*key_cols, F.md5(row_json).alias("_h"))
 
     a = keyed_hash(v_from).withColumnRenamed("_h", "_h_from")
     b = keyed_hash(v_to).withColumnRenamed("_h", "_h_to")

@@ -1903,11 +1903,11 @@ ORACLE_SQL: dict[str, str] = {
             FROM lineitem
             UNION ALL
             SELECT 'part.p_partkey.unique', 'part', COUNT(*),
-                   COUNT(*) - COUNT(DISTINCT p_partkey)
+                   COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT p_partkey FROM part))
             FROM part
             UNION ALL
             SELECT 'supplier.s_suppkey.unique', 'supplier', COUNT(*),
-                   COUNT(*) - COUNT(DISTINCT s_suppkey)
+                   COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT s_suppkey FROM supplier))
             FROM supplier
             UNION ALL
             SELECT 'lineitem.l_orderkey.fk_orders', 'lineitem',

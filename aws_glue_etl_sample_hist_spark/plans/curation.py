@@ -130,7 +130,15 @@ def run_curation(
         .add_stage("c2", released=c2_released)
         .add_stage("c3", training=c3_training, manifest=c3_manifest)
     )
-    return pipe.run()
+    try:
+        return pipe.run()
+    finally:
+        # c1's dedup and c2's decontamination tracked-persist band/shingle
+        # frames; every tier write above is terminal, so drop them rather
+        # than let a long-lived orchestrator session accumulate cache blocks
+        from ..operators._cache import release_operator_caches
+
+        release_operator_caches()
 
 
 def curate_increment(

@@ -28,6 +28,7 @@ import sys
 import tempfile
 import time
 
+from aws_glue_etl_sample_hist_spark.operators._cache import release_operator_caches
 from aws_glue_etl_sample_hist_spark.plans.medallion import run_medallion
 from aws_glue_etl_sample_hist_spark.queries import QUERIES
 from aws_glue_etl_sample_hist_spark.session import get_spark
@@ -131,6 +132,10 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(trials), 3)
+        # banded operators tracked-persist intermediates; release per query
+        # so 48 queries x 3 trials don't accumulate cache blocks and skew
+        # later timings with eviction pressure
+        release_operator_caches()
     sentinel_trials += [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
     sentinel_sec = round(statistics.median(sentinel_trials), 3)
 

@@ -309,6 +309,9 @@ def test_synthetic_docs_source_deterministic_and_partitioned(spark):
         .load()
     )
     assert {tuple(r) for r in df3.collect()} != {(k, *v) for k, v in rows.items()}
+    # empty corpus -> zero rows, not a range(0, 0, 0) crash in partitions()
+    df4 = spark.read.format("synthetic_docs").option("n_docs", 0).load()
+    assert df4.count() == 0
 
 
 def test_jsonl_corrupt_record_isolation(spark, tmp_path):

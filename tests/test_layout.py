@@ -101,3 +101,34 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
         for r in snapshot_diff(spark, base, v1, v2, ["id"]).collect()
     }
     assert got == {(1, "delete"), (3, "update"), (4, "insert")}
+
+
+def test_snapshot_diff_null_swap_and_separator_bytes(spark, tmp_path):
+    """Rows differing only in WHICH column is NULL, or containing the old
+    in-band \\x1f separator, must still be detected as updates (the
+    concat_ws hash collided on both)."""
+    from aws_glue_etl_sample_hist_spark.io.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, None, "b"), (2, "x\x1fy", "z"), (3, "same", "same")],
+            "id long, a string, b string",
+        ),
+        base,
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "b", None), (2, "x", "y\x1fz"), (3, "same", "same")],
+            "id long, a string, b string",
+        ),
+        base,
+    )
+    got = {
+        (r.id, r.change_type)
+        for r in snapshot_diff(spark, base, v1, v2, ["id"]).collect()
+    }
+    assert got == {(1, "update"), (2, "update")}

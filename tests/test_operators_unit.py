@@ -1516,3 +1516,27 @@ def test_exp_smoothing_window_identity_matches_recursion(spark, sf_small):
         for r in series[1:]:
             s = a * r.x + (1 - a) * s
             assert abs(r.smoothed - s) < 1e-3, (r.event_type, r.day)
+
+
+def test_unique_check_counts_null_keys_like_oracle(spark):
+    """NULL keys form a group in Spark's groupBy uniqueness check, so two
+    NULL-keyed rows are one duplicate violation. The dq_audit oracle's
+    COUNT(*) - COUNT(DISTINCT k) form silently DROPPED nulls (latent until
+    a corpus carries a null key) -- both engines now use NULL-counting
+    distinct semantics; this pins them to each other on a null-keyed frame."""
+    import duckdb
+
+    from aws_glue_etl_sample_hist_spark.operators.audit import unique_check
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (1,), (2,)], "k int"
+    )
+    row = unique_check(df, "t", ["k"], "t.k.unique").collect()[0]
+    # groups: NULL x2 (1 violation), 1 x3 (2 violations), 2 x1 (0)
+    assert (row.n_rows, row.n_violations, row.passed) == (6, 3, False)
+    oracle = duckdb.sql(
+        """WITH t(k) AS (VALUES (NULL), (NULL), (1), (1), (1), (2))
+           SELECT COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT k FROM t))
+           FROM t"""
+    ).fetchone()[0]
+    assert oracle == row.n_violations

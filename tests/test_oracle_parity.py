@@ -34,6 +34,32 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_multimodal_decode_fixture_invariant(sf_dir):
+    """The bmp/wav/y4m decode oracles index `text` by CHARACTER (len/ascii)
+    while the Spark side cycles the UTF-8 BYTE array, and `x % len` needs
+    len > 0 -- so their equivalence silently assumes every document text is
+    non-empty pure ASCII. Pin that invariant here: if a future corpus breaks
+    it, this fails with a clear message instead of an opaque decode-oracle
+    value mismatch."""
+    import duckdb
+
+    n_bad = duckdb.sql(
+        f"""SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'
+            WHERE text IS NULL OR len(text) = 0
+               OR octet_length(encode(text)) != len(text)"""
+    ).fetchone()[0]
+    assert n_bad == 0, (
+        f"{n_bad} documents in {sf_dir} are empty or non-ASCII; the "
+        "multimodal decode oracles (char indexing) no longer match the "
+        "Spark byte-cycling fixtures -- rewrite those oracles over byte "
+        "positions before trusting their parity"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))
 def test_query_matches_oracle(name, spark, sf_oracle, con):
     df = QUERIES[name](spark, sf_oracle)
