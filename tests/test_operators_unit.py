@@ -1540,3 +1540,39 @@ def test_unique_check_counts_null_keys_like_oracle(spark):
            FROM t"""
     ).fetchone()[0]
     assert oracle == row.n_violations
+
+
+def test_bpe_batched_equals_sequential_on_adversarial_corpora(spark):
+    """Batched merge selection must learn the IDENTICAL sequence as the
+    one-merge-per-round loop. Small alphabets force the failure modes the
+    batch guard exists for: symbol collisions between top pairs, and merges
+    whose NEW pairs (x, a+b) tie or beat the next-ranked candidate -- if
+    the guard under-serializes, these corpora diverge."""
+    import random
+
+    from aws_glue_etl_sample_hist_spark.operators.bpe import train_bpe
+
+    corpora = [
+        # merge (a,b) creates (x, ab) with count equal to rival pair (c,d):
+        # sequential order depends on post-merge recount + lexicographic
+        ["xab xab xab xab cd cd cd cd", "xab cd"],
+        # overlapping runs + shared symbols between every top pair
+        ["aaa aab aba abb baa bab bba bbb " * 3],
+        # random small-alphabet words, heavy pair-count ties
+    ]
+    rng = random.Random(42)
+    for _ in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(60)
+        ]
+        corpora.append([" ".join(words[:30]), " ".join(words[30:])])
+
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        seq, _ = train_bpe(docs, 12, batch_size=1)
+        for bs in (3, 8, 64):
+            got, _ = train_bpe(docs, 12, batch_size=bs)
+            assert got == seq, (texts, bs, got, seq)
