@@ -191,3 +191,47 @@ def bpe_segment_stats(vocab: DataFrame) -> DataFrame:
             F.sum("freq").cast("long").alias("total_freq"),
         )
     )
+
+
+def bpe_encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus under a TRAINED vocab: per-document word and
+    post-merge token counts -- the apply side of train_bpe, i.e. what a
+    data pipeline actually runs over 100 TB once the tokenizer is frozen.
+
+    Scale shape: the corpus explodes to (doc, word) pairs and aggregates
+    word multiplicities per doc FIRST (map-side combinable), then joins the
+    vocabulary -- a BROADCAST join, because a BPE vocab is bounded by the
+    word-form population (millions of rows), never by corpus size. No
+    per-document Python, no re-segmentation: each word's token count was
+    fixed at training time by its merged symbol array. Out-of-vocab words
+    (apply-time corpus differs from training corpus) fall back to
+    character-count + 1 (the unmerged segmentation, exactly what applying
+    zero matching merges yields)."""
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = vocab.select("word", F.size("symbols").alias("n_sym"))
+    return (
+        words.join(F.broadcast(sizes), "word", "left")
+        .withColumn(
+            "n_sym",
+            F.coalesce(F.col("n_sym"), F.length("word") + F.lit(1)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sym")).cast("long").alias("n_tokens"),
+        )
+    )

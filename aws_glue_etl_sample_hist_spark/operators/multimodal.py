@@ -96,21 +96,28 @@ def attach_fake_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload. REAL for 24-bit uncompressed BMP (pure
-    numpy, no library -- returns a uint8 (H, W, 3) RGB array via
-    `decode_bmp` below); compressed formats (JPEG/PNG/...) require PIL,
-    absent from this container, so they remain an explicit stub until the
-    dependency appears (then they return a PIL Image)."""
+    """Decode an image payload to a uint8 (H, W, 3) RGB array. REAL with
+    zero image libraries for the three formats that matter: 24-bit BMP
+    (struct + numpy), truecolor PNG (stdlib zlib inflate + all five row
+    filters), and baseline JPEG (our own DCT/Huffman codec in
+    operators.jpeg). Other formats (WebP, TIFF, progressive JPEG...) fall
+    through to PIL when present, else the explicit stub below."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if HAVE_PIL:  # pragma: no cover - dependency absent in this container
         import io
 
         return Image.open(io.BytesIO(payload))
     raise NotImplementedError(
-        "compressed-image decoding requires PIL; container ships without it "
-        "-- BMP decodes natively, use extract_media_meta for the "
-        "deterministic metadata path on other formats"
+        "only BMP/PNG/baseline-JPEG decode natively; other formats require "
+        "PIL, which this container ships without -- use extract_media_meta "
+        "for the deterministic metadata path on those"
     )
 
 
@@ -564,3 +571,146 @@ def extract_byte_features_arrow(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInArrow(feats, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- real PNG path
+#
+# PNG needs only DEFLATE, and zlib is in the standard library -- so unlike
+# JPEG-via-PIL there is no dependency excuse: the compressed-image decode
+# path can be fully real. Encoder emits 8-bit truecolor non-interlaced
+# (filter 0 rows); the decoder additionally implements all five PNG row
+# filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), so it reads real-world
+# truecolor PNGs from other writers, not just its own output.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """uint8 (H, W, 3) RGB array -> truecolor 8-bit PNG bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Truecolor 8-bit non-interlaced PNG bytes -> uint8 (H, W, 3) RGB array.
+
+    Pure zlib + numpy; implements all five row filters. The scalar loop for
+    Sub/Average/Paeth rows is per-pixel Python -- acceptable because PNG
+    unfiltering is inherently sequential in x for those filters and payloads
+    here are thumbnail-sized; a production build would push this into a
+    C-accelerated decoder behind the same signature."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat: list[bytes] = []
+    w = h = None
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG is supported"
+                )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(h):
+        ftype = raw[at]
+        at += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=at).copy()
+        at += stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256 -- the spec)
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
+def real_png_meta(with_payload: DataFrame) -> DataFrame:
+    """TRUE header/pixel metadata from real PNG payloads -- identical output
+    contract to `real_image_meta` (BMP), so the two formats share one
+    oracle shape: width, height, exact per-channel means as 4-dp strings."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(payload)
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        doc_id,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        f"{means[0]:.4f}",
+                        f"{means[1]:.4f}",
+                        f"{means[2]:.4f}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in REAL_IMAGE_SCHEMA.fields]
+            )
+
+    return with_payload.mapInPandas(meta, REAL_IMAGE_SCHEMA)

@@ -2796,7 +2796,10 @@ ORACLE_SQL["hybrid_retrieval_rrf"] = r"""
 ORACLE_SQL["embedding_pq_index_search"] = ORACLE_SQL["embedding_pq_topk"]
 
 # BPE rounds unrolled: pair-count agg -> argmax -> list_reduce greedy merge
-ORACLE_SQL["corpus_bpe_merges"] = r"""
+# shared BPE oracle CTE chain: word vocab -> 3 unrolled merge rounds
+# (pair-count agg -> argmax -> list_reduce greedy merge) ending at v3,
+# the post-merge vocab. Reused by merges / compression / encode oracles.
+_BPE_V3_CTES = r"""
     WITH w AS (
         SELECT word, COUNT(*) AS freq FROM (
             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
@@ -2874,91 +2877,16 @@ ORACLE_SQL["corpus_bpe_merges"] = r"""
                    chr(31)) AS symbols
         FROM v2, t3
     )
+"""
+
+ORACLE_SQL["corpus_bpe_merges"] = _BPE_V3_CTES + r"""
     SELECT CAST(1 AS BIGINT) AS round, l AS merge_left, r AS merge_right,
            CAST(c AS BIGINT) AS pair_count FROM t1
     UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM t2
     UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM t3
 """
 
-ORACLE_SQL["corpus_bpe_compression"] = r"""
-    WITH w AS (
-        SELECT word, COUNT(*) AS freq FROM (
-            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
-            FROM documents
-        ) WHERE word <> '' GROUP BY 1
-    ),
-    v0 AS (
-        SELECT word, freq,
-               list_append(
-                   list_transform(generate_series(1, length(word)),
-                                  i -> substr(word, CAST(i AS INTEGER), 1)),
-                   '</w>') AS symbols
-        FROM w
-    )
-    , p1 AS (
-        SELECT l, r, SUM(freq) AS c FROM (
-            SELECT freq,
-                   symbols[CAST(i AS INTEGER)] AS l,
-                   symbols[CAST(i AS INTEGER) + 1] AS r
-            FROM v0, UNNEST(generate_series(1, len(symbols) - 1)) u(i)
-        ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
-    ),
-    t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    v1 AS (
-        SELECT word, freq,
-               string_split(
-                   list_reduce(symbols, (acc, x) ->
-                       CASE WHEN (acc = t1.l OR acc LIKE '%' || chr(31) || t1.l)
-                                 AND x = t1.r
-                            THEN substr(acc, 1, length(acc) - length(t1.l))
-                                 || t1.l || t1.r
-                            ELSE acc || chr(31) || x END),
-                   chr(31)) AS symbols
-        FROM v0, t1
-    )
-    , p2 AS (
-        SELECT l, r, SUM(freq) AS c FROM (
-            SELECT freq,
-                   symbols[CAST(i AS INTEGER)] AS l,
-                   symbols[CAST(i AS INTEGER) + 1] AS r
-            FROM v1, UNNEST(generate_series(1, len(symbols) - 1)) u(i)
-        ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
-    ),
-    t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    v2 AS (
-        SELECT word, freq,
-               string_split(
-                   list_reduce(symbols, (acc, x) ->
-                       CASE WHEN (acc = t2.l OR acc LIKE '%' || chr(31) || t2.l)
-                                 AND x = t2.r
-                            THEN substr(acc, 1, length(acc) - length(t2.l))
-                                 || t2.l || t2.r
-                            ELSE acc || chr(31) || x END),
-                   chr(31)) AS symbols
-        FROM v1, t2
-    )
-    , p3 AS (
-        SELECT l, r, SUM(freq) AS c FROM (
-            SELECT freq,
-                   symbols[CAST(i AS INTEGER)] AS l,
-                   symbols[CAST(i AS INTEGER) + 1] AS r
-            FROM v2, UNNEST(generate_series(1, len(symbols) - 1)) u(i)
-        ) GROUP BY 1, 2 HAVING SUM(freq) >= 2
-    ),
-    t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-    v3 AS (
-        SELECT word, freq,
-               string_split(
-                   list_reduce(symbols, (acc, x) ->
-                       CASE WHEN (acc = t3.l OR acc LIKE '%' || chr(31) || t3.l)
-                                 AND x = t3.r
-                            THEN substr(acc, 1, length(acc) - length(t3.l))
-                                 || t3.l || t3.r
-                            ELSE acc || chr(31) || x END),
-                   chr(31)) AS symbols
-        FROM v2, t3
-    )
-    
+ORACLE_SQL["corpus_bpe_compression"] = _BPE_V3_CTES + r"""
     SELECT CAST(len(symbols) AS BIGINT) AS n_symbols,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(freq) AS BIGINT) AS total_freq
@@ -3220,4 +3148,36 @@ ORACLE_SQL["events_exp_smoothing"] = """
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  4) AS smoothed
     FROM terms
+"""
+
+# PNG is lossless, and its fixture (8x4 tile from cycled text bytes) is the
+# same as BMP's -- so the decode must reproduce the identical channel means
+ORACLE_SQL["multimodal_png_decode"] = ORACLE_SQL["multimodal_bmp_decode"]
+
+# JPEG is lossy: exact means are not SQL-reproducible, so the contract is
+# within-bounds (decoded channel means within 3/255 of the true byte means,
+# asserted Spark-side; the oracle pins dims + the boolean outcome)
+ORACLE_SQL["multimodal_jpeg_decode"] = """
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+    FROM documents
+"""
+
+# train->apply: doc-word multiplicities joined to the 3-merge vocab (v3)
+ORACLE_SQL["corpus_bpe_encode"] = _BPE_V3_CTES + r"""
+    , docw AS (
+        SELECT doc_id, word, COUNT(*) AS n FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * len(v3.symbols)) AS BIGINT) AS n_tokens
+    FROM docw JOIN v3 USING (word)
+    GROUP BY 1
+    ORDER BY doc_id
 """

@@ -1576,3 +1576,152 @@ def test_bpe_batched_equals_sequential_on_adversarial_corpora(spark):
         for bs in (3, 8, 64):
             got, _ = train_bpe(docs, 12, batch_size=bs)
             assert got == seq, (texts, bs, got, seq)
+
+
+def test_png_roundtrip_and_all_five_filters():
+    """encode->decode is bit-exact (PNG is lossless), and the decoder
+    handles every RFC 2083 row filter -- pinned by hand-filtering a known
+    image with filters 0-4 cycling per row and requiring exact recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    h, w, bpp = img.shape[0], img.shape[1], 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(int)
+    lines = []
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, int)
+        filt = np.empty(stride, int)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[i] = (cur[i] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(payload) == img).all()
+
+
+def test_png_rejects_unsupported_variants():
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import decode_png
+
+    with _pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Baseline JPEG codec quality contract: flat tiles round-trip exactly
+    at q=95, smooth gradients stay within 1 level, random noise (the DCT
+    worst case) stays within the quantization-table bound; odd, non-multiple
+    -of-8 dims decode to the true SOF0 size."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=95)) == flat).all()
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    grad = np.stack(
+        [np.minimum(yy * 5 + xx * 3, 255)] * 3, axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert dec.shape == (24, 17, 3)
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 2
+
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    decn = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert np.abs(decn.astype(int) - noise.astype(int)).mean() < 8
+
+    grey = ((yy * 11 + xx * 13) % 256).astype(np.uint8)
+    decg = decode_jpeg(encode_jpeg(grey, quality=90))
+    assert decg.shape == (24, 17, 3)  # grey replicates to 3 channels
+
+
+def test_jpeg_rejects_out_of_scope_streams():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # flip the SOF0 marker of a valid stream to SOF2 (progressive)
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    enc[enc.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_decodes_pil_written_baseline_if_available():
+    """Interop slot-in (same pattern as the PIL image-decode stub tests):
+    when PIL exists, a PIL-written baseline 4:4:4 JPEG must decode with our
+    stream-driven tables; skipped in this container (PIL absent)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import HAVE_PIL
+
+    if not HAVE_PIL:
+        _pytest.skip("PIL not available in this container")
+    import io
+
+    from PIL import Image  # pragma: no cover
+
+    from aws_glue_etl_sample_hist_spark.operators.jpeg import decode_jpeg
+
+    img = np.full((16, 16, 3), 100, np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95, subsampling=0)
+    dec = decode_jpeg(buf.getvalue())
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
