@@ -206,3 +206,29 @@ def read_parquet_evolved(
             c = F.lit(None).cast(field.dataType)
         cols.append(c.alias(field.name))
     return df.select(*cols)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML source (built into Spark 4 -- previously the separate spark-xml
+    package): one DataFrame row per ``row_tag`` element. Like JSONL, pass a
+    schema in production: inference is an extra full pass, and an explicit
+    schema keeps malformed elements isolated under the permissive-mode
+    corrupt-record column instead of failing the read. Avro, by contrast,
+    is NOT available here: it remains an external module jar that this
+    container does not ship (documented gap, not a stub)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str, mode: str = "overwrite") -> None:
+    """XML sink -- interchange with XML-consuming systems. Edge-of-lake
+    only, same caveat as write_jsonl (verbose, loses types)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

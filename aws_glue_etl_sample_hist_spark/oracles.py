@@ -3181,3 +3181,102 @@ ORACLE_SQL["corpus_bpe_encode"] = _BPE_V3_CTES + r"""
     GROUP BY 1
     ORDER BY doc_id
 """
+
+# PageRank, 3 iterations unrolled. Both engines quantize transition probs
+# and per-round ranks to 12 dp, so double-summation order cannot surface.
+ORACLE_SQL["nations_pagerank"] = """
+    WITH edges AS (
+        SELECT sn.n_name AS src, cn.n_name AS dst,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS s FROM edges GROUP BY 1),
+    norm AS (
+        SELECT e.src, e.dst, ROUND(e.w / o.s, 12) AS p
+        FROM edges e JOIN outw o USING (src)
+    ),
+    r0 AS (SELECT node, ROUND(1.0 / nn.n, 12) AS r FROM nodes, nn),
+    r1 AS (
+        SELECT nodes.node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c.v, 0), 12) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (SELECT norm.dst, SUM(r0.r * norm.p) AS v
+                   FROM norm JOIN r0 ON r0.node = norm.src GROUP BY 1) c
+          ON c.dst = nodes.node
+    ),
+    r2 AS (
+        SELECT nodes.node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c.v, 0), 12) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (SELECT norm.dst, SUM(r1.r * norm.p) AS v
+                   FROM norm JOIN r1 ON r1.node = norm.src GROUP BY 1) c
+          ON c.dst = nodes.node
+    ),
+    r3 AS (
+        SELECT nodes.node, ROUND(0.15 / nn.n + 0.85 * COALESCE(c.v, 0), 12) AS r
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (SELECT norm.dst, SUM(r2.r * norm.p) AS v
+                   FROM norm JOIN r2 ON r2.node = norm.src GROUP BY 1) c
+          ON c.dst = nodes.node
+    )
+    SELECT node AS n_name, ROUND(r, 6) AS pagerank FROM r3 ORDER BY n_name
+"""
+
+ORACLE_SQL["region_top_customers_lateral"] = """
+    SELECT r.r_name, t.c_name, t.spend
+    FROM region r,
+    LATERAL (
+        SELECT c.c_name,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS spend
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY c.c_name
+        ORDER BY spend DESC, c.c_name
+        LIMIT 2
+    ) t
+    ORDER BY r.r_name, t.spend DESC, t.c_name
+"""
+
+# Spark dayofweek is 1-based Sunday-first; DuckDB dayofweek is 0-based
+ORACLE_SQL["events_seasonal_decompose"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           CAST(dayofweek(day) + 1 AS BIGINT) AS weekday,
+           n_events,
+           ROUND(AVG(n_events) OVER (PARTITION BY event_type, dayofweek(day)), 4)
+               AS seasonal,
+           ROUND(n_events - AVG(n_events)
+                 OVER (PARTITION BY event_type, dayofweek(day)), 4) AS residual
+    FROM daily
+"""
+
+# the XML hop must be value-lossless: oracle recomputes the mart from parquet
+ORACLE_SQL["orders_xml_roundtrip"] = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+# TTL-state dedup: duplicates arrive within the watermark, so the answer
+# is still the single-copy batch aggregate
+ORACLE_SQL["stream_events_dedup_ttl"] = ORACLE_SQL["stream_events_dedup"]

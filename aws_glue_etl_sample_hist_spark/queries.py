@@ -1222,6 +1222,16 @@ def q_stream_events_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_dedup_agg(spark, sf)
 
 
+def q_stream_events_dedup_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark dedup (state evicted by event-time
+    TTL -- the bounded-state form; see streaming.jobs.stream_events_dedup_ttl
+    for why this, not plain dropDuplicates, is the 100 TB shape). Duplicates
+    here arrive together, so the oracle stays the single-copy batch answer."""
+    from .streaming.jobs import stream_events_dedup_ttl
+
+    return stream_events_dedup_ttl(spark, sf)
+
+
 def q_quality_quantiles_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-language quantiles (p50/p90) of the document quality score
     -- linear-interpolated percentile, matching DuckDB's quantile_cont. The
@@ -3664,6 +3674,154 @@ def q_corpus_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode_tokens(docs, vocab).orderBy("doc_id")
 
 
+def q_orders_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 native XML, new surface): the
+    monthly order mart is written as XML rows and read back under an
+    EXPLICIT schema -- values, not just shapes, must survive the format
+    hop, so the oracle recomputes the same mart from parquet. The XML
+    artifact is built once per (sf, process) like the persisted ANN
+    indexes (no tempdir leak); Avro stays an honestly-documented gap (the
+    external avro module jar is not in this container)."""
+    from .io.sources import read_xml, write_xml
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def build(d: str) -> None:
+        mart = (
+            load_table(spark, sf, "orders")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("total_price"),
+            )
+        )
+        write_xml(mart, d + "/mart", row_tag="month_row")
+
+    d = _cached_index_dir("xml", sf, build)
+    schema = StructType(
+        [
+            StructField("month", StringType()),
+            StructField("n_orders", LongType()),
+            StructField("total_price", DoubleType()),
+        ]
+    )
+    return read_xml(spark, d + "/mart", row_tag="month_row", schema=schema).orderBy(
+        "month"
+    )
+
+
+def q_events_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly-seasonality decomposition of the event stream (the additive
+    model's first two terms): per (event_type, day) counts split into the
+    weekday seasonal mean and the residual -- the de-seasonalized series an
+    anomaly detector (see events_cusum_alerts) should consume instead of
+    raw counts. Pure window arithmetic: one agg to daily grain, one
+    partition-mean window over (type, weekday); integer count sums are
+    exact so the 4-dp rounding is engine-invariant."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type", F.dayofweek("day"))
+    return daily.select(
+        "day",
+        "event_type",
+        F.dayofweek("day").cast("long").alias("weekday"),
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("seasonal"),
+        F.round(F.col("n_events") - F.avg("n_events").over(w), 4).alias(
+            "residual"
+        ),
+    )
+
+
+def q_region_top_customers_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.4+ SQL surface, previously
+    uncovered): per-region top-2 customers by lifetime spend, expressed as
+    `FROM region, LATERAL (... WHERE correlated ... ORDER BY ... LIMIT 2)`
+    -- the SQL twin of a partitioned window top-k. Catalyst decorrelates
+    the limit into a per-region rank, so the physical plan is the same
+    shuffle-once window as the DataFrame form, not a per-region re-scan.
+    Decimal spend accumulation keeps the 2-dp sums partitioning-invariant
+    (same policy as nation_trade_matrix)."""
+    from .catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.c_name, t.spend
+        FROM region r,
+        LATERAL (
+            SELECT c.c_name,
+                   CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS spend
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY c.c_name
+            ORDER BY spend DESC, c.c_name
+            LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.spend DESC, t.c_name
+        """
+    )
+
+
+def q_nations_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the international trade graph: edges are
+    (supplier nation -> customer nation, total revenue), ranks from
+    operators.graph.weighted_pagerank (3 message-passing rounds, damping
+    0.85, 12-dp quantization so the oracle's unrolled recurrence lands on
+    identical doubles). The graph-analytics twin of the connected-components
+    family: same edges⋈state-per-round shuffle shape, exact dual-engine
+    oracle via 3 unrolled iterations in SQL."""
+    from .operators.graph import weighted_pagerank
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("src"))
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("weight")
+        )
+    )
+    ranks = weighted_pagerank(edges, n_iter=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("n_name"), F.round("rank", 6).alias("pagerank")
+    ).orderBy("n_name")
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL compressed-image decode end-to-end with zero image libraries:
     each doc's text bytes become an 8x4 truecolor PNG (DEFLATE via stdlib
@@ -3797,6 +3955,11 @@ QUERIES = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "corpus_bpe_encode": q_corpus_bpe_encode,
+    "nations_pagerank": q_nations_pagerank,
+    "region_top_customers_lateral": q_region_top_customers_lateral,
+    "events_seasonal_decompose": q_events_seasonal_decompose,
+    "orders_xml_roundtrip": q_orders_xml_roundtrip,
+    "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
     # --- block 3: driver-green r04 ---
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,

@@ -194,6 +194,28 @@ def stream_events_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_events_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark twin of stream_events_dedup_agg (the
+    Spark 3.5+ API this surface lacked): state for a key is EVICTED once
+    its event time ages past the watermark, so dedup is only guaranteed for
+    duplicates arriving within the watermark delay of each other -- the
+    right contract for at-least-once sources, whose retries come seconds
+    apart, and the only one whose state is bounded by delay x rate rather
+    than by distinct keys. Here every duplicate arrives in the same replay,
+    well inside the 1 h delay, so the answer must still equal the
+    single-copy batch oracle -- while plain dropDuplicates keeps one state
+    row per event_id FOREVER (unbounded at 100 TB)."""
+    ev = _read_events_stream(spark, sf_dir).unionByName(_read_events_stream(spark, sf_dir))
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_events_purchase_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-interval join: purchases joined to the SAME user's
     clicks in the preceding 30 minutes -- the attribution join, as two live

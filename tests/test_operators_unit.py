@@ -1725,3 +1725,33 @@ def test_jpeg_decodes_pil_written_baseline_if_available():
     Image.fromarray(img).save(buf, format="JPEG", quality=95, subsampling=0)
     dec = decode_jpeg(buf.getvalue())
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_weighted_pagerank_matches_numpy_power_iteration(spark):
+    """The DataFrame message-passing recurrence must equal the literal
+    numpy power iteration on a hand graph -- the oracle only proves the two
+    ENGINES agree, this proves the math is actually PageRank. With no
+    dangling nodes the ranks must also stay a probability distribution."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.graph import weighted_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 3.0)],
+        ["src", "dst", "weight"],
+    )
+    got = {
+        r.node: r.rank for r in weighted_pagerank(edges, n_iter=3).collect()
+    }
+
+    names = ["a", "b", "c"]
+    P = np.zeros((3, 3))  # P[i, j] = prob of stepping i -> j
+    for s, d, w in [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 3.0)]:
+        P[names.index(s), names.index(d)] = w
+    P = P / P.sum(axis=1, keepdims=True)
+    r = np.full(3, 1 / 3)
+    for _ in range(3):
+        r = 0.15 / 3 + 0.85 * (P.T @ r)
+    for i, name in enumerate(names):
+        assert abs(got[name] - r[i]) < 1e-9, (name, got[name], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
