@@ -191,7 +191,8 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     coeffs = []
     for plane, qidx in zip(planes, comp_q):
         blocks = _component_blocks(plane) - 128.0
-        dct = np.einsum("ux,byxv,wv->byuw", _D, blocks, _D, optimize=True)
+        # batched 8x8 DCT: matmul broadcasts over the (by, bx) block grid
+        dct = _D @ blocks @ _D.T
         q = np.round(dct / quant[qidx]).astype(np.int64)
         coeffs.append(q[:, :, _ZZ_ROWS, _ZZ_COLS])
 
@@ -286,12 +287,30 @@ class _BitReader:
         return v
 
 
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+class _HuffTable:
+    """Decode table with a fixed-length fast path: when every code in the
+    table has one length L (true for this encoder's canonical tables),
+    decoding is a single read(L) + dict hit instead of a bit-by-bit walk --
+    ~10x fewer BitReader calls on the hot path. Multi-length tables (e.g.
+    Annex K tables in PIL/libjpeg files) take the general canonical walk."""
+
+    def __init__(self, codes: dict[tuple[int, int], int]) -> None:
+        self.codes = codes
+        lengths = {length for length, _ in codes}
+        self.fixed_len = lengths.pop() if len(lengths) == 1 else None
+
+
+def _decode_symbol(br: _BitReader, table: _HuffTable) -> int:
+    if table.fixed_len is not None:
+        sym = table.codes.get((table.fixed_len, br.read(table.fixed_len)))
+        if sym is None:
+            raise ValueError("invalid Huffman code in scan")
+        return sym
     length, code = 0, 0
     while length < 17:
         code = (code << 1) | br.read(1)
         length += 1
-        sym = table.get((length, code))
+        sym = table.codes.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in scan")
@@ -309,7 +328,7 @@ def decode_jpeg(payload: bytes):
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, quant_id)
     h = w = None
     scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
@@ -341,10 +360,12 @@ def decode_jpeg(payload: bytes):
                 bits = list(data[at + 1 : at + 17])
                 nv = sum(bits)
                 vals = list(data[at + 17 : at + 17 + nv])
-                huff[(tc, th)] = {
-                    (length, code): sym
-                    for sym, (length, code) in _huffman_codes(bits, vals).items()
-                }
+                huff[(tc, th)] = _HuffTable(
+                    {
+                        (length, code): sym
+                        for sym, (length, code) in _huffman_codes(bits, vals).items()
+                    }
+                )
                 at += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)

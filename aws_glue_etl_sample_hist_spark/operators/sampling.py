@@ -212,3 +212,66 @@ def weighted_sample_topk(
         .orderBy(F.col("sample_score").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def distribution_matched_sample(
+    pool: DataFrame,
+    reference: DataFrame,
+    *,
+    bucket_col: str = "bucket",
+    key_col: str = "doc_id",
+    salt: str = "match",
+) -> DataFrame:
+    """Resample ``pool`` so its ``bucket_col`` distribution matches
+    ``reference``'s (the curation step that fixes a mix's length/quality
+    skew against a trusted subset -- e.g. make web-crawl length histograms
+    match a curated corpus before mixing). Per-bucket acceptance rate
+    min(1, ref_share / pool_share) is computed in integer ppm (exact in
+    both engines), each pool row keeps via the deterministic md5 draw, and
+    the returned frame is the per-bucket accounting:
+    (bucket, n_ref, n_pool, rate_ppm, n_sampled).
+
+    Scale shape: two bucket-cardinality aggs (map-side combined) + one
+    map-only filter over the pool with the rate map BROADCAST; the two
+    corpus totals are bounded scalar collects. Rows, never samples, shuffle."""
+    n_ref_total = reference.count()
+    n_pool_total = pool.count()
+    ref_counts = reference.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    pool_counts = pool.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("n_pool")
+    )
+    rates = (
+        ref_counts.join(pool_counts, bucket_col, "full_outer")
+        .select(
+            bucket_col,
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_pool", F.lit(0)).cast("long").alias("n_pool"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.when(F.col("n_pool") == 0, F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.lit(SAMPLE_MOD).cast("long"),
+                    F.expr(
+                        f"({SAMPLE_MOD} * n_ref * {n_pool_total})"
+                        f" div ({max(n_ref_total, 1)} * n_pool)"
+                    ),
+                )
+            ),
+        )
+    )
+    kept = (
+        pool.join(F.broadcast(rates.select(bucket_col, "rate_ppm")), bucket_col)
+        .filter(sample_hash(F.col(key_col), salt) < F.col("rate_ppm"))
+        .groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return rates.join(kept, bucket_col, "left").select(
+        bucket_col,
+        "n_ref",
+        "n_pool",
+        "rate_ppm",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )

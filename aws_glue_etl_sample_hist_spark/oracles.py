@@ -3280,3 +3280,79 @@ ORACLE_SQL["orders_xml_roundtrip"] = """
 # TTL-state dedup: duplicates arrive within the watermark, so the answer
 # is still the single-copy batch aggregate
 ORACLE_SQL["stream_events_dedup_ttl"] = ORACLE_SQL["stream_events_dedup"]
+
+# df log-odds drift between first/second half of the corpus by doc_id
+ORACLE_SQL["corpus_vocab_drift"] = r"""
+    WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM documents),
+    terms AS (
+        SELECT DISTINCT
+               CAST(doc_id > mid.m AS INTEGER) AS half,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term,
+               doc_id
+        FROM documents, mid
+        WHERE TRUE
+    ),
+    per_half AS (
+        SELECT term,
+               SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS df_a,
+               SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS df_b
+        FROM (SELECT * FROM terms WHERE term <> '')
+        GROUP BY 1
+    ),
+    n AS (
+        SELECT SUM(CASE WHEN doc_id <= mid.m THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN doc_id > mid.m THEN 1 ELSE 0 END) AS n_b
+        FROM documents, mid
+    )
+    SELECT term,
+           CAST(df_a AS BIGINT) AS df_a,
+           CAST(df_b AS BIGINT) AS df_b,
+           ROUND(log2(((df_b + 1) / CAST(n_b + 2 AS DOUBLE))
+                      / ((df_a + 1) / CAST(n_a + 2 AS DOUBLE))), 6) AS log2_odds
+    FROM per_half, n
+    WHERE df_a + df_b >= 20
+    ORDER BY ABS(log2_odds) DESC, term ASC
+    LIMIT 30
+"""
+
+# distribution-matched resampling accounting: non-en pool matched to the
+# en reference's 20-token-bucket length histogram, integer-ppm rates
+ORACLE_SQL["corpus_length_matched_sample"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               LEAST(10, len(regexp_split_to_array(trim(text), '\s+')) // 20)
+                   AS bucket
+        FROM documents
+    ),
+    ref AS (SELECT bucket, COUNT(*) AS n_ref FROM d WHERE lang = 'en' GROUP BY 1),
+    pool AS (SELECT bucket, COUNT(*) AS n_pool FROM d WHERE lang <> 'en' GROUP BY 1),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM d WHERE lang = 'en') AS t_ref,
+               (SELECT COUNT(*) FROM d WHERE lang <> 'en') AS t_pool
+    ),
+    rates AS (
+        SELECT COALESCE(ref.bucket, pool.bucket) AS bucket,
+               CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+               CAST(COALESCE(n_pool, 0) AS BIGINT) AS n_pool,
+               CAST(CASE WHEN COALESCE(n_pool, 0) = 0 THEN 0
+                    ELSE LEAST(1000000,
+                         (1000000 * COALESCE(n_ref, 0) * t_pool)
+                         // (GREATEST(t_ref, 1) * n_pool)) END AS BIGINT)
+                   AS rate_ppm
+        FROM ref FULL OUTER JOIN pool ON ref.bucket = pool.bucket
+        CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.bucket, COUNT(*) AS n_sampled
+        FROM d JOIN rates ON rates.bucket = d.bucket
+        WHERE d.lang <> 'en'
+          AND CAST(('0x' || substr(md5('match:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 < rates.rate_ppm
+        GROUP BY 1
+    )
+    SELECT rates.bucket,
+           n_ref, n_pool, rate_ppm,
+           CAST(COALESCE(kept.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates LEFT JOIN kept ON kept.bucket = rates.bucket
+    ORDER BY rates.bucket
+"""

@@ -3674,6 +3674,82 @@ def q_corpus_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode_tokens(docs, vocab).orderBy("doc_id")
 
 
+def q_corpus_length_matched_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-matched resampling (operators.sampling
+    .distribution_matched_sample): make the NON-English pool's token-length
+    histogram match the English reference's -- per-bucket acceptance
+    min(1, ref_share/pool_share) in exact integer ppm, deterministic md5
+    draw, fixed-width 20-token buckets capped at 10 so bucketing is
+    engine-exact. Returns the per-bucket accounting the curation report
+    would publish."""
+    from .operators.sampling import distribution_matched_sample
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.least(
+            F.lit(10),
+            F.expr(r"size(split(trim(text), '\\s+')) div 20"),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return distribution_matched_sample(
+        docs.filter(F.col("lang") != "en"),
+        docs.filter(F.col("lang") == "en"),
+    ).orderBy("bucket")
+
+
+def q_corpus_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary drift audit between two corpus slices (the
+    distribution-shift check a refresh pipeline runs before retraining a
+    tokenizer): document-frequency log2-odds ratio of each term between the
+    first and second half of the corpus (by doc_id), add-one smoothed, for
+    terms appearing in >= 20 docs overall. Top-30 by absolute drift.
+
+    Scale shape: one explode -> (term, half) distinct -> count -- the same
+    inverted-index groupBy as tf-idf; halves come from a column predicate,
+    never two scans. log-odds on integer df counts is engine-exact; the
+    6-dp rounding only trims the division."""
+    docs = load_table(spark, sf, "documents")
+    # bounded scalar: the exact doc_id median (matches quantile_cont in SQL)
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0]["m"]
+    terms = (
+        docs.select(
+            (F.col("doc_id") > F.lit(mid)).cast("int").alias("half"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+            "doc_id",
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    per_half = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("df_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("df_b"),
+    )
+    n_a = docs.filter(F.col("doc_id") <= mid).count()
+    n_b = docs.filter(F.col("doc_id") > mid).count()
+    drift = (
+        per_half.filter(F.col("df_a") + F.col("df_b") >= 20)
+        .select(
+            "term",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.round(
+                F.log2(
+                    ((F.col("df_b") + 1) / F.lit(float(n_b + 2)))
+                    / ((F.col("df_a") + 1) / F.lit(float(n_a + 2)))
+                ),
+                6,
+            ).alias("log2_odds"),
+        )
+    )
+    return (
+        drift.orderBy(F.abs("log2_odds").desc(), F.col("term").asc())
+        .limit(30)
+    )
+
+
 def q_orders_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """XML source/sink round-trip (Spark 4 native XML, new surface): the
     monthly order mart is written as XML rows and read back under an
@@ -3960,6 +4036,8 @@ QUERIES = {
     "events_seasonal_decompose": q_events_seasonal_decompose,
     "orders_xml_roundtrip": q_orders_xml_roundtrip,
     "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
+    "corpus_vocab_drift": q_corpus_vocab_drift,
+    "corpus_length_matched_sample": q_corpus_length_matched_sample,
     # --- block 3: driver-green r04 ---
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,

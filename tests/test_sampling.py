@@ -95,3 +95,41 @@ def test_shuffle_shards_partitioned_export_layout(spark, sf_small, tmp_path):
     # within a shard directory, pos is dense from 1 (loader contract)
     one = back.filter(F.col("shard") == 0).select("pos").collect()
     assert sorted(r.pos for r in one) == list(range(1, len(one) + 1))
+
+
+def test_distribution_matched_sample_rates_and_caps(spark):
+    """Rate math on a hand fixture: over-represented pool buckets get
+    ppm < 1e6 proportional to ref_share/pool_share, matched buckets cap at
+    exactly 1e6 (keep everything), ref-only buckets report zero pool and
+    zero sampled, pool-only buckets get rate 0."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        distribution_matched_sample,
+    )
+    from pyspark.sql import functions as F
+
+    # ref: 10 docs in bucket 0, 10 in bucket 1, 5 in bucket 3 (ref-only)
+    ref = spark.createDataFrame(
+        [(i, 0) for i in range(10)]
+        + [(100 + i, 1) for i in range(10)]
+        + [(200 + i, 3) for i in range(5)],
+        "doc_id long, bucket long",
+    )
+    # pool: 40 docs bucket 0 (over-rep), 10 bucket 1, 10 bucket 2 (pool-only)
+    pool = spark.createDataFrame(
+        [(1000 + i, 0) for i in range(40)]
+        + [(2000 + i, 1) for i in range(10)]
+        + [(3000 + i, 2) for i in range(10)],
+        "doc_id long, bucket long",
+    )
+    rows = {r.bucket: r for r in distribution_matched_sample(pool, ref).collect()}
+    # bucket 0: ref share 10/25, pool share 40/60 -> rate = (10*60)/(25*40)=0.6
+    assert rows[0].rate_ppm == 600_000
+    # bucket 1: ref share 10/25 vs pool 10/60 -> uncapped 2.4 -> capped
+    assert rows[1].rate_ppm == 1_000_000
+    assert rows[1].n_sampled == rows[1].n_pool == 10
+    # pool-only bucket: nothing in ref -> drop all
+    assert rows[2].rate_ppm == 0 and rows[2].n_sampled == 0
+    # ref-only bucket: present in report, no pool, nothing sampled
+    assert rows[3].n_pool == 0 and rows[3].n_sampled == 0
+    # sampled counts never exceed the rate's expectation by an absurd margin
+    assert 0 < rows[0].n_sampled <= 40
