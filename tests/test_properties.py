@@ -390,3 +390,54 @@ def test_y4m_codec_roundtrip_property(h, w, n_frames, seed):
     gw, gh, got = decode_y4m(encode_y4m(frames))
     assert (gw, gh, len(got)) == (w, h, n_frames)
     assert all((a == b).all() for a, b in zip(got, frames))
+
+
+# --------------------------------------------------------- codec properties
+# pure-python properties (no Spark job per example, so examples are cheap)
+
+_img_strategy = st.tuples(
+    st.integers(min_value=1, max_value=24),  # height
+    st.integers(min_value=1, max_value=24),  # width
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+
+
+@given(_img_strategy)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_exact_on_random_images(dims):
+    """PNG is lossless: encode->decode must be bit-exact for every shape
+    and content, including 1-pixel and single-row/column edge cases."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w, seed = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@given(_img_strategy)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_bounded_error_on_random_images(dims):
+    """Baseline JPEG at q=95: decoded dims always exact (SOF0 is
+    authoritative, non-multiple-of-8 shapes crop the padded MCUs), and the
+    per-pixel error of random noise (the DCT worst case) stays within the
+    loose bound implied by the scaled quantization tables. A broken zigzag,
+    Huffman table, or IDCT produces errors an order of magnitude larger."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w, seed = dims
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 12, err.mean()
+    assert err.max() <= 80, err.max()
