@@ -3356,3 +3356,27 @@ ORACLE_SQL["corpus_length_matched_sample"] = r"""
     FROM rates LEFT JOIN kept ON kept.bucket = rates.bucket
     ORDER BY rates.bucket
 """
+
+# per-language tokens/words under the 3-merge vocab (fertility)
+ORACLE_SQL["corpus_bpe_fertility"] = _BPE_V3_CTES + r"""
+    , docw AS (
+        SELECT doc_id, word, COUNT(*) AS n FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               SUM(n) AS n_words,
+               SUM(n * len(v3.symbols)) AS n_tokens
+        FROM docw JOIN v3 USING (word) GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(SUM(per_doc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(per_doc.n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(per_doc.n_tokens) AS DOUBLE) / SUM(per_doc.n_words), 6)
+               AS fertility
+    FROM per_doc JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+"""

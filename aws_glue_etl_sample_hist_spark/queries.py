@@ -3898,6 +3898,30 @@ def q_nations_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+def q_corpus_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility by language (tokens per word under the frozen
+    3-merge vocab) -- the multilingual-equity number a tokenizer report
+    publishes: a language whose fertility runs high pays more sequence
+    length per word of content. Same train->apply path as
+    corpus_bpe_encode, rolled up per language; integer token/word sums are
+    exact, so only the final ratio carries the 6-dp rounding."""
+    from .operators.bpe import bpe_encode_tokens, train_bpe
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    _, vocab = train_bpe(docs, 3)
+    per_doc = bpe_encode_tokens(docs, vocab)
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_multimodal_png_decode(spark: SparkSession, sf: str) -> DataFrame:
     """REAL compressed-image decode end-to-end with zero image libraries:
     each doc's text bytes become an 8x4 truecolor PNG (DEFLATE via stdlib
@@ -4038,6 +4062,7 @@ QUERIES = {
     "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
     "corpus_vocab_drift": q_corpus_vocab_drift,
     "corpus_length_matched_sample": q_corpus_length_matched_sample,
+    "corpus_bpe_fertility": q_corpus_bpe_fertility,
     # --- block 3: driver-green r04 ---
     "nation_balance_sheet": q_nation_balance_sheet,
     "shipping_priority": q_shipping_priority,

@@ -77,6 +77,10 @@ HEADLINE = [
     "events_heavy_hitters",
     "events_distinct_rolling7",
     "mart_incremental_update",
+    # round-5 additions: iterative graph, tokenizer apply, lossy codec
+    "nations_pagerank",
+    "corpus_bpe_encode",
+    "multimodal_jpeg_decode",
 ]
 
 
