@@ -81,38 +81,39 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def _select_batch(rows, floor: int, want: int) -> list[tuple[str, str, int]]:
-    """Greedily pick a prefix of the count-sorted pair list that is PROVABLY
+    """Greedily pick a prefix of the count-sorted pair list as a GUESS at
     the next ``len(result)`` sequential merges.
 
-    Exactness argument (why batched == one-at-a-time):
-      * accepted pairs are mutually symbol-disjoint, so applying earlier
-        accepted merges cannot change a later accepted pair's count;
-      * an existing pair's count never increases under a merge, so nothing
-        ranked below a candidate can overtake it;
-      * a merge of (a, b) only CREATES pairs like (x, a+b), and every
-        occurrence of (x, a+b) was an occurrence of (x, a) before -- so a
-        new pair's count is bounded by some pre-merge pair sharing a symbol
-        with an accepted merge. Requiring the candidate to STRICTLY beat
-        every later-ranked pair that shares a symbol with the accepted set
-        (and the ``floor`` bounding all uncollected pairs) rules out any
-        new pair overtaking it, ties-and-lexicographic included.
-    The moment a candidate fails any condition the scan stops: acceptance
-    must stay a contiguous prefix of the sorted order for the argument
-    above to hold."""
+    This is a prediction heuristic, NOT a proof: correctness does not
+    depend on it. ``train_bpe`` verifies every guessed merge against the
+    true post-prefix pair counts before accepting it (see the speculate-
+    and-verify loop there), so a bad guess costs one truncated batch, never
+    a wrong merge. History: an earlier version claimed this prefix was
+    provably exact; the argument had a hole -- a merge of (l, r) can
+    INCREASE the count of a pre-existing pair whose side equals the merged
+    string l+r (e.g. merging (a, a) in a vocab that already contains an
+    'aa' symbol boosts (b, aa) by the occurrences converted from (b, a)),
+    letting a boosted pair overtake an accepted candidate. The heuristic
+    now also treats pairs touching any accepted merged string as hazards,
+    which removes the known mispredictions, and the verify step makes even
+    unknown ones harmless.
+    """
     accepted: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    made: set[str] = set()  # merged strings l+r of accepted guesses
     for idx, r in enumerate(rows):
         c = int(r.pair_count)
         if c < 2:
             break
         if accepted:
-            if {r.left, r.right} & used:
+            hazard_syms = used | made
+            if {r.left, r.right} & hazard_syms:
                 break
             later_share_max = max(
                 (
                     int(q.pair_count)
                     for q in rows[idx + 1 :]
-                    if {q.left, q.right} & used
+                    if {q.left, q.right} & hazard_syms
                 ),
                 default=0,
             )
@@ -120,9 +121,45 @@ def _select_batch(rows, floor: int, want: int) -> list[tuple[str, str, int]]:
                 break
         accepted.append((r.left, r.right, c))
         used |= {r.left, r.right}
+        made.add(r.left + r.right)
         if len(accepted) >= want:
             break
     return accepted
+
+
+def _top_pairs_after(
+    vocab: DataFrame, prefixes: list[list[tuple[str, str]]], k: int
+) -> dict[int, list]:
+    """ONE Spark job: for each merge-list prefix, the top ``k``
+    (count DESC, pair ASC) pair counts of ``vocab`` with that prefix of
+    merges applied. All prefixes are branches of a single unioned plan over
+    the cached vocab, so the driver pays one collect regardless of batch
+    size. Rows come back tagged and are re-sorted per branch client-side
+    (union does not preserve per-branch order)."""
+    branches = []
+    for i, prefix in enumerate(prefixes):
+        v = vocab
+        for left, right in prefix:
+            v = _apply_merge(v, left, right)
+        branches.append(
+            _pair_counts(v)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(k)
+            .withColumn("branch", F.lit(i))
+        )
+    plan = branches[0]
+    for b in branches[1:]:
+        plan = plan.unionByName(b)
+    out: dict[int, list] = {i: [] for i in range(len(prefixes))}
+    for r in plan.collect():
+        out[r.branch].append(r)
+    for i in out:
+        out[i].sort(key=lambda r: (-r.pair_count, r.left, r.right))
+    return out
 
 
 def train_bpe(
@@ -136,41 +173,71 @@ def train_bpe(
     [(left, right, pair_count)] in learned order, final vocab frame with
     merged symbol arrays).
 
-    The vocab frame is cached between rounds (it is vocabulary-sized).
-    Each round collects ONE bounded result (the top pair-count rows) and
-    learns up to ``batch_size`` provably-non-conflicting merges from it
-    (see ``_select_batch``), so the driver-side round count is
-    ~n_merges/batch_size instead of n_merges -- the difference between 30k
-    Spark jobs and ~4k on a production tokenizer run. ``batch_size=1``
-    degenerates to the classic one-merge-per-round loop; any batch size
-    learns the IDENTICAL merge sequence (property-tested batched ==
-    sequential). Stops early if no pair occurs more than once."""
+    Speculate-and-verify batching: each round ``_select_batch`` GUESSES up
+    to ``batch_size`` merges from the current top pair counts, then one
+    unioned Spark job recomputes the true top pairs after every guess
+    prefix. Guess ``i`` is accepted only if it IS the (count DESC, pair
+    ASC) argmax of the true counts with guesses ``0..i-1`` applied -- and
+    its recorded count is that true count. On the first misprediction the
+    batch truncates to the verified prefix plus the corrected argmax, so
+    the learned sequence equals the classic one-merge-per-round loop BY
+    CONSTRUCTION, not by a bound on how merges can shift counts (an
+    earlier bound-based argument had a hole: merging (l, r) can boost a
+    pre-existing pair involving the string l+r -- see ``_select_batch``).
+
+    Cost: the vocab frame is cached between rounds (it is
+    vocabulary-sized); each round pays ONE bounded collect (the union of
+    per-prefix top-k branches) + one materialization, so the driver-side
+    round count stays ~n_merges/batch_size -- the difference between 30k
+    Spark jobs and ~4k on a production tokenizer run -- at the price of
+    batch_size extra aggregations inside the job, all over the small
+    cached vocab. ``batch_size=1`` degenerates to the classic loop; any
+    batch size learns the IDENTICAL merge sequence (property-tested
+    against adversarial corpora where the old heuristic provably
+    diverged). Stops early if no pair occurs more than once."""
     vocab = word_vocab(docs, text_col=text_col).cache()
     merges: list[tuple[str, str, int]] = []
-    while len(merges) < n_merges:
+    pending = None  # top rows at the current vocab state, if already known
+    exhausted = False
+    while len(merges) < n_merges and not exhausted:
         want = min(max(batch_size, 1), n_merges - len(merges))
-        # +extra context rows: the batch guard needs to see later-ranked
+        # +extra context rows: the batch guess wants to see later-ranked
         # colliding pairs, and the first UNCOLLECTED count as the floor
         k = max(4 * want, 16)
-        rows = (
-            _pair_counts(vocab)
-            .orderBy(
-                F.col("pair_count").desc(),
-                F.col("left").asc(),
-                F.col("right").asc(),
-            )
-            .limit(k + 1)
-            .collect()
-        )
+        if pending is None:
+            pending = _top_pairs_after(vocab, [[]], k + 1)[0]
+        rows = pending
+        pending = None
         if not rows or rows[0].pair_count < 2:
             break
         floor = int(rows[k].pair_count) if len(rows) > k else 0
-        batch = _select_batch(rows[:k], floor, want)
-        if not batch:
+        guess = _select_batch(rows[:k], floor, want)
+        if not guess:
             break
-        merges.extend(batch)
+        # guess[0] is the argmax of the TRUE current counts: exact as-is
+        accepted = [guess[0]]
+        if len(guess) > 1:
+            prefixes = [
+                [(l, r) for l, r, _ in guess[:i]]
+                for i in range(1, len(guess) + 1)
+            ]
+            branch = _top_pairs_after(vocab, prefixes, k + 1)
+            for i in range(1, len(guess)):
+                rows_i = branch[i - 1]  # true counts after guess[:i]
+                if not rows_i or rows_i[0].pair_count < 2:
+                    exhausted = True
+                    break
+                top = rows_i[0]
+                accepted.append((top.left, top.right, int(top.pair_count)))
+                if (top.left, top.right) != (guess[i][0], guess[i][1]):
+                    break  # misprediction corrected; rest of guess invalid
+            else:
+                # fully verified: the last branch already holds the next
+                # round's selection rows -- no extra job
+                pending = branch[len(guess) - 1]
+        merges.extend(accepted)
         new_vocab = vocab
-        for left, right, _ in batch:
+        for left, right, _ in accepted:
             new_vocab = _apply_merge(new_vocab, left, right)
         new_vocab = new_vocab.cache()
         new_vocab.count()  # materialize before dropping the parent

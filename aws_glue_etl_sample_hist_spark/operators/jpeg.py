@@ -13,7 +13,10 @@ Scope (and what raises NotImplementedError):
               (it builds its tables from the stream's DHT, never assumes
               ours).
   rejected:   progressive (SOF2), subsampled chroma, 12-bit, arithmetic
-              coding, restart intervals.
+              coding, restart intervals, multi-scan non-interleaved
+              baseline (one scan per component -- legal baseline, but we
+              decode a single interleaved scan; raises instead of
+              returning zero chroma planes).
 
 Scale note: this codec runs INSIDE mapInPandas batches (see
 queries.q_multimodal_jpeg_decode) -- one Python call per payload, Arrow
@@ -384,6 +387,16 @@ def decode_jpeg(payload: bytes):
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS -- entropy data follows
             ns = data[0]
+            if ns < len(comps):
+                # a standards-compliant baseline file may carry one scan
+                # PER COMPONENT (non-interleaved); we decode only the first
+                # scan, which would silently return zero chroma planes --
+                # keep the failure loud like every other out-of-scope path
+                # (ADVICE r5)
+                raise NotImplementedError(
+                    f"multi-scan (non-interleaved) baseline JPEG unsupported:"
+                    f" scan covers {ns} of {len(comps)} components"
+                )
             for si in range(ns):
                 cid, tables = data[1 + 2 * si], data[2 + 2 * si]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cid)

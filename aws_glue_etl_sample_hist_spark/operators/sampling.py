@@ -214,6 +214,28 @@ def weighted_sample_topk(
     )
 
 
+def _rate_ppm_expr(n_ref_total: int, n_pool_total: int):
+    """min(SAMPLE_MOD, (SAMPLE_MOD * n_ref * n_pool_total) // (n_ref_total
+    * n_pool)) as a long column over (n_ref, n_pool), computed in
+    DECIMAL(38,0) so it is EXACT at 100 TB-scale corpus cardinalities:
+    in long arithmetic the numerator overflows once n_ref * n_pool_total
+    exceeds ~9.2e12 (wrapping silently in non-ANSI mode, diverging from
+    the DuckDB oracle's HUGEINT), while 1e6 * 1e12 * 1e12 = 1e30 still
+    fits comfortably in 38 decimal digits; ``div`` on decimals returns the
+    integral quotient as BIGINT. ADVICE r5 (low) fix."""
+    return F.when(F.col("n_pool") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(SAMPLE_MOD).cast("long"),
+            F.expr(
+                f"(CAST({SAMPLE_MOD} AS DECIMAL(38,0)) * n_ref"
+                f" * CAST({n_pool_total} AS DECIMAL(38,0)))"
+                f" div (CAST({max(n_ref_total, 1)} AS DECIMAL(38,0))"
+                f" * n_pool)"
+            ),
+        )
+    )
+
+
 def distribution_matched_sample(
     pool: DataFrame,
     reference: DataFrame,
@@ -236,6 +258,7 @@ def distribution_matched_sample(
     corpus totals are bounded scalar collects. Rows, never samples, shuffle."""
     n_ref_total = reference.count()
     n_pool_total = pool.count()
+    rate_expr = _rate_ppm_expr(n_ref_total, n_pool_total)
     ref_counts = reference.groupBy(bucket_col).agg(
         F.count(F.lit(1)).alias("n_ref")
     )
@@ -249,18 +272,7 @@ def distribution_matched_sample(
             F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
             F.coalesce("n_pool", F.lit(0)).cast("long").alias("n_pool"),
         )
-        .withColumn(
-            "rate_ppm",
-            F.when(F.col("n_pool") == 0, F.lit(0).cast("long")).otherwise(
-                F.least(
-                    F.lit(SAMPLE_MOD).cast("long"),
-                    F.expr(
-                        f"({SAMPLE_MOD} * n_ref * {n_pool_total})"
-                        f" div ({max(n_ref_total, 1)} * n_pool)"
-                    ),
-                )
-            ),
-        )
+        .withColumn("rate_ppm", rate_expr)
     )
     kept = (
         pool.join(F.broadcast(rates.select(bucket_col, "rate_ppm")), bucket_col)

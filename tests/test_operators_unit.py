@@ -1558,6 +1558,14 @@ def test_bpe_batched_equals_sequential_on_adversarial_corpora(spark):
         ["xab xab xab xab cd cd cd cd", "xab cd"],
         # overlapping runs + shared symbols between every top pair
         ["aaa aab aba abb baa bab bba bbb " * 3],
+        # ADVICE r5 failure mode, found by random search against the OLD
+        # bound-based guard: merging (a,a) creates 'aa' symbols, boosting
+        # the pre-existing pair (aa,a) from below (b,</w>)'s count to a
+        # lexicographic win over it -- the old batch accepted (a,a) and
+        # (b,</w>) together and diverged; speculate-and-verify truncates.
+        ["aaabb aaabb aaabb aaaaa bb"],
+        ["aaacc aaacc aaacc aaacc aaacc " + "aaa " * 8 + "b b b " + "cbb " * 9],
+        ["baab bbbb bbbb bbbb " + "aaab " * 8 + "aaa " * 6 + "a a bbab"],
         # random small-alphabet words, heavy pair-count ties
     ]
     rng = random.Random(42)
@@ -1700,6 +1708,22 @@ def test_jpeg_rejects_out_of_scope_streams():
     enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     enc[enc.index(b"\xff\xc0") + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+    # rewrite a 3-component stream's SOS to cover only component 1: a
+    # standards-compliant NON-INTERLEAVED baseline file (one scan per
+    # component) must raise loudly, not silently return zero chroma
+    # (ADVICE r5)
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    at = enc.index(b"\xff\xda")
+    (seg_len,) = struct.unpack_from(">H", enc, at + 2)
+    ns = enc[at + 4]
+    assert ns == 3 and seg_len == 2 + 1 + 2 * 3 + 3
+    spectral = bytes(enc[at + 4 + 1 + 2 * 3 : at + 2 + seg_len])
+    new_seg = struct.pack(">H", 2 + 1 + 2 + 3) + bytes([1]) + bytes(
+        enc[at + 5 : at + 7]
+    ) + spectral
+    enc[at + 2 : at + 2 + seg_len] = new_seg
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(bytes(enc))
 
 

@@ -133,3 +133,40 @@ def test_distribution_matched_sample_rates_and_caps(spark):
     assert rows[3].n_pool == 0 and rows[3].n_sampled == 0
     # sampled counts never exceed the rate's expectation by an absurd margin
     assert 0 < rows[0].n_sampled <= 40
+
+
+def test_rate_ppm_exact_at_100tb_cardinalities(spark):
+    """The per-bucket acceptance rate must be EXACT integer arithmetic at
+    100 TB-scale corpus cardinalities: in plain long arithmetic the
+    numerator SAMPLE_MOD * n_ref * n_pool_total overflows past ~9.2e12
+    (silently wrapping in non-ANSI mode -> wrong/negative rates while the
+    DuckDB oracle stays exact in HUGEINT). The DECIMAL(38,0) form is
+    pinned against Python's arbitrary-precision integers. ADVICE r5."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        SAMPLE_MOD,
+        _rate_ppm_expr,
+    )
+
+    t_ref, t_pool = 3_700_000_000_000, 8_900_000_000_000  # ~1e12 docs each
+    df = spark.createDataFrame(
+        [
+            (1_234_567_890_123, 5_678_901_234_567),
+            (987_654_321, 123_456_789_012),
+            (0, 7),
+            (5, 0),
+            (2_000_000_000_000, 1),  # uncapped quotient ~1.8e25 -> clamp
+        ],
+        "n_ref long, n_pool long",
+    )
+    out = df.withColumn("rate_ppm", _rate_ppm_expr(t_ref, t_pool))
+    assert dict(out.dtypes)["rate_ppm"] == "bigint"
+    for r in out.collect():
+        want = (
+            0
+            if r.n_pool == 0
+            else min(
+                SAMPLE_MOD,
+                (SAMPLE_MOD * r.n_ref * t_pool) // (t_ref * r.n_pool),
+            )
+        )
+        assert r.rate_ppm == want, (r.n_ref, r.n_pool, r.rate_ppm, want)
