@@ -846,3 +846,97 @@ def prefix_filter_jaccard_join(
             "jaccard",
         )
     )
+
+
+def substring_dedup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", the
+    suffix-array ExactSubstr stage): find, per document, the maximal token
+    spans whose every ``k``-token window occurs at least twice in the
+    corpus (in another document or at another position of the same one).
+    These are the spans ExactSubstr would cut before training. Completes
+    the dedup family: whole-doc (exact/MinHash/SimHash), paragraph
+    (strip_boilerplate), within-doc tokens (token_dedup) -- and now
+    repeated cross-doc substrings.
+
+    Distributed shape (a scale-friendly equivalent of the paper's
+    single-node suffix array): one map-only pass explodes each doc into
+    (pos, md5(k-token shingle)) rows; a count agg finds shingles with >= 2
+    occurrences corpus-wide; an equi-join marks the duplicated start
+    positions; two gaps-and-islands window passes per doc merge
+    consecutive duplicated starts into runs, then overlapping-or-adjacent
+    runs into maximal token spans [span_start, span_end] (0-based,
+    inclusive). Everything shuffles md5 hashes and integer positions --
+    document text never shuffles; windows partition by doc (bounded-size
+    partitions at any corpus scale). Choosing md5 over a raw-string key
+    keeps shuffle rows fixed-width; md5 agreement is exact across engines
+    and collisions are not a practical concern (the paper's own
+    implementations hash too).
+
+    Semantics note: a span reports positions covered by DUPLICATED
+    k-windows, so two spans separated by a gap shorter than k merge (their
+    token ranges overlap) -- the same maximal-match merging the
+    suffix-array walk produces. Exact, not approximate, for token-aligned
+    matches of length >= k.
+    """
+    toks = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> md5(concat_ws(char(31), slice(toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    marked = sh.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        marked.withColumn("island", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k - 1)).alias("e"),
+        )
+    )
+    w2 = Window.partitionBy(id_col).orderBy("s")
+    prev_max_e = F.max("e").over(
+        w2.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        runs.withColumn(
+            "new_grp",
+            F.when(
+                F.col("s") > F.coalesce(prev_max_e, F.lit(-2)) + 1, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "grp",
+            F.sum("new_grp").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "grp")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+    )
+    return spans.select(
+        id_col,
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )

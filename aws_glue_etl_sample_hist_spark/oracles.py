@@ -3380,3 +3380,46 @@ ORACLE_SQL["corpus_bpe_fertility"] = _BPE_V3_CTES + r"""
     FROM per_doc JOIN documents d USING (doc_id)
     GROUP BY 1 ORDER BY 1
 """
+
+ORACLE_SQL["corpus_substring_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(toks[i:i+7], chr(31))) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(toks) - 7)) AS t(i)
+        WHERE len(toks) >= 8
+    ), dup AS (
+        SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2
+    ), marked AS (
+        SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (h)
+    ), runs AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        FROM (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM marked
+        ) GROUP BY doc_id, island
+    ), flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS new_grp
+        FROM runs
+    ), grouped AS (
+        SELECT doc_id, s, e,
+               SUM(new_grp) OVER (
+                   PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens
+    FROM grouped GROUP BY doc_id, grp
+"""

@@ -4013,153 +4013,80 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nations_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-parity PageRank over the same trade graph as
+    nations_pagerank: dangling mass redistributed (ranks sum to 1),
+    epsilon convergence stop instead of a fixed round count,
+    localCheckpoint lineage truncation. Rows-only driver check: a
+    data-dependent round count is not SQL-expressible; the math is pinned
+    by the numpy power-iteration parity test and the 3-round twin's exact
+    oracle."""
+    from .operators.graph import weighted_pagerank_converged
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("src"))
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("weight")
+        )
+    )
+    ranks = weighted_pagerank_converged(edges, eps=1e-9)
+    return ranks.select(
+        F.col("node").alias("n_name"),
+        F.round("rank", 6).alias("pagerank"),
+        "n_rounds",
+    )
+
+
+def q_corpus_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document exact substring dedup (Lee et al. 2021 ExactSubstr,
+    distributed): maximal token spans whose every 8-token window repeats
+    somewhere in the corpus -- the spans the suffix-array stage would cut.
+    See operators.dedup.substring_dedup_spans for the
+    inverted-index + gaps-and-islands shape."""
+    from .operators.dedup import substring_dedup_spans
+
+    return substring_dedup_spans(load_table(spark, sf, "documents"), k=8)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-5 rotation (VERDICT r4 items 3+7): slot 1
-    # is text_repetition (red in r03/r04 on an oracle HUGEINT->float64
-    # typing bug, fixed in oracles.py this round -- needs its fresh green
-    # row), slots 2-23 are the 22 round-4 queries that have never been in
-    # the driver window (including the persisted-index headline pair
-    # embedding_{ivf,pq}_index_search). Slots 24-50 hold round-5 additions
-    # as they land, then the r4 marquee rows. Everything past slot 50 is
-    # already driver-green in some round and stays oracle-checked via
+    # the FIRST 50 entries. Round-6 rotation (VERDICT r5 item 1): slot 1 is
+    # the new cross-doc exact substring dedup (first-ever driver row), slots
+    # 2-50 are the 49 queries whose latest driver evidence dated to round 2
+    # (the reference spine incl. all four marts + the core dedup family) --
+    # re-verified hard AFTER the r5 dtype-strict-compare and cache-release
+    # changes. Past slot 50, blocks are ordered oldest-evidence-first (r3,
+    # then r4, then r5) so future rotations keep pointing at the stalest
+    # rows; other round-6 additions sit at 51+ and rotate in next round.
+    # Everything past slot 50 stays oracle-checked every round via
     # tests/test_oracle_parity.py.
-    # --- block 1: needs-a-driver-row (23) ---
-    "text_repetition": q_text_repetition,
-    "orders_median_mode": q_orders_median_mode,
-    "corpus_winsorized_length": q_corpus_winsorized_length,
-    "corpus_tokens_hof": q_corpus_tokens_hof,
-    "events_ohlc": q_events_ohlc,
-    "stream_events_hopping": q_stream_events_hopping,
-    "orders_month_spine_recursive": q_orders_month_spine_recursive,
-    "embedding_ivf_index_search": q_embedding_ivf_index_search,
-    "multimodal_wav_decode": q_multimodal_wav_decode,
-    "multimodal_y4m_decode": q_multimodal_y4m_decode,
-    "orders_price_histogram": q_orders_price_histogram,
-    "embedding_pq_index_search": q_embedding_pq_index_search,
-    "corpus_bpe_compression": q_corpus_bpe_compression,
-    "join_key_skew_audit": q_join_key_skew_audit,
-    "text_quality_classifier": q_text_quality_classifier,
-    "orders_geomean_udaf": q_orders_geomean_udaf,
-    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
-    "orders_nullsafe_join": q_orders_nullsafe_join,
-    "corpus_dataset_card": q_corpus_dataset_card,
-    "events_cusum_alerts": q_events_cusum_alerts,
-    "orders_market_basket": q_orders_market_basket,
-    "orders_benford_audit": q_orders_benford_audit,
-    "events_exp_smoothing": q_events_exp_smoothing,
-    # --- block 2: round-5 additions (window slots 24-50, inserted as
-    # they land) ---
-    "multimodal_png_decode": q_multimodal_png_decode,
-    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-    "corpus_bpe_encode": q_corpus_bpe_encode,
-    "nations_pagerank": q_nations_pagerank,
-    "region_top_customers_lateral": q_region_top_customers_lateral,
-    "events_seasonal_decompose": q_events_seasonal_decompose,
-    "orders_xml_roundtrip": q_orders_xml_roundtrip,
-    "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
-    "corpus_vocab_drift": q_corpus_vocab_drift,
-    "corpus_length_matched_sample": q_corpus_length_matched_sample,
-    "corpus_bpe_fertility": q_corpus_bpe_fertility,
-    # --- block 3: driver-green r04 ---
-    "nation_balance_sheet": q_nation_balance_sheet,
-    "shipping_priority": q_shipping_priority,
-    "returned_revenue_customers": q_returned_revenue_customers,
-    "promo_revenue_share": q_promo_revenue_share,
-    "special_revenue": q_special_revenue,
-    "nation_trade_matrix": q_nation_trade_matrix,
-    "corpus_sample_weighted": q_corpus_sample_weighted,
-    "dedup_triangles": q_dedup_triangles,
-    "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
-    "customer_spend_outliers_mad": q_customer_spend_outliers_mad,
-    "corpus_chunk_udtf": q_corpus_chunk_udtf,
-    "events_variant_stats": q_events_variant_stats,
-    "events_unpivot": q_events_unpivot,
-    "events_markov_transitions": q_events_markov_transitions,
-    "stream_events_enriched": q_stream_events_enriched,
-    "events_user_trend_pandas": q_events_user_trend_pandas,
-    "customer_spend_deciles": q_customer_spend_deciles,
-    "events_grouping_sets": q_events_grouping_sets,
-    "part_fuzzy_matches": q_part_fuzzy_matches,
-    "events_value_trend": q_events_value_trend,
-    "corpus_zipf": q_corpus_zipf,
-    "corpus_source_budget": q_corpus_source_budget,
-    "dq_audit": q_dq_audit,
-    "dq_profile_orders": q_dq_profile_orders,
-    "embedding_random_projection": q_embedding_random_projection,
-    "embedding_centroid_outliers": q_embedding_centroid_outliers,
-    "orders_with_returns": q_orders_with_returns,
-    "customer_order_histogram": q_customer_order_histogram,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "rich_idle_customers": q_rich_idle_customers,
-    "part_small_qty_revenue": q_part_small_qty_revenue,
-    "embedding_pq_codes": q_embedding_pq_codes,
-    "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
-    "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
-    "customer_base_stats_approx": q_customer_base_stats_approx,
-    "documents_bm25_topk": q_documents_bm25_topk,
-    "corpus_bigram_pmi": q_corpus_bigram_pmi,
-    "text_word_entropy": q_text_word_entropy,
-    "mart_incremental_update": q_mart_incremental_update,
-    "events_distinct_rolling7": q_events_distinct_rolling7,
-    "part_set_similarity_join": q_part_set_similarity_join,
-    "supplier_pareto": q_supplier_pareto,
-    "events_heavy_hitters": q_events_heavy_hitters,
-    "events_hopping_window": q_events_hopping_window,
-    "customer_order_value_window": q_customer_order_value_window,
-    "corpus_bpe_merges": q_corpus_bpe_merges,
-    "part_entity_resolution": q_part_entity_resolution,
-    "multimodal_bmp_decode": q_multimodal_bmp_decode,
-    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
-    # --- block 4: driver-green r01-r03 ---
-    "text_gopher_quality": q_text_gopher_quality,
-    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
-    "embedding_semantic_dedup": q_embedding_semantic_dedup,
-    "embedding_pq_topk": q_embedding_pq_topk,
-    "dedup_incremental": q_dedup_incremental,
-    "events_incident_windows": q_events_incident_windows,
-    "customer_rolling_revenue": q_customer_rolling_revenue,
-    "events_daily_gapfill": q_events_daily_gapfill,
-    "events_user_state_scd2": q_events_user_state_scd2,
-    "events_funnel": q_events_funnel,
-    "customer_cohort_retention": q_customer_cohort_retention,
-    "customer_rfm": q_customer_rfm,
-    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
-    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-    "text_pii_redact": q_text_pii_redact,
-    "corpus_chunk": q_corpus_chunk,
-    "text_token_dedup": q_text_token_dedup,
-    "text_perplexity": q_text_perplexity,
-    "corpus_shuffle": q_corpus_shuffle,
-    "corpus_mixture": q_corpus_mixture,
-    "embedding_cell_stats": q_embedding_cell_stats,
-    "stream_events_cdc_lake": q_stream_events_cdc_lake,
-    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
-    "training_corpus": q_training_corpus,
-    "corpus_decontamination": q_corpus_decontamination,
-    "events_asof_last_order": q_events_asof_last_order,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_purchase_follow": q_stream_events_purchase_follow,
-    "corpus_sample": q_corpus_sample,
-    "corpus_sample_stratified": q_corpus_sample_stratified,
-    "corpus_shard_pack": q_corpus_shard_pack,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_bigram_lm": q_text_bigram_lm,
-    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
-    "multimodal_byte_features": q_multimodal_byte_features,
-    "multimodal_thumbnail": q_multimodal_thumbnail,
-    "embedding_quantize_int8": q_embedding_quantize_int8,
-    "sql_monthly_revenue": q_sql_monthly_revenue,
-    "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
-    "sql_region_revenue": q_sql_region_revenue,
-    "sql_customer_base_stats": q_sql_customer_base_stats,
-    "sql_product_category_revenue": q_sql_product_category_revenue,
-    "sql_segment_category_revenue": q_sql_segment_category_revenue,
-    "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
-    "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
-    "local_supplier_volume": q_local_supplier_volume,
+    # --- block 1: round-6 additions needing a first driver row (1) ---
+    "corpus_substring_dedup": q_corpus_substring_dedup,
+    # --- block 2: latest driver evidence r2 (49) ---
     "pricing_summary": q_pricing_summary,
     "silver_denorm": q_silver_denorm,
     "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
@@ -4209,4 +4136,138 @@ QUERIES = {
     "events_cube": q_events_cube,
     "events_type_stats_salted": q_events_type_stats_salted,
     "product_category_revenue_salted": q_product_category_revenue_salted,
+    # --- block 3: round-6 additions past the window (rotate in r7) ---
+    "nations_pagerank_converged": q_nations_pagerank_converged,
+    # --- block 4: latest driver evidence r3 (46) ---
+    "text_gopher_quality": q_text_gopher_quality,
+    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "embedding_pq_topk": q_embedding_pq_topk,
+    "dedup_incremental": q_dedup_incremental,
+    "events_incident_windows": q_events_incident_windows,
+    "customer_rolling_revenue": q_customer_rolling_revenue,
+    "events_daily_gapfill": q_events_daily_gapfill,
+    "events_user_state_scd2": q_events_user_state_scd2,
+    "events_funnel": q_events_funnel,
+    "customer_cohort_retention": q_customer_cohort_retention,
+    "customer_rfm": q_customer_rfm,
+    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
+    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+    "text_pii_redact": q_text_pii_redact,
+    "corpus_chunk": q_corpus_chunk,
+    "text_token_dedup": q_text_token_dedup,
+    "text_perplexity": q_text_perplexity,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_mixture": q_corpus_mixture,
+    "embedding_cell_stats": q_embedding_cell_stats,
+    "stream_events_cdc_lake": q_stream_events_cdc_lake,
+    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+    "training_corpus": q_training_corpus,
+    "corpus_decontamination": q_corpus_decontamination,
+    "events_asof_last_order": q_events_asof_last_order,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_purchase_follow": q_stream_events_purchase_follow,
+    "corpus_sample": q_corpus_sample,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_shard_pack": q_corpus_shard_pack,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_bigram_lm": q_text_bigram_lm,
+    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
+    "multimodal_byte_features": q_multimodal_byte_features,
+    "multimodal_thumbnail": q_multimodal_thumbnail,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "sql_monthly_revenue": q_sql_monthly_revenue,
+    "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
+    "sql_region_revenue": q_sql_region_revenue,
+    "sql_customer_base_stats": q_sql_customer_base_stats,
+    "sql_product_category_revenue": q_sql_product_category_revenue,
+    "sql_segment_category_revenue": q_sql_segment_category_revenue,
+    "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
+    "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
+    "local_supplier_volume": q_local_supplier_volume,
+    # --- block 5: latest driver evidence r4 (33) ---
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "events_grouping_sets": q_events_grouping_sets,
+    "part_fuzzy_matches": q_part_fuzzy_matches,
+    "events_value_trend": q_events_value_trend,
+    "corpus_zipf": q_corpus_zipf,
+    "corpus_source_budget": q_corpus_source_budget,
+    "dq_audit": q_dq_audit,
+    "dq_profile_orders": q_dq_profile_orders,
+    "embedding_random_projection": q_embedding_random_projection,
+    "embedding_centroid_outliers": q_embedding_centroid_outliers,
+    "orders_with_returns": q_orders_with_returns,
+    "customer_order_histogram": q_customer_order_histogram,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "rich_idle_customers": q_rich_idle_customers,
+    "part_small_qty_revenue": q_part_small_qty_revenue,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
+    "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
+    "customer_base_stats_approx": q_customer_base_stats_approx,
+    "documents_bm25_topk": q_documents_bm25_topk,
+    "corpus_bigram_pmi": q_corpus_bigram_pmi,
+    "text_word_entropy": q_text_word_entropy,
+    "mart_incremental_update": q_mart_incremental_update,
+    "events_distinct_rolling7": q_events_distinct_rolling7,
+    "part_set_similarity_join": q_part_set_similarity_join,
+    "supplier_pareto": q_supplier_pareto,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_hopping_window": q_events_hopping_window,
+    "customer_order_value_window": q_customer_order_value_window,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
+    "part_entity_resolution": q_part_entity_resolution,
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
+    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    # --- block 6: latest driver evidence r5 (50) ---
+    "text_repetition": q_text_repetition,
+    "orders_median_mode": q_orders_median_mode,
+    "corpus_winsorized_length": q_corpus_winsorized_length,
+    "corpus_tokens_hof": q_corpus_tokens_hof,
+    "events_ohlc": q_events_ohlc,
+    "stream_events_hopping": q_stream_events_hopping,
+    "orders_month_spine_recursive": q_orders_month_spine_recursive,
+    "embedding_ivf_index_search": q_embedding_ivf_index_search,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_y4m_decode": q_multimodal_y4m_decode,
+    "orders_price_histogram": q_orders_price_histogram,
+    "embedding_pq_index_search": q_embedding_pq_index_search,
+    "corpus_bpe_compression": q_corpus_bpe_compression,
+    "join_key_skew_audit": q_join_key_skew_audit,
+    "text_quality_classifier": q_text_quality_classifier,
+    "orders_geomean_udaf": q_orders_geomean_udaf,
+    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
+    "orders_nullsafe_join": q_orders_nullsafe_join,
+    "corpus_dataset_card": q_corpus_dataset_card,
+    "events_cusum_alerts": q_events_cusum_alerts,
+    "orders_market_basket": q_orders_market_basket,
+    "orders_benford_audit": q_orders_benford_audit,
+    "events_exp_smoothing": q_events_exp_smoothing,
+    "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "corpus_bpe_encode": q_corpus_bpe_encode,
+    "nations_pagerank": q_nations_pagerank,
+    "region_top_customers_lateral": q_region_top_customers_lateral,
+    "events_seasonal_decompose": q_events_seasonal_decompose,
+    "orders_xml_roundtrip": q_orders_xml_roundtrip,
+    "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
+    "corpus_vocab_drift": q_corpus_vocab_drift,
+    "corpus_length_matched_sample": q_corpus_length_matched_sample,
+    "corpus_bpe_fertility": q_corpus_bpe_fertility,
+    "nation_balance_sheet": q_nation_balance_sheet,
+    "shipping_priority": q_shipping_priority,
+    "returned_revenue_customers": q_returned_revenue_customers,
+    "promo_revenue_share": q_promo_revenue_share,
+    "special_revenue": q_special_revenue,
+    "nation_trade_matrix": q_nation_trade_matrix,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
+    "dedup_triangles": q_dedup_triangles,
+    "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
+    "customer_spend_outliers_mad": q_customer_spend_outliers_mad,
+    "corpus_chunk_udtf": q_corpus_chunk_udtf,
+    "events_variant_stats": q_events_variant_stats,
+    "events_unpivot": q_events_unpivot,
+    "events_markov_transitions": q_events_markov_transitions,
+    "stream_events_enriched": q_stream_events_enriched,
+    "events_user_trend_pandas": q_events_user_trend_pandas,
 }

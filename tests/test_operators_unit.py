@@ -1779,3 +1779,99 @@ def test_weighted_pagerank_matches_numpy_power_iteration(spark):
     for i, name in enumerate(names):
         assert abs(got[name] - r[i]) < 1e-9, (name, got[name], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_converged_pagerank_matches_numpy_with_dangling(spark):
+    """The production-parity variant must equal a literal numpy power
+    iteration that mirrors its exact semantics -- dangling mass
+    redistributed uniformly, 12-dp per-round quantization, L1-delta
+    epsilon stop -- on graphs WITH dangling nodes, and the ranks must stay
+    a probability distribution (the leaking twin's known deficiency)."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.graph import (
+        weighted_pagerank_converged,
+    )
+
+    graphs = [
+        # b and d are dangling (no out-edges)
+        [("a", "b", 2.0), ("a", "c", 1.0), ("c", "b", 1.0), ("c", "d", 3.0)],
+        # chain into a sink + a side cycle
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("c", "s", 4.0)],
+        # two components, one all-dangling-terminal
+        [("a", "b", 1.0), ("x", "y", 5.0), ("y", "x", 0.5), ("x", "z", 2.0)],
+    ]
+    for edge_list in graphs:
+        edges = spark.createDataFrame(edge_list, ["src", "dst", "weight"])
+        rows = weighted_pagerank_converged(edges, eps=1e-9).collect()
+        got = {r.node: r.rank for r in rows}
+        got_rounds = rows[0].n_rounds
+
+        names = sorted({s for s, _, _ in edge_list} | {d for _, d, _ in edge_list})
+        idx = {v: i for i, v in enumerate(names)}
+        n = len(names)
+        outw: dict = {}
+        for s, _, w in edge_list:
+            outw[s] = outw.get(s, 0.0) + w
+        P = np.zeros((n, n))  # P[j, i] = prob of stepping i -> j
+        for s, d, w in edge_list:
+            P[idx[d], idx[s]] += round(w / outw[s], 12)
+        dangling = np.array([v not in outw for v in names])
+        r = np.round(np.full(n, 1.0 / n), 12)
+        dm = int(dangling.sum()) * round(1.0 / n, 12)
+        rounds = 0
+        for rounds in range(1, 51):
+            new = np.round(0.15 / n + 0.85 * (P @ r + dm / n), 12)
+            delta = np.abs(new - r).sum()
+            dm = new[dangling].sum()
+            r = new
+            if delta < 1e-9:
+                break
+
+        assert got_rounds == rounds, (edge_list, got_rounds, rounds)
+        for v in names:
+            assert abs(got[v] - r[idx[v]]) < 1e-10, (v, got[v], r[idx[v]])
+        # dangling mass redistributed, not leaked: ranks sum to 1
+        assert abs(sum(got.values()) - 1.0) < 1e-6, sum(got.values())
+
+
+def test_substring_dedup_spans_hand_computed(spark):
+    """Pins ExactSubstr span semantics on a hand-computed fixture with
+    k=3: (A) a cross-doc shared 4-token run yields one maximal span per
+    doc; (B) a within-doc repeated trigram yields two separate spans (gap
+    >= k); (C) an all-unique doc yields no rows; (D) two duplicated
+    windows overlapping in token space merge into one span; (E) two
+    duplicated windows exactly adjacent in token space also merge."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 a4 a5 a6 a7 a8"),          # A
+            (1, "z1 z2 a1 a2 a3 a4 z3 z4"),          # A
+            (2, "b1 b2 b3 b4 b1 b2 b3 b5 b1 b2"),    # B
+            (3, "c1 c2 c3 c4 c5"),                    # C
+            (4, "d1 d2 d3 d4 d5"),                    # D
+            (5, "d1 d2 d3 q1 d3 d4 d5"),              # D
+            (6, "e1 e2 e3 e4 e5 e6"),                 # E
+            (7, "e1 e2 e3 q2 e4 e5 e6"),              # E
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in substring_dedup_spans(docs, k=3).collect()
+    )
+    assert got == [
+        (0, 0, 3, 4),
+        (1, 2, 5, 4),
+        (2, 0, 2, 3),
+        (2, 4, 6, 3),
+        (4, 0, 4, 5),
+        (5, 0, 2, 3),
+        (5, 4, 6, 3),
+        (6, 0, 5, 6),
+        (7, 0, 2, 3),
+        (7, 4, 6, 3),
+    ]
