@@ -101,7 +101,19 @@ def decode_image(payload: bytes):
     (struct + numpy), truecolor PNG (stdlib zlib inflate + all five row
     filters), and baseline JPEG (our own DCT/Huffman codec in
     operators.jpeg). Other formats (WebP, TIFF, progressive JPEG...) fall
-    through to PIL when present, else the explicit stub below."""
+    through to PIL when present, else the explicit stub below.
+
+    THE NATIVE-CODEC SWAP SEAM (PERF.md "codec ceiling"): this dispatch is
+    the single point where a production deployment trades our deterministic
+    pure-python JPEG path (~1 MB·s⁻¹·core⁻¹ at 256x256 -- fine for
+    correctness, the cluster bottleneck at 100 TB of real images) for
+    PIL/libjpeg-turbo (~2 orders of magnitude faster): reorder the
+    ``b"\\xff\\xd8"`` branch below the HAVE_PIL check. We deliberately
+    do NOT auto-prefer PIL for formats we decode natively: IDCT rounding
+    differs between codecs, so flipping on dependency presence would make
+    decoded pixel values environment-dependent and break dual-engine
+    oracle determinism. PNG/BMP are zlib/struct-backed and not a
+    bottleneck (PERF.md: PNG decode ~345 MB·s⁻¹·core⁻¹ at 256x256)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:

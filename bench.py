@@ -81,6 +81,9 @@ HEADLINE = [
     "nations_pagerank",
     "corpus_bpe_encode",
     "multimodal_jpeg_decode",
+    # round-6 additions: cross-doc exact substring dedup, converged graph
+    "corpus_substring_dedup",
+    "nations_pagerank_converged",
 ]
 
 

@@ -343,3 +343,35 @@ def test_jsonl_corrupt_record_isolation(spark, tmp_path):
     assert {r.doc_id for r in good.collect()} == {1, 2}
     assert bad.count() == 2  # the non-JSON line and the type-mismatch line
     df.unpersist()
+
+
+def test_avro_roundtrip_gated_or_real(spark, tmp_path):
+    """Avro slot-in (the PIL/protobuf detection pattern): with the external
+    spark-avro jar absent the wrappers must raise a LOUD
+    NotImplementedError naming the missing module; the moment the jar is
+    on the classpath this same test becomes the real check -- a
+    value-lossless write->read roundtrip."""
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.io.sources import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25), (3, None, 0.0)],
+        "id long, s string, x double",
+    )
+    path = str(tmp_path / "avro_roundtrip")
+    try:
+        write_avro(df, path)
+        have_avro = True
+    except NotImplementedError as exc:
+        have_avro = False
+        assert "spark-avro" in str(exc)
+
+    if not have_avro:
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, path)
+        return
+
+    got = read_avro(spark, path)  # pragma: no cover (jar absent here)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    assert dict(got.dtypes) == dict(df.dtypes)
