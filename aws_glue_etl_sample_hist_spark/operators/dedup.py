@@ -940,3 +940,51 @@ def substring_dedup_spans(
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    k: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY side of ExactSubstr (Lee et al. 2021 cut the spans from
+    the training copy): rebuild each document with every token inside a
+    duplicated span removed. Returns
+    (doc_id, cleaned_text, n_tokens, n_removed) for EVERY input document
+    (docs with no duplicated spans pass through with n_removed = 0).
+
+    Scale shape: spans are doc-bounded, so they aggregate to one
+    array<struct> row per affected doc (collect_list is safe -- a doc's
+    span count is bounded by its own token count) and equi-join back to
+    the corpus; the cut itself is a JVM higher-order ``filter`` with an
+    ``exists`` probe over that per-doc span array -- no range join, no
+    per-token shuffle, document text shuffles exactly once (the join).
+    ``cleaned_text`` is the single-space token-join reconstruction (both
+    engines rebuild from the token array, so whitespace is canonicalized
+    identically)."""
+    spans = substring_dedup_spans(docs, k, text_col=text_col, id_col=id_col)
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    out = (
+        docs.join(spans_arr, id_col, "left")
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn(
+            "_kept",
+            # coalesce(..., true): docs with no spans have _spans = NULL,
+            # and `not exists(NULL, ...)` is NULL, which a filter lambda
+            # would treat as false and drop EVERY token
+            F.expr(
+                "filter(_toks, (t, i) -> coalesce(not exists(_spans,"
+                " s -> i >= s.span_start and i <= s.span_end), true))"
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.concat_ws(" ", F.col("_kept")).alias("cleaned_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+    )

@@ -287,3 +287,124 @@ def distribution_matched_sample(
         "rate_ppm",
         F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
     )
+
+
+def _gram_bucket(gram: Column, n_buckets: int, salt: str) -> Column:
+    """Deterministic hashed-ngram bucket in [0, n_buckets): the sample_hash
+    md5 construction with a different modulus, so DuckDB computes the
+    identical bucket for the identical gram."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), gram.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def _hashed_grams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """Explode a corpus to its unigrams + bigrams (the DSIR feature set)."""
+    from .text import tokens
+
+    base = df.withColumn("_toks", tokens(F.col(text_col)))
+    grams = F.concat(
+        F.col("_toks"),
+        F.when(
+            F.size("_toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> concat(_toks[i - 1], ' ', _toks[i]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(grams).alias("gram")
+    ]
+    return base.select(*cols)
+
+
+def dsir_select(
+    pool: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    *,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR -- Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): pick the ``k`` pool documents whose hashed-ngram
+    distribution looks most like a trusted ``target`` corpus, with
+    importance-weighted Gumbel-top-k resampling rather than a hard
+    threshold (diversity is preserved near the decision boundary). The
+    canonical "make the web crawl look like Wikipedia" curation stage.
+
+      feature:   unigram + bigram counts hashed into ``n_buckets``
+      weight:    log w(d) = sum over gram occurrences of
+                 ln p_target(bucket) - ln p_pool(bucket), add-one smoothed
+      resample:  score = log w + Gumbel(g), g = -ln(-ln(u)) with the
+                 md5-deterministic u in (0, 1] -- Gumbel-top-k IS sampling
+                 without replacement proportional to w, but reproducible
+                 and engine-portable (no rand()).
+
+    Scale shape: two explode->groupBy bucket-count passes (map-side
+    combined, output bounded by ``n_buckets``); the bucket log-ratio map is
+    BROADCAST back; per-doc weights are one groupBy(doc, bucket) + one
+    groupBy(doc); top-k is TakeOrderedAndProject (per-partition heaps).
+    Corpus text shuffles never -- only grams' (doc_id, bucket) pairs.
+
+    Returns (doc_id, log_weight, score) for the selected k, score
+    descending. Floats rounded to 6 dp for engine parity."""
+    t_counts = (
+        _hashed_grams(target, text_col, None)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_n"))
+    )
+    p_counts = (
+        _hashed_grams(pool, text_col, None)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("p_n"))
+    )
+    t_total = t_counts.agg(F.sum("t_n")).collect()[0][0] or 0
+    p_total = p_counts.agg(F.sum("p_n")).collect()[0][0] or 0
+    ratios = (
+        t_counts.join(p_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("t_n", F.lit(0)) + 1)
+                    / F.lit(float(t_total + n_buckets))
+                )
+                - F.log(
+                    (F.coalesce("p_n", F.lit(0)) + 1)
+                    / F.lit(float(p_total + n_buckets))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    doc_weights = (
+        _hashed_grams(pool, text_col, id_col)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n") * F.col("log_ratio")).alias("log_weight"))
+    )
+    u = (sample_hash(F.col(id_col), salt) + 1) / float(SAMPLE_MOD)  # (0, 1]
+    gumbel = -F.log(-F.log(u))
+    return (
+        doc_weights.withColumn("score", F.col("log_weight") + gumbel)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -3381,7 +3381,9 @@ ORACLE_SQL["corpus_bpe_fertility"] = _BPE_V3_CTES + r"""
     GROUP BY 1 ORDER BY 1
 """
 
-ORACLE_SQL["corpus_substring_dedup"] = r"""
+# shared CTE chain for the ExactSubstr family (k = 8): duplicated k-window
+# start positions merged into maximal per-doc token spans
+_SUBSTR_SPAN_CTES = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         FROM documents
@@ -3416,10 +3418,97 @@ ORACLE_SQL["corpus_substring_dedup"] = r"""
                    PARTITION BY doc_id ORDER BY s
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
         FROM flagged
+    ), spans AS (
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM grouped GROUP BY doc_id, grp
+    )
+"""
+
+ORACLE_SQL["corpus_substring_dedup"] = _SUBSTR_SPAN_CTES + r"""
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+    FROM spans
+"""
+
+ORACLE_SQL["corpus_substring_dedup_apply"] = _SUBSTR_SPAN_CTES + r"""
+    , tok AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM toks, LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+    ), keep AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end)
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.cleaned_text, '') AS cleaned_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    JOIN toks t USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+ORACLE_SQL["corpus_dsir_select"] = r"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, source, unnest(toks) AS gram FROM tok
+        UNION ALL
+        SELECT doc_id, source, toks[i] || ' ' || toks[i + 1]
+        FROM tok, LATERAL unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 2
+    ), b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('dsir:' || gram), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket
+        FROM grams
+    ), t_counts AS (
+        SELECT bucket, COUNT(*) AS t_n FROM b WHERE source = 'src0'
+        GROUP BY bucket
+    ), p_counts AS (
+        SELECT bucket, COUNT(*) AS p_n FROM b WHERE source <> 'src0'
+        GROUP BY bucket
+    ), totals AS (
+        SELECT (SELECT COALESCE(SUM(t_n), 0) FROM t_counts) AS t_total,
+               (SELECT COALESCE(SUM(p_n), 0) FROM p_counts) AS p_total
+    ), ratios AS (
+        SELECT COALESCE(t.bucket, p.bucket) AS bucket,
+               ln((COALESCE(t_n, 0) + 1) / CAST(t_total + 4096 AS DOUBLE))
+             - ln((COALESCE(p_n, 0) + 1) / CAST(p_total + 4096 AS DOUBLE))
+                   AS log_ratio
+        FROM t_counts t FULL OUTER JOIN p_counts p ON t.bucket = p.bucket,
+             totals
+    ), doc_w AS (
+        SELECT doc_id, SUM(n * log_ratio) AS log_weight
+        FROM (
+            SELECT doc_id, bucket, COUNT(*) AS n FROM b
+            WHERE source <> 'src0' GROUP BY doc_id, bucket
+        ) JOIN ratios USING (bucket)
+        GROUP BY doc_id
+    ), scored AS (
+        SELECT doc_id, log_weight,
+               log_weight - ln(-ln(
+                   (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 1000000 + 1) / 1000000.0
+               )) AS score
+        FROM doc_w
     )
     SELECT doc_id,
-           CAST(MIN(s) AS BIGINT) AS span_start,
-           CAST(MAX(e) AS BIGINT) AS span_end,
-           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens
-    FROM grouped GROUP BY doc_id, grp
+           ROUND(log_weight, 6) AS log_weight,
+           ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 100
 """

@@ -4070,6 +4070,32 @@ def q_corpus_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return substring_dedup_spans(load_table(spark, sf, "documents"), k=8)
 
 
+def q_corpus_substring_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The ExactSubstr APPLY side: every document rebuilt with its
+    duplicated >= 8-token spans cut (operators.dedup.substring_dedup_apply)
+    -- cleaned text + removal accounting, docs without spans pass
+    through."""
+    from .operators.dedup import substring_dedup_apply
+
+    return substring_dedup_apply(load_table(spark, sf, "documents"), k=8)
+
+
+def q_corpus_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the 100 pool
+    docs (source != src0) whose hashed unigram+bigram distribution is most
+    target-like (source == src0), Gumbel-top-k on the importance weight
+    with the deterministic md5 draw
+    (operators.sampling.dsir_select)."""
+    from .operators.sampling import dsir_select
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_select(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=100,
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4138,6 +4164,8 @@ QUERIES = {
     "product_category_revenue_salted": q_product_category_revenue_salted,
     # --- block 3: round-6 additions past the window (rotate in r7) ---
     "nations_pagerank_converged": q_nations_pagerank_converged,
+    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
+    "corpus_dsir_select": q_corpus_dsir_select,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

@@ -1875,3 +1875,67 @@ def test_substring_dedup_spans_hand_computed(spark):
         (7, 0, 2, 3),
         (7, 4, 6, 3),
     ]
+
+
+def test_substring_dedup_apply_cuts_exactly_the_spans(spark):
+    """Apply must cut exactly the span-covered tokens and pass untouched
+    docs through: pinned on the same hand-computed k=3 fixture as the
+    span test (doc 6 is FULLY covered -> empty cleaned text, not a
+    dropped row)."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 a4 a5 a6 a7 a8"),
+            (1, "z1 z2 a1 a2 a3 a4 z3 z4"),
+            (2, "b1 b2 b3 b4 b1 b2 b3 b5 b1 b2"),
+            (3, "c1 c2 c3 c4 c5"),
+            (4, "d1 d2 d3 d4 d5"),
+            (5, "d1 d2 d3 q1 d3 d4 d5"),
+            (6, "e1 e2 e3 e4 e5 e6"),
+            (7, "e1 e2 e3 q2 e4 e5 e6"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed)
+        for r in substring_dedup_apply(docs, k=3).collect()
+    }
+    assert got == {
+        0: ("a5 a6 a7 a8", 8, 4),        # span (0,3) cut
+        1: ("z1 z2 z3 z4", 8, 4),        # span (2,5) cut
+        2: ("b4 b5 b1 b2", 10, 6),       # spans (0,2) and (4,6) cut
+        3: ("c1 c2 c3 c4 c5", 5, 0),     # no duplicated windows: untouched
+        4: ("", 5, 5),                    # merged span (0,4): fully covered
+        5: ("q1", 7, 6),                  # spans (0,2) and (4,6) cut
+        6: ("", 6, 6),                    # adjacent-merged span (0,5)
+        7: ("q2", 7, 6),                  # spans (0,2) and (4,6) cut
+    }
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR must rank pool docs by target-likeness: a pool doc sharing the
+    target's vocabulary gets a higher importance weight than one from a
+    disjoint vocabulary, deterministically (same output twice)."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(100 + i, "cat feline purr whiskers cat feline") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (0, "cat feline purr cat whiskers"),   # target-like
+            (1, "purr feline cat cat"),            # target-like
+            (2, "dog canine bark growl dog"),      # off-target
+            (3, "stock market index fund bond"),   # off-target
+        ],
+        "doc_id long, text string",
+    )
+    rows = dsir_select(pool, target, k=4).collect()
+    w = {r.doc_id: r.log_weight for r in rows}
+    assert min(w[0], w[1]) > max(w[2], w[3]), w
+    again = dsir_select(pool, target, k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
