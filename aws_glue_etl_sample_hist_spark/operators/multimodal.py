@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -726,3 +727,128 @@ def real_png_meta(with_payload: DataFrame) -> DataFrame:
             )
 
     return with_payload.mapInPandas(meta, REAL_IMAGE_SCHEMA)
+
+
+# ------------------------------------------- audio/video ANALYSIS operators
+#
+# Past decode: the two analysis stages an audio/video training-data pipeline
+# runs before sampling -- a short-time spectrum per audio frame (the input
+# to VAD / music-speech filtering) and shot-boundary detection (the input to
+# representative-frame sampling). Both consume the REAL decoded payloads and
+# keep the 100 TB shape: map-only Arrow batches, no shuffle of media bytes,
+# small typed rows out.
+
+SPECTROGRAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("energy_db", StringType()),
+        StructField("centroid", StringType()),
+    ]
+)
+
+
+def audio_spectrogram(
+    with_payload: DataFrame, frame_len: int = 16
+) -> DataFrame:
+    """Short-time spectrum features over REAL decoded WAV payloads: PCM is
+    split into non-overlapping ``frame_len`` windows, Hann-weighted
+    (symmetric, ``0.5 - 0.5*cos(2*pi*n/(N-1))`` -- numpy.hanning), and each
+    frame's one-sided DFT magnitudes |X[k]|, k = 0..N/2 give
+
+      energy_db = 10*log10(1 + sum_k |X[k]|^2)
+      centroid  = sum_k k*|X[k]| / sum_k |X[k]|  (0.0 for an all-zero frame)
+
+    -- the spectral-centroid/energy pair that voice-activity and
+    music/speech filters threshold on. Trailing samples short of a full
+    frame are dropped (standard STFT framing). Energy is in dB ON PURPOSE:
+    the oracle recomputes the DFT as naive sum-of-cos/sin, which agrees
+    with numpy's FFT only to ~1e-14 relative -- on the raw ~1e7-magnitude
+    energy that error is the same order as the 4-dp rounding grid and
+    printf would flip at boundaries, while log-compression pushes it to
+    ~1e-14 absolute, far below the grid. Floats are emitted as
+    printf('%.4f') strings for exact cross-engine parity.
+
+    Scale shape: mapInPandas only -- one Arrow pass, no shuffle; output is
+    frames-per-doc small typed rows. numpy rfft is vectorized across an
+    entire payload's frames at once."""
+    import numpy as np
+
+    win = np.hanning(frame_len)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate, _ch = decode_wav(payload)
+                n_frames = len(samples) // frame_len
+                frames = (
+                    samples[: n_frames * frame_len]
+                    .astype(np.float64)
+                    .reshape(n_frames, frame_len)
+                )
+                mags = np.abs(np.fft.rfft(frames * win, axis=1))
+                energy = 10.0 * np.log10(1.0 + (mags**2).sum(axis=1))
+                denom = mags.sum(axis=1)
+                k = np.arange(mags.shape[1])
+                with np.errstate(invalid="ignore"):
+                    cent = np.where(
+                        denom > 0.0, (mags * k).sum(axis=1) / denom, 0.0
+                    )
+                for i in range(n_frames):
+                    rows.append(
+                        (doc_id, i, f"{energy[i]:.4f}", f"{cent[i]:.4f}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPECTROGRAM_SCHEMA.fields]
+            )
+
+    return with_payload.mapInPandas(feats, SPECTROGRAM_SCHEMA)
+
+
+SHOT_BOUNDARY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("diff_score", StringType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def video_shot_boundaries(
+    with_payload: DataFrame, threshold: float = 64.0
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over REAL decoded y4m payloads:
+    for every consecutive frame pair, the mean absolute luma difference
+
+      diff_score(f) = mean |Y_f - Y_{f-1}|,  f >= 1
+
+    and ``is_cut = diff_score > threshold`` -- the classical pixel-domain
+    cut detector (Zhang et al. 1993's pairwise comparison), the stage that
+    picks representative frames before expensive per-frame featurization.
+    Frame 0 has no predecessor and is not emitted.
+
+    Scale shape: mapInPandas only; frames of ONE payload are compared
+    inside the batch (video locality is free -- a payload never spans
+    partitions), nothing decoded ever shuffles."""
+    import numpy as np
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m(payload)
+                for f in range(1, len(frames)):
+                    d = float(
+                        np.abs(
+                            frames[f].astype(np.float64)
+                            - frames[f - 1].astype(np.float64)
+                        ).mean()
+                    )
+                    rows.append((doc_id, f, f"{d:.4f}", d > threshold))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SHOT_BOUNDARY_SCHEMA.fields]
+            )
+
+    return with_payload.mapInPandas(cuts, SHOT_BOUNDARY_SCHEMA)

@@ -916,3 +916,135 @@ def centroid_outliers(
         )
         .withColumn("is_outlier", F.coalesce(F.col("z_score") > z_threshold, F.lit(False)))
     )
+
+
+# ---------------------------------------------------------------- PCA
+
+
+def pca_fit(
+    emb: DataFrame,
+    k: int = 4,
+    *,
+    vec_col: str = "embedding",
+):
+    """Fit a k-component PCA over big-n / small-d embeddings the way it is
+    actually done at 100 TB: ONE distributed pass accumulates the moment
+    statistics (n, sum vector, sum of outer products) as numpy matmuls per
+    Arrow batch inside mapInPandas -- each partition emits a single
+    (n, d, d*d)-sized row, so the driver fetch is bounded by partition
+    count, never by data (the treeAggregate shape). The d x d sample
+    covariance (S - n*mu*mu^T)/(n-1) is then eigendecomposed driver-side
+    with numpy.linalg.eigh (d = 64: trivial), components sign-canonicalized
+    (largest-|entry| coordinate made positive) so the fit is deterministic
+    up to float summation order.
+
+    Returns (components [k x d, rows = descending eigenvalue],
+    eigenvalues [k], mean [d], n)."""
+    import numpy as np
+
+    d_probe = len(emb.select(vec_col).first()[0])
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )  # bounded: one row per Arrow batch, not per data row
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d_probe, d_probe)
+    mu = s / n
+    cov = (ss - n * np.outer(mu, mu)) / (n - 1)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:k]
+    comps = eigvec[:, order].T
+    flips = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    return comps, eigval[order], mu, int(n)
+
+
+def pca_project(
+    emb: DataFrame,
+    components,
+    mean,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto fitted PCA components: p_k = <v - mu, c_k>
+    = <v, c_k> - <mu, c_k> with the mean dot FOLDED to a scalar constant,
+    so like random_projection the whole pass is map-only whole-stage-
+    codegen JVM arithmetic over literal component arrays -- nothing
+    shuffles, no Python in the row path."""
+    import numpy as np
+
+    mu_dots = [float(np.dot(mean, c)) for c in components]
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            (
+                dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
+                - F.lit(mu_dots[i])
+            ).alias(f"pc{i}")
+            for i, c in enumerate(components)
+        ],
+    )
+
+
+# ------------------------------------------------------- hard-negative mining
+
+
+def hard_negatives(
+    emb: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for every
+    anchor vector, the k most-cosine-similar vectors with a DIFFERENT
+    label -- the near-misses a bi-encoder must learn to push apart, the
+    pair-mining stage of every dense-retrieval training pipeline.
+
+    Scale shape: candidates come from the SAME multi-band sign-LSH
+    equi-join as near_dup_pairs (threshold 0 keeps the informative
+    positive-cosine half; the n^2 space is never built -- misses are the
+    documented LSH recall trade). Pairs symmetrize to anchor perspective,
+    labels attach by equi-join, and top-k is one row_number window keyed
+    on (rounded cosine desc, neg id asc) -- the ROUNDED value ranks, so
+    ranking is deterministic across engines even at float ties."""
+    pairs = near_dup_pairs(emb, threshold=0.0, id_col=id_col, vec_col=vec_col)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("neg_id"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("neg_id"), "cosine"
+        )
+    )
+    labels = emb.select(F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl"))
+    cross_label = (
+        sym.join(labels.withColumnRenamed("_lid", "anchor_id").withColumnRenamed("_lbl", "_la"), "anchor_id")
+        .join(labels.withColumnRenamed("_lid", "neg_id").withColumnRenamed("_lbl", "_lb"), "neg_id")
+        .filter(F.col("_la") != F.col("_lb"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        cross_label.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -3512,3 +3512,137 @@ ORACLE_SQL["corpus_dsir_select"] = r"""
     ORDER BY score DESC, doc_id ASC
     LIMIT 100
 """
+
+# audio spectrogram: sample x of the 64-sample PCM = text byte (x mod n)
+# minus 128, Hann-weighted within its 16-sample frame (numpy.hanning's
+# symmetric 0.5 - 0.5*cos(2*pi*j/15)); the one-sided DFT is recomputed as
+# an explicit sum-of-cos/sin. Energy is compared in dB (see the operator
+# docstring: log-compression keeps the naive-DFT-vs-FFT float drift far
+# below the 4-dp grid).
+ORACLE_SQL["multimodal_audio_spectrogram"] = """
+    WITH sm AS (
+        SELECT doc_id, x // 16 AS f, x % 16 AS n,
+               (ascii(substr(text, CAST(x % len(text) AS INTEGER) + 1, 1)) - 128)
+               * (0.5 - 0.5 * cos(2 * pi() * (x % 16) / 15.0)) AS u
+        FROM documents, UNNEST(generate_series(0, 63)) AS ux(x)
+    ), dft AS (
+        SELECT doc_id, f, k,
+               SUM(u * cos(2 * pi() * k * n / 16.0)) AS re,
+               SUM(u * sin(2 * pi() * k * n / 16.0)) AS im
+        FROM sm, UNNEST(generate_series(0, 8)) AS uk(k)
+        GROUP BY doc_id, f, k
+    ), mag AS (
+        SELECT doc_id, f, k, sqrt(re * re + im * im) AS m FROM dft
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           printf('%.4f', 10 * log10(1 + SUM(m * m))) AS energy_db,
+           printf('%.4f', CASE WHEN SUM(m) > 0
+                          THEN SUM(k * m) / SUM(m) ELSE 0.0 END) AS centroid
+    FROM mag GROUP BY doc_id, f
+"""
+
+# shot boundaries: pixel i of frame f = text byte ((f*16 + i) mod n),
+# inverted for f >= 3 (the planted cut); score = mean abs luma diff vs the
+# previous frame. Exact: integer pixel arithmetic, mean over 32 = a
+# dyadic-denominator rational both engines represent identically.
+ORACLE_SQL["multimodal_shot_boundaries"] = """
+    WITH px AS (
+        SELECT doc_id, f, i,
+               CASE WHEN f >= 3 THEN 255 - v ELSE v END AS y
+        FROM (
+            SELECT doc_id, f, i,
+                   ascii(substr(text,
+                       CAST((f * 16 + i) % len(text) AS INTEGER) + 1, 1)) AS v
+            FROM documents,
+                 UNNEST(generate_series(0, 5)) AS uf(f),
+                 UNNEST(generate_series(0, 31)) AS ui(i)
+        )
+    )
+    SELECT a.doc_id,
+           CAST(a.f AS BIGINT) AS frame_idx,
+           printf('%.4f', AVG(ABS(CAST(a.y AS DOUBLE) - b.y))) AS diff_score,
+           AVG(ABS(CAST(a.y AS DOUBLE) - b.y)) > 64.0 AS is_cut
+    FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+    WHERE a.f >= 1
+    GROUP BY a.doc_id, a.f
+"""
+
+# PCA contract: the Spark query computes the fit AND its witnesses in one
+# run (variance-of-projection == eigenvalue ties the distributed moment
+# pass to the driver eigh); the oracle asserts exact keys/counts and
+# all-true flags, the sketch-contract pattern.
+ORACLE_SQL["embedding_pca"] = """
+    SELECT CAST(c AS BIGINT) AS component,
+           (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           TRUE AS eig_monotone,
+           TRUE AS orthonormal_ok,
+           TRUE AS proj_var_matches
+    FROM UNNEST(generate_series(0, 3)) AS u(c)
+"""
+
+# hard-negative mining: the near_dup_bucketed band/candidate/normalize CTEs
+# verbatim (threshold 0 keeps the positive-cosine half), pairs symmetrized
+# to anchor perspective, different-label filter, and the deterministic
+# (ROUNDED cosine desc, neg_id asc) row_number top-3 -- ranking on the
+# rounded value is what makes rank order engine-invariant at float ties.
+ORACLE_SQL["embedding_hard_negatives"] = """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[5]  >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[9]  >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[13] >= 0 THEN '1' ELSE '0' END) AS b0,
+               (CASE WHEN embedding[17] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[21] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[25] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[29] >= 0 THEN '1' ELSE '0' END) AS b1,
+               (CASE WHEN embedding[33] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[37] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[41] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[45] >= 0 THEN '1' ELSE '0' END) AS b2,
+               (CASE WHEN embedding[49] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[53] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[61] >= 0 THEN '1' ELSE '0' END) AS b3
+        FROM embeddings
+    ), cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM e a JOIN e b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
+    ), en AS (
+        SELECT vec_id, list_transform(v, x -> x / n) AS nv
+        FROM (SELECT vec_id, v,
+                     greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n
+              FROM e)
+    ), p AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_dot_product(ea.nv, eb.nv), 6) AS cosine
+        FROM cand c
+        JOIN en ea ON ea.vec_id = c.id_a
+        JOIN en eb ON eb.vec_id = c.id_b
+        WHERE list_dot_product(ea.nv, eb.nv) >= 0.0
+    ), sym AS (
+        SELECT id_a AS anchor_id, id_b AS neg_id, cosine FROM p
+        UNION ALL
+        SELECT id_b, id_a, cosine FROM p
+    ), ranked AS (
+        SELECT s.anchor_id, s.neg_id, s.cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.anchor_id
+                                  ORDER BY s.cosine DESC, s.neg_id ASC) AS rnk
+        FROM sym s
+        JOIN embeddings la ON la.vec_id = s.anchor_id
+        JOIN embeddings lb ON lb.vec_id = s.neg_id
+        WHERE la.label <> lb.label
+    )
+    SELECT anchor_id, neg_id, cosine, CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 3
+"""

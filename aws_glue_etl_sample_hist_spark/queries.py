@@ -4096,6 +4096,128 @@ def q_corpus_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_spectrogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Short-time spectrum features over REAL decoded WAV audio: the same
+    64-sample PCM payloads as multimodal_wav_decode, framed into 4 Hann-
+    windowed 16-sample windows, per-frame one-sided DFT -> energy (dB) +
+    spectral centroid (operators.multimodal.audio_spectrogram). Oracle
+    recomputes the DFT as an explicit sum-of-cos/sin over the same text
+    bytes."""
+    import numpy as np
+
+    from .operators.multimodal import audio_spectrogram, encode_wav
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = np.resize(b, 64).astype(np.int16) - 128
+                rows.append((doc_id, "audio", bytearray(encode_wav(samples, 8000, 1))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_wav, "doc_id long, media_type string, payload binary"
+    )
+    return audio_spectrogram(with_payload, frame_len=16)
+
+
+def q_multimodal_shot_boundaries(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded y4m video: 6-frame 8x4
+    streams where frame f's luma is the text bytes rolled by f*16 --
+    INVERTED (255-b) from frame 3 on, planting exactly one scene cut --
+    then operators.multimodal.video_shot_boundaries computes consecutive-
+    frame mean-abs-luma-diff + cut flags from the DECODED planes. Oracle
+    recomputes every pixel pair in SQL."""
+    import numpy as np
+
+    from .operators.multimodal import encode_y4m, video_shot_boundaries
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_y4m(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                frames = []
+                for f in range(6):
+                    y = np.resize(np.roll(b, -(f * 16)), 32).reshape(4, 8)
+                    frames.append(255 - y if f >= 3 else y)
+                rows.append((doc_id, "video", bytearray(encode_y4m(frames))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_y4m, "doc_id long, media_type string, payload binary"
+    )
+    return video_shot_boundaries(with_payload, threshold=64.0)
+
+
+def q_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA accuracy CONTRACT (operators.similarity.pca_fit /
+    pca_project): moments accumulate in ONE Arrow pass (numpy X^T X per
+    batch, driver fetch bounded by partition count), eigh runs driver-side
+    on the 64x64 covariance, projection is map-only JVM literals. The
+    contract ties the two phases together end-to-end: the DISTRIBUTED
+    variance of each projected component must equal its eigenvalue
+    (rel err <= 1e-6), components orthonormal, eigenvalues descending,
+    exact n. Projected values themselves are not oracle-comparable --
+    partial-sum order perturbs eigenvectors at ~1e-13, which 4-dp rounding
+    could flip -- so the witness is the variance identity, not the floats."""
+    import numpy as np
+
+    from .operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf, "embeddings")
+    comps, eigvals, mu, _n = pca_fit(emb, k=4)
+    mono = bool(np.all(np.diff(eigvals) <= 1e-12))
+    ortho = bool(np.abs(comps @ comps.T - np.eye(len(comps))).max() < 1e-8)
+    proj = pca_project(emb, comps, mu)
+    agg = proj.agg(
+        F.count("*").alias("n"),
+        *[F.var_samp(f"pc{i}").alias(f"v{i}") for i in range(4)],
+    )
+    per_comp = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("component"),
+                (
+                    F.abs(F.col(f"v{i}") - F.lit(float(eigvals[i])))
+                    <= F.lit(float(max(eigvals[i], 1e-12)) * 1e-6)
+                ).alias("proj_var_matches"),
+            )
+            for i in range(4)
+        ]
+    )
+    return (
+        agg.select(F.col("n").cast("long").alias("n_vectors"), F.explode(per_comp).alias("c"))
+        .select(
+            F.col("c.component").alias("component"),
+            "n_vectors",
+            F.lit(mono).alias("eig_monotone"),
+            F.lit(ortho).alias("orthonormal_ok"),
+            F.col("c.proj_var_matches").alias("proj_var_matches"),
+        )
+    )
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    anchor, the 3 most-cosine-similar DIFFERENT-label vectors from the
+    sign-LSH banded candidate space -- the contrastive-training pair-mining
+    stage. Oracle reproduces band semantics, symmetrization, label filter
+    and the (rounded-cosine, id) ranking exactly."""
+    from .operators.similarity import hard_negatives
+
+    return hard_negatives(load_table(spark, sf, "embeddings"), k=3)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4166,6 +4288,10 @@ QUERIES = {
     "nations_pagerank_converged": q_nations_pagerank_converged,
     "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
     "corpus_dsir_select": q_corpus_dsir_select,
+    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
+    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
+    "embedding_pca": q_embedding_pca,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

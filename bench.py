@@ -84,6 +84,9 @@ HEADLINE = [
     # round-6 additions: cross-doc exact substring dedup, converged graph
     "corpus_substring_dedup",
     "nations_pagerank_converged",
+    "corpus_substring_dedup_apply",
+    "corpus_dsir_select",
+    "embedding_hard_negatives",
 ]
 
 

@@ -1939,3 +1939,150 @@ def test_dsir_prefers_target_like_documents(spark):
     assert min(w[0], w[1]) > max(w[2], w[3]), w
     again = dsir_select(pool, target, k=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_audio_spectrogram_tone_localization(spark):
+    """Spectral features must localize energy where the signal puts it: a
+    DC payload's centroid stays in the lowest bins, a Nyquist-alternating
+    payload's centroid lands near bin 8, and the emitted strings equal an
+    independent numpy recompute exactly."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        audio_spectrogram,
+        encode_wav,
+    )
+
+    dc = np.full(32, 100, dtype=np.int16)
+    nyq = (100 * (-1) ** np.arange(32)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(encode_wav(dc, 8000, 1))),
+            (1, "audio", bytearray(encode_wav(nyq, 8000, 1))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): (r.energy_db, r.centroid)
+        for r in audio_spectrogram(df, frame_len=16).collect()
+    }
+    assert set(rows) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    for f in (0, 1):
+        assert float(rows[(0, f)][1]) < 1.0     # DC -> low centroid
+        assert float(rows[(1, f)][1]) > 7.0     # Nyquist -> high centroid
+
+    win = np.hanning(16)
+    for doc, sig in ((0, dc), (1, nyq)):
+        for f in (0, 1):
+            mags = np.abs(np.fft.rfft(sig[f * 16 : (f + 1) * 16] * win))
+            e = 10.0 * np.log10(1.0 + (mags**2).sum())
+            c = (mags * np.arange(9)).sum() / mags.sum() if mags.sum() > 0 else 0.0
+            assert rows[(doc, f)] == (f"{e:.4f}", f"{c:.4f}")
+
+
+def test_video_shot_boundaries_flags_the_cut(spark):
+    """The pixel-domain cut detector must flag exactly the frame where
+    content changes: identical consecutive frames score 0 (no cut), a
+    uniform 200-luma jump scores 200 (cut), and frame 0 is not emitted."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        encode_y4m,
+        video_shot_boundaries,
+    )
+
+    z = np.zeros((4, 8), dtype=np.uint8)
+    bright = np.full((4, 8), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(encode_y4m([z, z, bright])))],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = sorted(
+        (r.frame_idx, r.diff_score, r.is_cut)
+        for r in video_shot_boundaries(df, threshold=64.0).collect()
+    )
+    assert got == [(1, "0.0000", False), (2, "200.0000", True)]
+
+
+def test_pca_matches_single_node_numpy(spark):
+    """Distributed PCA must equal the single-node numpy fit: components
+    match eigh-of-np.cov up to the documented sign canonicalization, the
+    Spark projection matches the numpy projection to 1e-9, and projected
+    variances equal the eigenvalues (the contract identity)."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=8)
+    w = rng.normal(size=8)
+    x = (
+        3.0 * rng.normal(size=(200, 1)) * u
+        + 1.0 * rng.normal(size=(200, 1)) * w
+        + 0.05 * rng.normal(size=(200, 8))
+        + rng.normal(size=8)  # nonzero mean exercises the centering
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)  # multiple Arrow batches exercise the partial merge
+
+    comps, eigvals, mu, n = pca_fit(emb, k=3)
+    assert n == 200
+    assert np.allclose(mu, x.mean(axis=0), atol=1e-9)
+
+    ev_ref, vec_ref = np.linalg.eigh(np.cov(x, rowvar=False))
+    order = np.argsort(ev_ref)[::-1][:3]
+    assert np.allclose(eigvals, ev_ref[order], rtol=1e-9)
+    for i, k in enumerate(order):
+        r = vec_ref[:, k]
+        assert min(
+            np.abs(comps[i] - r).max(), np.abs(comps[i] + r).max()
+        ) < 1e-8
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-10)
+
+    rows = pca_project(emb, comps, mu).collect()
+    got = np.array(
+        [r[1:] for r in sorted((r.vec_id, r.pc0, r.pc1, r.pc2) for r in rows)]
+    )
+    want = (x - x.mean(axis=0)) @ comps.T
+    assert np.abs(got - want).max() < 1e-9
+    assert np.allclose(got.var(axis=0, ddof=1), eigvals, rtol=1e-9)
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """The miner must return the most-similar DIFFERENT-label vectors: a
+    near-identical same-label twin is never a negative, the cross-label
+    near-miss ranks first, and ranks are dense from 1."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    d = 64
+    base = np.zeros(d)
+    base[0] = 1.0
+    near = np.zeros(d)
+    near[0] = 0.95
+    near[1] = 0.3  # cosine ~0.95 to base
+    far = np.zeros(d)
+    far[0] = 0.3
+    far[2] = 1.0  # cosine ~0.29 to base
+    rows = [
+        (0, [float(x) for x in base], 0),
+        (1, [float(x) for x in base], 0),   # same-label twin: never a negative
+        (2, [float(x) for x in near], 1),   # the hard negative
+        (3, [float(x) for x in far], 1),    # the easy negative
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        (r.anchor_id, r.rank): r.neg_id
+        for r in hard_negatives(emb, k=3).collect()
+    }
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 3
+    assert (0, 3) not in got              # only two cross-label candidates
+    assert got[(2, 1)] in (0, 1)          # anchor 2's nearest is the base pair

@@ -61,6 +61,12 @@ PROBE = [
     # round 6: cross-doc exact substring dedup, converged graph iteration
     "corpus_substring_dedup",
     "nations_pagerank_converged",
+    # round 6 (late): ExactSubstr apply, DSIR selection, audio/video analysis
+    "corpus_substring_dedup_apply",
+    "corpus_dsir_select",
+    "multimodal_audio_spectrogram",
+    "multimodal_shot_boundaries",
+    "embedding_hard_negatives",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
