@@ -349,26 +349,35 @@ def dsir_select(
                  without replacement proportional to w, but reproducible
                  and engine-portable (no rand()).
 
-    Scale shape: two explode->groupBy bucket-count passes (map-side
-    combined, output bounded by ``n_buckets``); the bucket log-ratio map is
-    BROADCAST back; per-doc weights are one groupBy(doc, bucket) + one
-    groupBy(doc); top-k is TakeOrderedAndProject (per-partition heaps).
-    Corpus text shuffles never -- only grams' (doc_id, bucket) pairs.
+    Scale shape: each corpus is exploded->bucket-counted exactly ONCE (the
+    pool's per-(doc, bucket) counts persist and feed BOTH the bucket totals
+    and the per-doc weights; map-side combined, totals bounded by
+    ``n_buckets``); the bucket log-ratio map is BROADCAST back; per-doc
+    weights are one groupBy(doc); top-k is TakeOrderedAndProject
+    (per-partition heaps). Corpus text shuffles never -- only grams'
+    (doc_id, bucket) pairs.
 
     Returns (doc_id, log_weight, score) for the selected k, score
     descending. Floats rounded to 6 dp for engine parity."""
+    from ._cache import tracked_persist
+
     t_counts = (
         _hashed_grams(target, text_col, None)
         .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("t_n"))
     )
-    p_counts = (
-        _hashed_grams(pool, text_col, None)
+    # the pool corpus is tokenized ONCE: the per-(doc, bucket) counts are
+    # persisted and both the bucket totals (for the ratio map) and the
+    # per-doc weights derive from them -- at 100 TB the pool explode is the
+    # dominant cost and must not run twice
+    doc_bucket = tracked_persist(
+        _hashed_grams(pool, text_col, id_col)
         .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("p_n"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    p_counts = doc_bucket.groupBy("bucket").agg(F.sum("n").alias("p_n"))
     t_total = t_counts.agg(F.sum("t_n")).collect()[0][0] or 0
     p_total = p_counts.agg(F.sum("p_n")).collect()[0][0] or 0
     ratios = (
@@ -388,11 +397,7 @@ def dsir_select(
         )
     )
     doc_weights = (
-        _hashed_grams(pool, text_col, id_col)
-        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(ratios), "bucket")
+        doc_bucket.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("n") * F.col("log_ratio")).alias("log_weight"))
     )

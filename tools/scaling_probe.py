@@ -194,7 +194,12 @@ def main() -> None:
         "  bounded-size dup clusters, so output -- and these walls -- grow",
         "  ~linearly there; the candidate machinery itself (signatures,",
         "  bands, pair-key blocking) is row-linear as the sub-10x",
-        "  non-pair-emitting rows show.",
+        "  non-pair-emitting rows show. embedding_hard_negatives (35.8x)",
+        "  is the same effect at threshold 0: its candidate set is EVERY",
+        "  positive-cosine banded pair (~2x the near-dup pair count here),",
+        "  and though its OUTPUT is bounded at k*n by the top-k window,",
+        "  the window's input shuffle carries the candidate pairs -- on a",
+        "  real corpus band collisions are rare and this row is linear.",
         "- **curation_pipeline 23.8x**: same cause one level up -- its",
         "  dedup_clusters stage runs connected components over the",
         "  ~n^2-edge dup-pair graph (1.15M edges at sf1), so contraction",
