@@ -854,6 +854,7 @@ def substring_dedup_spans(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Cross-document EXACT substring dedup (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better", the
@@ -884,6 +885,13 @@ def substring_dedup_spans(
     token ranges overlap) -- the same maximal-match merging the
     suffix-array walk produces. Exact, not approximate, for token-aligned
     matches of length >= k.
+
+    ``keep_first=True`` is the information-preserving variant: the
+    CANONICAL occurrence of each duplicated window -- the minimum
+    (doc_id, pos) -- is exempt from flagging, so exactly one copy of
+    every duplicated passage survives the cut instead of none (dedup,
+    not deletion). Costs one extra min-struct in the same count agg;
+    shuffle shape unchanged.
     """
     toks = (
         docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
@@ -900,11 +908,24 @@ def substring_dedup_spans(
     )
     dup = (
         sh.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_first"
+            ),
+        )
         .filter(F.col("n_occ") >= 2)
-        .select("h")
+        .select("h", "_first")
     )
-    marked = sh.join(dup, "h").select(id_col, "pos")
+    marked = sh.join(dup, "h")
+    if keep_first:
+        marked = marked.filter(
+            ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+    marked = marked.select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         marked.withColumn("island", F.col("pos") - F.row_number().over(w))

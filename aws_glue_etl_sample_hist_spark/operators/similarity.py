@@ -940,6 +940,18 @@ def pca_fit(
 
     Returns (components [k x d, rows = descending eigenvalue],
     eigenvalues [k], mean [d], n)."""
+    return pca_from_moments(*pca_moments(emb, vec_col=vec_col), k=k)
+
+
+def pca_moments(emb: DataFrame, *, vec_col: str = "embedding"):
+    """The distributed half of the PCA fit: ONE Arrow pass over the corpus
+    accumulating the sufficient statistics (n, sum vector s, raw second
+    moment X^T X). These are ASSOCIATIVE -- moments of two corpus halves
+    ADD to the moments of the whole -- which is what makes the fit
+    incrementally maintainable: persist (n, s, ss) beside a released
+    corpus, and refreshing the PCA for an appended batch costs one pass
+    over the NEW rows only, never a refit of the old ones (the same
+    append contract as the IVF index). Returns (n, s [d], ss [d x d])."""
     import numpy as np
 
     d_probe = len(emb.select(vec_col).first()[0])
@@ -962,11 +974,26 @@ def pca_fit(
         .mapInPandas(partials, "n long, s array<double>, ss array<double>")
         .collect()
     )  # bounded: one row per Arrow batch, not per data row
-    n = sum(r["n"] for r in rows)
+    n = int(sum(r["n"] for r in rows))
     s = np.sum([r["s"] for r in rows], axis=0)
     ss = np.sum([r["ss"] for r in rows], axis=0).reshape(d_probe, d_probe)
-    mu = s / n
-    cov = (ss - n * np.outer(mu, mu)) / (n - 1)
+    return n, s, ss
+
+
+def pca_merge_moments(m1, m2):
+    """Merge two moment triples -- the append step. Pure addition."""
+    return m1[0] + m2[0], m1[1] + m2[1], m1[2] + m2[2]
+
+
+def pca_from_moments(n: int, s, ss, k: int = 4):
+    """The driver half of the PCA fit: sample covariance from the moment
+    triple, numpy.linalg.eigh, top-k by descending eigenvalue,
+    sign-canonicalized (largest-|entry| coordinate positive) so the fit is
+    deterministic up to float summation order."""
+    import numpy as np
+
+    mu = np.asarray(s, dtype=np.float64) / n
+    cov = (np.asarray(ss, dtype=np.float64) - n * np.outer(mu, mu)) / (n - 1)
     eigval, eigvec = np.linalg.eigh(cov)  # ascending
     order = np.argsort(eigval)[::-1][:k]
     comps = eigvec[:, order].T

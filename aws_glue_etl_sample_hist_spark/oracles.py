@@ -3646,3 +3646,72 @@ ORACLE_SQL["embedding_hard_negatives"] = """
     SELECT anchor_id, neg_id, cosine, CAST(rnk AS BIGINT) AS rank
     FROM ranked WHERE rnk <= 3
 """
+
+# incremental-PCA contract: associative moments => merged-halves fit ==
+# full fit; the oracle asserts exact keys/counts and all-true witnesses.
+ORACLE_SQL["embedding_pca_incremental"] = """
+    SELECT CAST(c AS BIGINT) AS component,
+           (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           TRUE AS eig_matches,
+           TRUE AS component_aligned
+    FROM UNNEST(generate_series(0, 3)) AS u(c)
+"""
+
+# distinct-n diversity: unique/total unigram + bigram ratios per source
+ORACLE_SQL["corpus_distinct_ngrams"] = """
+    WITH tok AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), uni AS (
+        SELECT source, unnest(toks) AS g FROM tok
+    ), bi AS (
+        SELECT source, toks[i] || ' ' || toks[i + 1] AS g
+        FROM tok, LATERAL unnest(generate_series(1, len(toks) - 1)) AS t(i)
+        WHERE len(toks) >= 2
+    ), u AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_unigrams,
+               ROUND(COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS unigrams_diversity
+        FROM uni GROUP BY source
+    ), b AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_bigrams,
+               ROUND(COUNT(DISTINCT g) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS bigrams_diversity
+        FROM bi GROUP BY source
+    )
+    SELECT * FROM u JOIN b USING (source)
+"""
+
+# keep-first ExactSubstr: same span chain, but the canonical (min doc_id,
+# pos) occurrence of each duplicated window is exempt -- one copy of every
+# duplicated passage survives. COUNT/ROW_NUMBER over the shingle hash
+# replace the dup semi-join.
+_SUBSTR_KEEP_FIRST_CTES = _SUBSTR_SPAN_CTES.replace(
+    """    ), dup AS (
+        SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2
+    ), marked AS (
+        SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (h)
+    ), runs AS (""",
+    """    ), occ AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS n_occ,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM sh
+    ), marked AS (
+        SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn > 1
+    ), runs AS (""",
+)
+assert "ROW_NUMBER() OVER (PARTITION BY h" in _SUBSTR_KEEP_FIRST_CTES
+
+ORACLE_SQL["corpus_substring_dedup_keep_first"] = _SUBSTR_KEEP_FIRST_CTES + r"""
+    SELECT doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
+    FROM spans
+"""

@@ -4218,6 +4218,87 @@ def q_embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return hard_negatives(load_table(spark, sf, "embeddings"), k=3)
 
 
+def q_embedding_pca_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental PCA maintenance CONTRACT
+    (operators.similarity.pca_moments/pca_merge_moments/pca_from_moments):
+    the moment statistics are associative, so fitting from
+    moments(old half) + moments(appended half) must reproduce the
+    full-corpus fit -- refreshing the PCA for an appended batch costs one
+    pass over the NEW rows only. Witnesses per component: eigenvalue
+    within 1e-9 relative of the full fit, |cos(component_inc,
+    component_full)| >= 1 - 1e-9, and the exact merged row count."""
+    import numpy as np
+
+    from .operators.similarity import (
+        pca_from_moments,
+        pca_merge_moments,
+        pca_moments,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    merged = pca_merge_moments(pca_moments(old), pca_moments(new))
+    ci, ei, _mi, ni = pca_from_moments(*merged, k=4)
+    cf, ef, _mf, nf = pca_from_moments(*pca_moments(emb), k=4)
+    rows = [
+        (
+            i,
+            ni,
+            bool(abs(ei[i] - ef[i]) <= max(abs(ef[i]), 1e-12) * 1e-9),
+            bool(abs(float(np.dot(ci[i], cf[i]))) >= 1.0 - 1e-9),
+        )
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component long, n_vectors long, eig_matches boolean, component_aligned boolean",
+    ).filter(F.lit(ni == nf))
+
+
+def q_corpus_distinct_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-n diversity audit (the distinct-1/distinct-2 metric of
+    Li et al. 2016, arXiv:1510.03055) per source: unique-to-total unigram
+    and bigram ratios -- low values flag a TEMPLATED or self-repetitive
+    slice of the corpus before it floods the training mixture. Two
+    explode->groupBy passes with map-side-combined distincts; source
+    cardinality output."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("source", tokens(F.col("text")).alias("t"))
+    uni = toks.select("source", F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))")
+        ).alias("g"),
+    )
+
+    def ratios(g: DataFrame, pfx: str) -> DataFrame:
+        return g.groupBy("source").agg(
+            F.count(F.lit(1)).alias(f"n_{pfx}"),
+            F.count_distinct("g").alias(f"distinct_{pfx}"),
+            F.round(F.count_distinct("g") / F.count(F.lit(1)), 6).alias(
+                f"{pfx}_diversity"
+            ),
+        )
+
+    return ratios(uni, "unigrams").join(ratios(bi, "bigrams"), "source")
+
+
+def q_corpus_substring_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr keep-first spans (operators.dedup.substring_dedup_spans
+    with keep_first=True): duplicated >= 8-token passages flagged
+    everywhere EXCEPT their canonical (min doc_id, pos) occurrence, so one
+    copy survives the cut -- dedup, not deletion."""
+    from .operators.dedup import substring_dedup_spans
+
+    return substring_dedup_spans(
+        load_table(spark, sf, "documents"), k=8, keep_first=True
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4292,6 +4373,9 @@ QUERIES = {
     "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
     "embedding_pca": q_embedding_pca,
     "embedding_hard_negatives": q_embedding_hard_negatives,
+    "embedding_pca_incremental": q_embedding_pca_incremental,
+    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
+    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

@@ -2086,3 +2086,62 @@ def test_hard_negatives_exclude_same_label(spark):
     assert got[(0, 1)] == 2 and got[(0, 2)] == 3
     assert (0, 3) not in got              # only two cross-label candidates
     assert got[(2, 1)] in (0, 1)          # anchor 2's nearest is the base pair
+
+
+def test_pca_moments_merge_equals_full_fit(spark):
+    """Moment statistics must be associative: merging the two halves'
+    moments reproduces the full-corpus covariance fit (eigenvalues to
+    1e-12 relative, components aligned) -- the incremental-append
+    contract."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        pca_from_moments,
+        pca_merge_moments,
+        pca_moments,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(120, 6)) * np.array([3, 2, 1, 0.5, 0.2, 0.1])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    a = emb.filter("vec_id % 2 = 0")
+    b = emb.filter("vec_id % 2 = 1")
+    merged = pca_merge_moments(pca_moments(a), pca_moments(b))
+    ci, ei, mi, ni = pca_from_moments(*merged, k=3)
+    cf, ef, mf, nf = pca_from_moments(*pca_moments(emb), k=3)
+    assert ni == nf == 120
+    assert np.allclose(mi, mf, atol=1e-12)
+    assert np.allclose(ei, ef, rtol=1e-12)
+    for i in range(3):
+        assert abs(float(np.dot(ci[i], cf[i]))) > 1.0 - 1e-12
+
+
+def test_substring_dedup_keep_first_exempts_canonical(spark):
+    """keep_first must exempt the canonical (min doc_id, pos) occurrence
+    of every duplicated window: on a two-doc copy, the lower doc keeps
+    its text (no spans) and only the copy is flagged; default mode flags
+    both."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 a2 a3 a4 z1 z2"),
+            (1, "q1 q2 a1 a2 a3 a4"),
+        ],
+        "doc_id long, text string",
+    )
+    both = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_dedup_spans(docs, k=3).collect()
+    }
+    assert both == {(0, 0, 3), (1, 2, 5)}
+    kept = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring_dedup_spans(docs, k=3, keep_first=True).collect()
+    }
+    assert kept == {(1, 2, 5)}
