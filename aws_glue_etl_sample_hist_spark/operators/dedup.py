@@ -969,12 +969,16 @@ def substring_dedup_apply(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
 ) -> DataFrame:
     """The APPLY side of ExactSubstr (Lee et al. 2021 cut the spans from
     the training copy): rebuild each document with every token inside a
     duplicated span removed. Returns
     (doc_id, cleaned_text, n_tokens, n_removed) for EVERY input document
     (docs with no duplicated spans pass through with n_removed = 0).
+    ``keep_first=True`` cuts only non-canonical copies (see
+    substring_dedup_spans), so one copy of every duplicated passage
+    survives in the cleaned corpus.
 
     Scale shape: spans are doc-bounded, so they aggregate to one
     array<struct> row per affected doc (collect_list is safe -- a doc's
@@ -985,7 +989,9 @@ def substring_dedup_apply(
     ``cleaned_text`` is the single-space token-join reconstruction (both
     engines rebuild from the token array, so whitespace is canonicalized
     identically)."""
-    spans = substring_dedup_spans(docs, k, text_col=text_col, id_col=id_col)
+    spans = substring_dedup_spans(
+        docs, k, text_col=text_col, id_col=id_col, keep_first=keep_first
+    )
     spans_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )

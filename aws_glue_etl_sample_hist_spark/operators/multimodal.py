@@ -852,3 +852,41 @@ def video_shot_boundaries(
             )
 
     return with_payload.mapInPandas(cuts, SHOT_BOUNDARY_SCHEMA)
+
+
+def audio_activity_segments(
+    with_payload: DataFrame,
+    threshold_db: float = 51.0,
+    frame_len: int = 16,
+) -> DataFrame:
+    """Energy-threshold voice-activity segments over REAL decoded audio:
+    frames whose spectral energy exceeds ``threshold_db`` are active, and
+    consecutive active frames merge into (start, end) segments per doc --
+    the classical energy VAD, the stage that cuts silence before
+    transcription/feature extraction in an audio training pipeline.
+
+    Composition shape: the per-frame energies come from audio_spectrogram
+    (one Arrow pass); the thresholding and the gaps-and-islands merge are
+    pure JVM window arithmetic partitioned by doc (bounded partitions:
+    frames-per-payload). The 4-dp energy string is cast back to double for
+    the comparison -- a decimal literal both engines parse identically, so
+    the active set is engine-exact."""
+    from pyspark.sql.window import Window
+
+    frames = audio_spectrogram(with_payload, frame_len=frame_len)
+    active = frames.filter(
+        F.col("energy_db").cast("double") > threshold_db
+    ).select("doc_id", "frame_idx")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        active.withColumn(
+            "island", F.col("frame_idx") - F.row_number().over(w)
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_frames")
+    )

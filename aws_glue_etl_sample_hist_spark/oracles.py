@@ -3715,3 +3715,44 @@ ORACLE_SQL["corpus_substring_dedup_keep_first"] = _SUBSTR_KEEP_FIRST_CTES + r"""
            CAST(span_end - span_start + 1 AS BIGINT) AS n_tokens
     FROM spans
 """
+
+# keep-first APPLY: the keep-first span CTEs + the same cut-and-rebuild
+# suffix the default apply oracle uses (sliced off programmatically so the
+# two stay identical by construction).
+_APPLY_SUFFIX = ORACLE_SQL["corpus_substring_dedup_apply"][len(_SUBSTR_SPAN_CTES):]
+assert _APPLY_SUFFIX.lstrip().startswith(", tok AS (")
+ORACLE_SQL["corpus_substring_dedup_apply_keep_first"] = (
+    _SUBSTR_KEEP_FIRST_CTES + _APPLY_SUFFIX
+)
+
+# energy-VAD segments: the spectrogram DFT energies (thresholded on the
+# SAME 4-dp-rounded value the operator casts back) merged gaps-and-islands
+ORACLE_SQL["multimodal_audio_segments"] = """
+    WITH sm AS (
+        SELECT doc_id, x // 16 AS f, x % 16 AS n,
+               (ascii(substr(text, CAST(x % len(text) AS INTEGER) + 1, 1)) - 128)
+               * (0.5 - 0.5 * cos(2 * pi() * (x % 16) / 15.0)) AS u
+        FROM documents, UNNEST(generate_series(0, 63)) AS ux(x)
+    ), dft AS (
+        SELECT doc_id, f, k,
+               SUM(u * cos(2 * pi() * k * n / 16.0)) AS re,
+               SUM(u * sin(2 * pi() * k * n / 16.0)) AS im
+        FROM sm, UNNEST(generate_series(0, 8)) AS uk(k)
+        GROUP BY doc_id, f, k
+    ), fr AS (
+        SELECT doc_id, f AS frame_idx,
+               CAST(printf('%.4f',
+                    10 * log10(1 + SUM(re * re + im * im))) AS DOUBLE) AS e
+        FROM dft GROUP BY doc_id, f
+    ), act AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS island
+        FROM fr WHERE e > 51.0
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS BIGINT) AS seg_start,
+           CAST(MAX(frame_idx) AS BIGINT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM act GROUP BY doc_id, island
+"""

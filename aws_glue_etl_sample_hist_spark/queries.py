@@ -4299,6 +4299,49 @@ def q_corpus_substring_dedup_keep_first(spark: SparkSession, sf: str) -> DataFra
     )
 
 
+def q_corpus_substring_dedup_apply_keep_first(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """ExactSubstr keep-first APPLY: rebuild every document cutting only
+    the NON-canonical copies of duplicated >= 8-token passages -- the
+    cleaned corpus retains exactly one copy of each
+    (operators.dedup.substring_dedup_apply with keep_first=True)."""
+    from .operators.dedup import substring_dedup_apply
+
+    return substring_dedup_apply(
+        load_table(spark, sf, "documents"), k=8, keep_first=True
+    )
+
+
+def q_multimodal_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-VAD activity segments over the same real WAV payloads as the
+    spectrogram query (operators.multimodal.audio_activity_segments):
+    frames above 51 dB (the corpus median) merge into per-doc (start, end) segments via
+    gaps-and-islands. Oracle recomputes the DFT energies and the island
+    merge in SQL, thresholding the same 4-dp-rounded value."""
+    import numpy as np
+
+    from .operators.multimodal import audio_activity_segments, encode_wav
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_wav(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                samples = np.resize(b, 64).astype(np.int16) - 128
+                rows.append((doc_id, "audio", bytearray(encode_wav(samples, 8000, 1))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_wav, "doc_id long, media_type string, payload binary"
+    )
+    return audio_activity_segments(with_payload, threshold_db=51.0)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4376,6 +4419,8 @@ QUERIES = {
     "embedding_pca_incremental": q_embedding_pca_incremental,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
+    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

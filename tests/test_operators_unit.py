@@ -2145,3 +2145,49 @@ def test_substring_dedup_keep_first_exempts_canonical(spark):
         for r in substring_dedup_spans(docs, k=3, keep_first=True).collect()
     }
     assert kept == {(1, 2, 5)}
+
+
+def test_substring_dedup_apply_keep_first_retains_canonical(spark):
+    """keep-first apply must leave the canonical copy's text intact and
+    cut only the duplicate."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a1 a2 a3 a4 z1 z2"), (1, "q1 q2 a1 a2 a3 a4")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_removed)
+        for r in substring_dedup_apply(docs, k=3, keep_first=True).collect()
+    }
+    assert got == {0: ("a1 a2 a3 a4 z1 z2", 0), 1: ("q1 q2", 4)}
+
+
+def test_audio_activity_segments_finds_loud_runs(spark):
+    """The energy VAD must merge consecutive loud frames into one segment
+    and skip silence: frames [quiet, loud, loud, quiet] -> one segment
+    (1, 2); an all-quiet payload yields no rows."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        audio_activity_segments,
+        encode_wav,
+    )
+
+    loud = (100 * (-1) ** np.arange(16)).astype(np.int16)
+    quiet = np.zeros(16, dtype=np.int16)
+    mixed = np.concatenate([quiet, loud, loud, quiet])
+    df = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(encode_wav(mixed, 8000, 1))),
+            (1, "audio", bytearray(encode_wav(np.zeros(64, dtype=np.int16), 8000, 1))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = [
+        (r.doc_id, r.seg_start, r.seg_end, r.n_frames)
+        for r in audio_activity_segments(df, threshold_db=30.0).collect()
+    ]
+    assert got == [(0, 1, 2, 2)]
