@@ -890,3 +890,56 @@ def audio_activity_segments(
         )
         .select("doc_id", "seg_start", "seg_end", "n_frames")
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def image_dhash(with_payload: DataFrame) -> DataFrame:
+    """dHash perceptual fingerprint over REAL decoded images -- the
+    image-dedup primitive (the difference-hash of the classic pHash
+    family): grayscale the decoded RGB with INTEGER luma
+    ((299*r + 587*g + 114*b) // 1000, exact in both engines), then one bit
+    per horizontally adjacent pixel pair (1 iff left < right), packed
+    row-major into a '0'/'1' string -- an (H, W) image gives H*(W-1) bits.
+    Identical and near-identical images (resize/re-encode survivors)
+    collide on the hash, so image-level dedup becomes the same
+    hash-groupBy shape as text dedup_exact: no pairwise comparison, no
+    shuffle of pixels -- only the tiny hash strings shuffle.
+
+    Map-only Arrow pass; decode + luma + gradient are vectorized numpy."""
+    import numpy as np
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(payload).astype(np.int64)
+                lum = (
+                    299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                ) // 1000
+                bits = (lum[:, :-1] < lum[:, 1:]).astype(np.uint8)
+                rows.append((doc_id, "".join("01"[b] for b in bits.ravel())))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return with_payload.mapInPandas(hashes, DHASH_SCHEMA)
+
+
+def image_dhash_dedup(with_payload: DataFrame) -> DataFrame:
+    """Image dedup groups: dHash collisions with >= 2 members --
+    (dhash, n_images, keeper_id = min doc_id). The exact-dedup shape
+    applied to media."""
+    return (
+        image_dhash(with_payload)
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )

@@ -1075,3 +1075,148 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------- k-means||
+
+
+def kmeans_parallel_centroids(
+    emb: DataFrame,
+    k: int,
+    *,
+    rounds: int = 5,
+    oversample: int | None = None,
+    lloyd_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kmpar",
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al. 2012, arXiv:1203.6402) --
+    the distributed k-means++ replacement: instead of k strictly sequential
+    D^2-weighted draws (k full passes), ``rounds`` passes each sample
+    ~``oversample`` candidates in parallel with probability l*d^2/phi, then
+    the O(rounds*l) candidate sketch is weighted by cluster population and
+    reduced to k centers DRIVER-side (weighted k-means++ + Lloyd on numpy).
+
+    Determinism: the per-point draws use the md5 hash of (id, round), not
+    rand(), so the whole init is reproducible and engine-independent; the
+    driver reduction is seeded numpy. Spherical like kmeans_centroids
+    (unit vectors, d^2 = 2 - 2*cos), returned under the same
+    (cent_id, cv) contract so ivf_assign / semantic_dedup / the IVF index
+    consume it unchanged.
+
+    Scale shape per round: one broadcast-centroid pass over the corpus for
+    min-distances (the ivf_assign shape, no corpus shuffle), one scalar phi
+    fetch, one filtered collect of ~l sampled rows. Total driver state:
+    O(rounds * l * d) floats. The corpus is never assigned to ALL candidate
+    centers at once anywhere -- each pass is max-over-broadcast."""
+    import numpy as np
+
+    l = oversample or 2 * k
+    normed = tracked_persist(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double")
+                / F.greatest(norm(F.col(vec_col)), F.lit(1e-12)),
+            ).alias("_nv"),
+        )
+    )
+    spark = emb.sparkSession
+
+    def min_dist2(cands: list[list[float]]) -> DataFrame:
+        cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
+        )
+        return (
+            F.broadcast(cent)
+            .crossJoin(normed)
+            .groupBy("_id")
+            .agg(
+                F.first("_nv").alias("_nv"),
+                (2.0 - 2.0 * F.max(dot(F.col("cv"), F.col("_nv")))).alias("d2"),
+            )
+        )
+
+    first = normed.orderBy("_id").select("_nv").first()[0]
+    cands = [[float(x) for x in first]]
+    for r in range(rounds):
+        d = min_dist2(cands)
+        phi = d.agg(F.sum("d2")).collect()[0][0] or 0.0
+        if phi <= 0:
+            break
+        u_r = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.col("_id").cast("string"), F.lit(str(r))
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ) / 1000000.0
+        picked = d.filter(u_r < F.lit(float(l)) * F.col("d2") / F.lit(float(phi))).select(
+            "_nv"
+        )
+        cands.extend([[float(x) for x in row[0]] for row in picked.collect()])
+
+    # weight candidates by the population of their nearest-candidate cell
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
+    )
+    scored = F.broadcast(cent).crossJoin(normed)
+    w = Window.partitionBy("_id").orderBy(
+        (2.0 - 2.0 * dot(F.col("cv"), F.col("_nv"))).asc(), F.col("cent_id").asc()
+    )
+    weights_rows = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    wmap = {r["cent_id"]: r["w"] for r in weights_rows}
+    X = np.asarray(cands, dtype=np.float64)
+    wts = np.asarray([wmap.get(i, 0) for i in range(len(cands))], dtype=np.float64)
+
+    # driver-side weighted k-means++ then Lloyd on the tiny sketch
+    rng = np.random.default_rng(0)
+    centers = [X[int(np.argmax(wts))]]
+    for _ in range(1, min(k, len(X))):
+        d2 = np.min(
+            [np.sum((X - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        p = wts * d2
+        if p.sum() <= 0:
+            break
+        centers.append(X[rng.choice(len(X), p=p / p.sum())])
+    C = np.asarray(centers)
+    for _ in range(lloyd_iters):
+        a = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        newC = np.array(
+            [
+                np.average(X[a == j], axis=0, weights=wts[a == j])
+                if wts[a == j].sum() > 0
+                else C[j]
+                for j in range(len(C))
+            ]
+        )
+        # spherical: renormalize means back onto the unit sphere (cosine
+        # assignment downstream; an interior mean's direction is the center)
+        newC = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cent_id long, cv array<double>",
+    )

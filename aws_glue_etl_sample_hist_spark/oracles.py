@@ -3756,3 +3756,46 @@ ORACLE_SQL["multimodal_audio_segments"] = """
            CAST(COUNT(*) AS BIGINT) AS n_frames
     FROM act GROUP BY doc_id, island
 """
+
+# k-means|| contract: deterministic init (md5 draws + seeded driver
+# reduction) must beat the first-k-by-id seeded quantizer -- all-true row.
+ORACLE_SQL["embedding_kmeans_parallel"] = """
+    SELECT CAST(8 AS BIGINT) AS n_centroids,
+           TRUE AS all_unit_norm,
+           TRUE AS beats_seeded
+"""
+
+# image dHash dedup: pixel (y, x, c) of the 8x9 RGB grid = text byte
+# ((y*27 + x*3 + c) mod n); integer luma (299r + 587g + 114b) // 1000;
+# bit(y, x) = lum(y, x) < lum(y, x+1); hash = 64 bits row-major; groups
+# with >= 2 members.
+ORACLE_SQL["multimodal_image_dedup"] = """
+    WITH px AS (
+        SELECT doc_id, y, x, c,
+               ascii(substr(text,
+                   CAST((y * 27 + x * 3 + c) % len(text) AS INTEGER) + 1, 1)) AS v
+        FROM documents,
+             UNNEST(generate_series(0, 7)) AS uy(y),
+             UNNEST(generate_series(0, 8)) AS ux(x),
+             UNNEST(generate_series(0, 2)) AS uc(c)
+    ), lum AS (
+        SELECT doc_id, y, x,
+               (299 * MAX(CASE WHEN c = 0 THEN v END)
+              + 587 * MAX(CASE WHEN c = 1 THEN v END)
+              + 114 * MAX(CASE WHEN c = 2 THEN v END)) // 1000 AS l
+        FROM px GROUP BY doc_id, y, x
+    ), bits AS (
+        SELECT a.doc_id, a.y, a.x,
+               CASE WHEN a.l < b.l THEN '1' ELSE '0' END AS bit
+        FROM lum a JOIN lum b
+          ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        WHERE a.x < 8
+    ), h AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS keeper_id
+    FROM h GROUP BY dhash HAVING COUNT(*) >= 2
+"""

@@ -4342,6 +4342,85 @@ def q_multimodal_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
     return audio_activity_segments(with_payload, threshold_db=51.0)
 
 
+def q_embedding_kmeans_parallel(spark: SparkSession, sf: str) -> DataFrame:
+    """k-means|| quantizer CONTRACT
+    (operators.similarity.kmeans_parallel_centroids, Bahmani et al. 2012):
+    the md5-deterministic oversampled init + driver Lloyd must produce a
+    STRICTLY better coarse quantizer than the first-k-by-id seeded
+    baseline -- witnesses: exactly k centroids, all unit-norm (spherical
+    contract), and mean quantization cost (1 - max cosine) below the
+    seeded quantizer's on the same corpus. Everything is deterministic
+    (hash draws, seeded numpy), so the comparison is a stable fact of the
+    dataset, not a flaky benchmark."""
+    import numpy as np
+
+    from .operators.similarity import (
+        ivf_assign,
+        kmeans_parallel_centroids,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    k = 8
+
+    def mean_cost(centroids) -> float:
+        assigned = ivf_assign(emb, k, centroids=centroids)
+        cent = centroids.withColumnRenamed("cent_id", "cell")
+        from .operators.similarity import cosine
+
+        return (
+            assigned.join(F.broadcast(cent), "cell")
+            .agg(F.avg(1.0 - cosine(F.col("cv"), F.col("embedding"))))
+            .collect()[0][0]
+        )
+
+    par = kmeans_parallel_centroids(emb, k)
+    rows = par.collect()
+    norms = [float(np.linalg.norm(r["cv"])) for r in rows]
+    cost_par = mean_cost(par)
+    cost_seeded = mean_cost(seeded_centroids(emb, k))
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                bool(all(abs(n - 1.0) < 1e-6 for n in norms)),
+                bool(cost_par < cost_seeded),
+            )
+        ],
+        "n_centroids long, all_unit_norm boolean, beats_seeded boolean",
+    )
+
+
+def q_multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-level dedup via dHash over REAL decoded 8x9 BMPs
+    (operators.multimodal.image_dhash_dedup): perceptual gradient
+    fingerprints collide for identical/near-identical images, turning
+    media dedup into the text-exact-dedup hash-groupBy shape -- pixels
+    never shuffle. Oracle recomputes the integer luma + gradient bits per
+    pixel pair in SQL."""
+    import numpy as np
+
+    from .operators.multimodal import encode_bmp, image_dhash_dedup
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_bmp(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                px = np.resize(b, 216).reshape(8, 9, 3)
+                rows.append((doc_id, "image", bytearray(encode_bmp(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_bmp, "doc_id long, media_type string, payload binary"
+    )
+    return image_dhash_dedup(with_payload)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4421,6 +4500,8 @@ QUERIES = {
     "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
     "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
     "multimodal_audio_segments": q_multimodal_audio_segments,
+    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
+    "multimodal_image_dedup": q_multimodal_image_dedup,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

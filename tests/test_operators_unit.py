@@ -2191,3 +2191,75 @@ def test_audio_activity_segments_finds_loud_runs(spark):
         for r in audio_activity_segments(df, threshold_db=30.0).collect()
     ]
     assert got == [(0, 1, 2, 2)]
+
+
+def test_kmeans_parallel_recovers_planted_clusters(spark):
+    """k-means|| on four well-separated direction clusters must return
+    unit-norm centroids that each align (cosine > 0.95) with a planted
+    direction, covering all four -- and twice: the md5/seeded pipeline is
+    deterministic."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        kmeans_parallel_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    dirs = np.eye(8)[:4]  # four orthogonal planted directions
+    rows = []
+    for i in range(160):
+        d = dirs[i % 4]
+        v = d * 5.0 + 0.1 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def centroids():
+        got = kmeans_parallel_centroids(emb, 4, rounds=3).collect()
+        return sorted([tuple(r["cv"]) for r in got])
+
+    c1 = centroids()
+    assert len(c1) == 4
+    covered = set()
+    for c in c1:
+        v = np.asarray(c)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+        cos = dirs @ v
+        j = int(np.argmax(cos))
+        assert cos[j] > 0.95, cos
+        covered.add(j)
+    assert covered == {0, 1, 2, 3}
+    assert c1 == centroids()
+
+
+def test_image_dhash_collides_only_on_same_gradient(spark):
+    """dHash must collide for identical images, survive a uniform
+    brightness shift (gradient signs unchanged -- the perceptual point),
+    and separate an image whose gradient flips."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+        image_dhash_dedup,
+    )
+
+    base = np.zeros((8, 9, 3), dtype=np.uint8)
+    base[:, :, :] = (np.arange(9) * 10)[None, :, None]  # rising rows
+    brighter = np.clip(base + 40, 0, 255).astype(np.uint8)  # same gradients
+    flipped = base[:, ::-1, :].copy()                        # falling rows
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(encode_bmp(base))),
+            (1, "image", bytearray(encode_bmp(base))),
+            (2, "image", bytearray(encode_bmp(brighter))),
+            (3, "image", bytearray(encode_bmp(flipped))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    hashes = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert hashes[0] == hashes[1] == hashes[2] == "1" * 64
+    assert hashes[3] == "0" * 64
+    groups = [
+        (r.n_images, r.keeper_id) for r in image_dhash_dedup(df).collect()
+    ]
+    assert groups == [(3, 0)]
