@@ -943,3 +943,58 @@ def image_dhash_dedup(with_payload: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+def shot_keyframes(
+    with_payload: DataFrame, threshold: float = 64.0
+) -> DataFrame:
+    """Shot segmentation + representative-frame selection: cuts from
+    video_shot_boundaries split each video into shots, and each shot's
+    MIDDLE frame (floor((start + end) / 2) -- the standard cheap keyframe
+    heuristic) is selected for downstream featurization, so a 100-TB video
+    corpus is reduced to one frame per shot before any expensive per-frame
+    model runs.
+
+    Composition shape: one decode pass for the diff scores (Arrow), then
+    pure JVM arithmetic -- per-frame shot ids are a running sum of cut
+    flags over an exploded frame index (windows partition by doc; a
+    payload's frame count bounds the partition). Returns
+    (doc_id, shot_idx, start_frame, end_frame, keyframe_idx)."""
+    from pyspark.sql.window import Window
+
+    diffs = video_shot_boundaries(with_payload, threshold=threshold)
+    # total frame count per doc = max frame_idx + 1 (diff rows exist for
+    # every frame >= 1); rebuild the full frame list and mark cut starts
+    frames = (
+        diffs.groupBy("doc_id")
+        .agg((F.max("frame_idx") + 1).alias("n_frames"))
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame_idx"),
+        )
+    )
+    marked = frames.join(
+        diffs.filter(F.col("is_cut")).select(
+            "doc_id", "frame_idx", F.lit(1).alias("is_cut_start")
+        ),
+        ["doc_id", "frame_idx"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        marked.withColumn(
+            "shot_idx", F.sum(F.coalesce("is_cut_start", F.lit(0))).over(w)
+        )
+        .groupBy("doc_id", "shot_idx")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.floor((F.min("frame_idx") + F.max("frame_idx")) / 2)
+            .cast("long")
+            .alias("keyframe_idx"),
+        )
+    )

@@ -3799,3 +3799,56 @@ ORACLE_SQL["multimodal_image_dedup"] = """
            MIN(doc_id) AS keeper_id
     FROM h GROUP BY dhash HAVING COUNT(*) >= 2
 """
+
+# shot keyframes: the shot-boundary pixel CTEs -> cut flags -> running-sum
+# shot ids over all 6 frames -> per-shot min/max/middle
+ORACLE_SQL["multimodal_shot_keyframes"] = """
+    WITH px AS (
+        SELECT doc_id, f, i,
+               CASE WHEN f >= 3 THEN 255 - v ELSE v END AS y
+        FROM (
+            SELECT doc_id, f, i,
+                   ascii(substr(text,
+                       CAST((f * 16 + i) % len(text) AS INTEGER) + 1, 1)) AS v
+            FROM documents,
+                 UNNEST(generate_series(0, 5)) AS uf(f),
+                 UNNEST(generate_series(0, 31)) AS ui(i)
+        )
+    ), cuts AS (
+        SELECT a.doc_id, a.f AS frame_idx,
+               AVG(ABS(CAST(a.y AS DOUBLE) - b.y)) > 64.0 AS is_cut
+        FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.i = b.i AND b.f = a.f - 1
+        WHERE a.f >= 1
+        GROUP BY a.doc_id, a.f
+    ), frames AS (
+        SELECT doc_id, f AS frame_idx
+        FROM (SELECT DISTINCT doc_id FROM px),
+             UNNEST(generate_series(0, 5)) AS uf(f)
+    ), shots AS (
+        SELECT fr.doc_id, fr.frame_idx,
+               SUM(CASE WHEN COALESCE(c.is_cut, FALSE) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY fr.doc_id ORDER BY fr.frame_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS shot_idx
+        FROM frames fr
+        LEFT JOIN cuts c
+          ON c.doc_id = fr.doc_id AND c.frame_idx = fr.frame_idx
+    )
+    SELECT doc_id,
+           CAST(shot_idx AS BIGINT) AS shot_idx,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST((MIN(frame_idx) + MAX(frame_idx)) // 2 AS BIGINT) AS keyframe_idx
+    FROM shots GROUP BY doc_id, shot_idx
+"""
+
+# streaming PCA maintenance contract: streamed moment accumulation must
+# reproduce the batch fit; 3 repartitioned files -> 3 micro-batches.
+ORACLE_SQL["stream_embedding_pca"] = """
+    SELECT CAST(c AS BIGINT) AS component,
+           (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           CAST(3 AS BIGINT) AS n_batches,
+           TRUE AS eig_matches,
+           TRUE AS component_aligned
+    FROM UNNEST(generate_series(0, 3)) AS u(c)
+"""

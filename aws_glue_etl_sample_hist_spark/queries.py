@@ -4421,6 +4421,50 @@ def q_multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return image_dhash_dedup(with_payload)
 
 
+def q_multimodal_shot_keyframes(spark: SparkSession, sf: str) -> DataFrame:
+    """Shot segmentation + keyframe selection over the same 6-frame
+    planted-cut videos as multimodal_shot_boundaries
+    (operators.multimodal.shot_keyframes): cut flags split each stream
+    into shots, the middle frame of each shot is the representative.
+    Oracle recomputes cuts then the running-sum segmentation in SQL."""
+    import numpy as np
+
+    from .operators.multimodal import encode_y4m, shot_keyframes
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_y4m(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                frames = []
+                for f in range(6):
+                    y = np.resize(np.roll(b, -(f * 16)), 32).reshape(4, 8)
+                    frames.append(255 - y if f >= 3 else y)
+                rows.append((doc_id, "video", bytearray(encode_y4m(frames))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_y4m, "doc_id long, media_type string, payload binary"
+    )
+    return shot_keyframes(with_payload, threshold=64.0)
+
+
+def q_stream_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming PCA maintenance CONTRACT
+    (streaming.jobs.stream_pca_maintenance): moment statistics accumulate
+    per micro-batch (idempotent per-batch-id state files, exactly-once
+    under replay), and the streamed fit must equal the full-corpus batch
+    fit. n_batches >= 2 is part of the witness -- the drain really was
+    multi-batch."""
+    from .streaming.jobs import stream_pca_maintenance
+
+    return stream_pca_maintenance(spark, sf)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4502,6 +4546,8 @@ QUERIES = {
     "multimodal_audio_segments": q_multimodal_audio_segments,
     "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
     "multimodal_image_dedup": q_multimodal_image_dedup,
+    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
+    "stream_embedding_pca": q_stream_embedding_pca,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

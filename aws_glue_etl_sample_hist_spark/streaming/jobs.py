@@ -536,3 +536,78 @@ def stream_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
         F.round(F.max("max_value"), 4).alias("max_value"),
     )
+
+
+def stream_pca_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model maintenance: the PCA sufficient statistics
+    (operators.similarity.pca_moments -- associative (n, sum, X^T X))
+    accumulate per micro-batch via foreachBatch, so the fitted model
+    refreshes as embedding batches ARRIVE instead of refitting the corpus.
+
+    Restart-safe by construction: each micro-batch OVERWRITES its own
+    moment file keyed by batch id (idempotent under checkpoint replays --
+    the same trick as the CDC lake's exactly-once merge), and the final
+    model is the merge of all batch files. The embeddings table is split
+    into 3 files and streamed with maxFilesPerTrigger=1 so the drain
+    genuinely exercises multi-batch accumulation.
+
+    Returns the same witnesses as the batch incremental contract: the
+    streamed-moments fit must equal the full-corpus fit (eigenvalues to
+    1e-9 relative, components aligned, exact n)."""
+    import json
+
+    import numpy as np
+
+    from ..operators.similarity import pca_from_moments, pca_moments
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    src_dir = tempfile.mkdtemp(prefix="pca_stream_src_")
+    emb.repartition(3).write.mode("overwrite").parquet(src_dir)
+    state_dir = tempfile.mkdtemp(prefix="pca_stream_state_")
+
+    def _accumulate(batch: DataFrame, batch_id: int) -> None:
+        n, s, ss = pca_moments(batch)
+        with open(os.path.join(state_dir, f"batch_{batch_id}.json"), "w") as f:
+            json.dump({"n": n, "s": list(s), "ss": list(ss.ravel())}, f)
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="pca_stream_ckpt_"), "ckpt")
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+        .writeStream.foreachBatch(_accumulate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    states = sorted(os.listdir(state_dir))
+    n_total, s_total, ss_total = 0, None, None
+    d = None
+    for name in states:
+        with open(os.path.join(state_dir, name)) as f:
+            st = json.load(f)
+        d = d or int(round(len(st["ss"]) ** 0.5))
+        n_total += st["n"]
+        s_total = (s_total if s_total is not None else 0) + np.asarray(st["s"])
+        ss_total = (ss_total if ss_total is not None else 0) + np.asarray(
+            st["ss"]
+        ).reshape(d, d)
+    ci, ei, _mi, ni = pca_from_moments(n_total, s_total, ss_total, k=4)
+    cf, ef, _mf, nf = pca_from_moments(*pca_moments(emb), k=4)
+    rows = [
+        (
+            i,
+            ni,
+            len(states),
+            bool(abs(ei[i] - ef[i]) <= max(abs(ef[i]), 1e-12) * 1e-9),
+            bool(abs(float(np.dot(ci[i], cf[i]))) >= 1.0 - 1e-9),
+        )
+        for i in range(4)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component long, n_vectors long, n_batches long,"
+        " eig_matches boolean, component_aligned boolean",
+    ).filter(F.lit(ni == nf and len(states) >= 2))

@@ -2263,3 +2263,27 @@ def test_image_dhash_collides_only_on_same_gradient(spark):
         (r.n_images, r.keeper_id) for r in image_dhash_dedup(df).collect()
     ]
     assert groups == [(3, 0)]
+
+
+def test_shot_keyframes_segments_on_cut(spark):
+    """Keyframe selection must split shots at the detected cut and pick
+    each shot's middle frame: [z, z, bright] -> shot 0 = frames 0-1
+    (keyframe 0), shot 1 = frame 2 (keyframe 2)."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        encode_y4m,
+        shot_keyframes,
+    )
+
+    z = np.zeros((4, 8), dtype=np.uint8)
+    bright = np.full((4, 8), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(encode_y4m([z, z, bright])))],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = sorted(
+        (r.shot_idx, r.start_frame, r.end_frame, r.keyframe_idx)
+        for r in shot_keyframes(df, threshold=64.0).collect()
+    )
+    assert got == [(0, 0, 1, 0), (1, 2, 2, 2)]
