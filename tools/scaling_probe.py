@@ -67,6 +67,13 @@ PROBE = [
     "multimodal_audio_spectrogram",
     "multimodal_shot_boundaries",
     "embedding_hard_negatives",
+    # round 6 (final): media dedup/keyframes/VAD, diversity, PCA, k-means||
+    "multimodal_image_dedup",
+    "multimodal_shot_keyframes",
+    "multimodal_audio_segments",
+    "corpus_distinct_ngrams",
+    "embedding_pca",
+    "embedding_kmeans_parallel",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
@@ -181,8 +188,9 @@ def main() -> None:
         "  overhead still amortizing; per-byte work is linear. These plans",
         "  extrapolate to 1000 executors by adding partitions, nothing else.",
         "- **The pair-emitting similarity family (part_set_similarity_join",
-        "  26.7x, dedup_minhash_lsh 9.6x, embedding_near_dup_bucketed",
-        "  36.2x) tracks OUTPUT-pair cardinality, not a candidate blow-up.**",
+        "  ~27x, dedup_minhash_lsh ~9x, embedding_near_dup_bucketed",
+        "  ~40x; exact ratios drift a few x run-to-run with machine state)",
+        "  tracks OUTPUT-pair cardinality, not a candidate blow-up.**",
         "  Measured at sf0.1 -> sf1: qualifying pairs 41.5k -> 1.10M",
         "  (ssjoin), 13.0k -> 1.15M (minhash), 489 -> 49.6k (near-dup) --",
         "  per-OUTPUT-pair cost is flat or falling (ssjoin 0.20 -> 0.20",
@@ -194,19 +202,19 @@ def main() -> None:
         "  bounded-size dup clusters, so output -- and these walls -- grow",
         "  ~linearly there; the candidate machinery itself (signatures,",
         "  bands, pair-key blocking) is row-linear as the sub-10x",
-        "  non-pair-emitting rows show. embedding_hard_negatives (35.8x)",
+        "  non-pair-emitting rows show. embedding_hard_negatives (~40x)",
         "  is the same effect at threshold 0: its candidate set is EVERY",
         "  positive-cosine banded pair (~2x the near-dup pair count here),",
         "  and though its OUTPUT is bounded at k*n by the top-k window,",
         "  the window's input shuffle carries the candidate pairs -- on a",
         "  real corpus band collisions are rare and this row is linear.",
-        "- **curation_pipeline 23.8x**: same cause one level up -- its",
+        "- **curation_pipeline (~21-24x across runs)**: same cause one level up -- its",
         "  dedup_clusters stage runs connected components over the",
         "  ~n^2-edge dup-pair graph (1.15M edges at sf1), so contraction",
         "  work scales with edges (output), not docs. Real-corpus edge",
         "  counts are doc-linear; the DAG itself adds only tier writes",
         "  (medallion, same tiers, is 3.7x).",
-        "- **embedding_semantic_dedup 13.6x**: the oracle-exact default",
+        "- **embedding_semantic_dedup (~14-18x)**: the oracle-exact default",
         "  quantizer is a fixed toy k=8, so cell-pair work is ~n^2/8 BY",
         "  DESIGN; the 100 TB path is n_centroids='auto' (k ~",
         "  n/target_cell), which keeps sum(|cell|^2) linear",
