@@ -234,3 +234,47 @@ def user_value_trend_pandas(
     return daily.groupBy("user_id").applyInPandas(
         fit, "user_id long, n_days long, slope double, intercept double"
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: float = 10.0,
+) -> DataFrame:
+    """Mean target encoding for a categorical column -- the feature-
+    engineering stage that replaces a category with its (smoothed) mean
+    target, plus the LEAVE-ONE-OUT variant every row actually trains on
+    (own target excluded, so the feature never leaks the row's label):
+
+      encoded = (S_cat + m * global_mean) / (n_cat + m)      (smoothing
+                prior m pulls rare categories toward the global mean)
+      loo     = (S_cat - target) / (n_cat - 1)               (NULL for
+                singleton categories -- no honest LOO value exists)
+
+    Scale shape: one groupBy(cat) for (sum, count) -- category-cardinality
+    output, broadcast back -- plus one scalar global agg; the row-level
+    pass is map-only. Appends `te_encoded` / `te_loo` (4 dp) to the input
+    columns."""
+    stats = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_s"), F.count(target_col).alias("_n")
+    )
+    g = df.agg(F.avg(target_col)).collect()[0][0]
+    return (
+        df.join(F.broadcast(stats), cat_col)
+        .withColumn(
+            "te_encoded",
+            F.round(
+                (F.col("_s") + F.lit(m) * F.lit(float(g))) / (F.col("_n") + F.lit(m)),
+                4,
+            ),
+        )
+        .withColumn(
+            "te_loo",
+            F.when(
+                F.col("_n") > 1,
+                F.round((F.col("_s") - F.col(target_col)) / (F.col("_n") - 1), 4),
+            ),
+        )
+        .drop("_s", "_n")
+    )

@@ -595,3 +595,41 @@ def hashed_linear_score(docs, *, text_col: str = "text", id_col: str = "doc_id")
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z") * 10.0)), 6).alias("score"),
         (F.col("_z") > 0).alias("keep"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """word2vec training-pair generation (Mikolov et al. 2013): every
+    (center, context) token pair with 1 <= |i - j| <= ``window``,
+    aggregated to corpus-wide pair counts -- the data-prep stage that
+    turns a text corpus into skip-gram training examples (and the input
+    to SGNS's unigram negative-sampling tables).
+
+    Scale shape: pair generation is ONE higher-order expression inside the
+    scan (transform over token indices x offsets, nulls filtered --
+    map-only, whole-stage codegen, no self-join and no shuffle of text);
+    the only shuffle is the final (center, context) count agg, bounded by
+    vocab^2 not corpus size, map-side combined."""
+    w = int(window)
+    toks_df = docs.select(tokens(F.col(text_col)).alias("toks"))
+    pairs = F.expr(
+        f"""
+        flatten(transform(toks, (c, i) ->
+            filter(
+                transform(sequence({-w}, {w}), o ->
+                    CASE WHEN o != 0 AND i + o >= 0 AND i + o < size(toks)
+                         THEN struct(c AS center, toks[i + o] AS context)
+                    END),
+                p -> p IS NOT NULL)))
+        """
+    )
+    return (
+        toks_df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

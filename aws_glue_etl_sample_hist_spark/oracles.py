@@ -3852,3 +3852,37 @@ ORACLE_SQL["stream_embedding_pca"] = """
            TRUE AS component_aligned
     FROM UNNEST(generate_series(0, 3)) AS u(c)
 """
+
+# skip-gram pairs: all (i, j) with |i - j| in [1, 2] within each doc
+ORACLE_SQL["corpus_skipgram_pairs"] = r"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, i, toks[i] AS w, len(toks) AS n
+        FROM tok, LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+    )
+    SELECT a.w AS center, b.w AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id
+     AND b.i BETWEEN a.i - 2 AND a.i + 2
+     AND b.i <> a.i
+    GROUP BY a.w, b.w
+"""
+
+# target encoding: smoothed category mean + leave-one-out per row
+ORACLE_SQL["orders_target_encoding"] = """
+    WITH stats AS (
+        SELECT o_orderpriority,
+               SUM(o_totalprice) AS s,
+               COUNT(o_totalprice) AS n
+        FROM orders GROUP BY o_orderpriority
+    ), g AS (SELECT AVG(o_totalprice) AS gm FROM orders)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND((st.s + 10.0 * g.gm) / (st.n + 10.0), 4) AS te_encoded,
+           CASE WHEN st.n > 1
+                THEN ROUND((st.s - o.o_totalprice) / (st.n - 1), 4)
+           END AS te_loo
+    FROM orders o JOIN stats st USING (o_orderpriority), g
+"""

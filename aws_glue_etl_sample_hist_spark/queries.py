@@ -4465,6 +4465,31 @@ def q_stream_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
     return stream_pca_maintenance(spark, sf)
 
 
+def q_corpus_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram pair generation (operators.text.skipgram_pairs): corpus-
+    wide (center, context) counts in a +-2 token window -- the word2vec
+    data-prep stage; pair generation is one map-only higher-order
+    expression, the only shuffle is the vocab^2-bounded count agg."""
+    from .operators.text import skipgram_pairs
+
+    return skipgram_pairs(load_table(spark, sf, "documents"), window=2)
+
+
+def q_orders_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe mean target encoding
+    (operators.analytics.target_encode): o_orderpriority encoded against
+    the o_totalprice target -- smoothed category mean (prior m=10 toward
+    the global mean) plus the leave-one-out value each row trains on.
+    One category-cardinality agg broadcast back; the row pass is
+    map-only."""
+    from .operators.analytics import target_encode
+
+    orders = load_table(spark, sf, "orders")
+    return target_encode(orders, "o_orderpriority", "o_totalprice").select(
+        "o_orderkey", "o_orderpriority", "te_encoded", "te_loo"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4548,6 +4573,8 @@ QUERIES = {
     "multimodal_image_dedup": q_multimodal_image_dedup,
     "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
     "stream_embedding_pca": q_stream_embedding_pca,
+    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
+    "orders_target_encoding": q_orders_target_encoding,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

@@ -2287,3 +2287,43 @@ def test_shot_keyframes_segments_on_cut(spark):
         for r in shot_keyframes(df, threshold=64.0).collect()
     )
     assert got == [(0, 0, 1, 0), (1, 2, 2, 2)]
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    """Pinned window semantics: 'a b c' with window 2 yields exactly the
+    pairs (a,b) (a,c) (b,a) (b,c) (c,a) (c,b); a repeated token counts
+    multiplicities."""
+    from aws_glue_etl_sample_hist_spark.operators.text import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x x")], "doc_id long, text string"
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(docs, window=2).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 1,
+        ("b", "a"): 1, ("b", "c"): 1,
+        ("c", "a"): 1, ("c", "b"): 1,
+        ("x", "x"): 2,
+    }
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    """LOO must exclude the row's own target (no label leakage), the
+    smoothed value must sit between category and global means, and a
+    singleton category gets NULL LOO."""
+    from aws_glue_etl_sample_hist_spark.operators.analytics import target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 100.0)],
+        "id long, cat string, y double",
+    )
+    got = {r.id: (r.te_encoded, r.te_loo) for r in target_encode(df, "cat", "y", m=2.0).collect()}
+    # cat a: S=60 n=3 g=40 -> encoded (60+80)/5=28; loo row1 (60-10)/2=25
+    assert got[1] == (28.0, 25.0)
+    assert got[2] == (28.0, 20.0)
+    assert got[3] == (28.0, 15.0)
+    # cat b singleton: encoded (100+80)/3=60; loo NULL
+    assert got[4] == (60.0, None)
