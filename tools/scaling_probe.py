@@ -74,6 +74,8 @@ PROBE = [
     "corpus_distinct_ngrams",
     "embedding_pca",
     "embedding_kmeans_parallel",
+    "corpus_skipgram_pairs",
+    "orders_target_encoding",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
