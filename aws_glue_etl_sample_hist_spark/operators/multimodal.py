@@ -998,3 +998,55 @@ def shot_keyframes(
             .alias("keyframe_idx"),
         )
     )
+
+
+def video_frame_hash_dedup(
+    with_payload: DataFrame,
+    min_shared: int = 3,
+    *,
+    max_df: int = 100,
+) -> DataFrame:
+    """Video near-duplicate detection by frame-fingerprint overlap -- the
+    standard shape for re-upload/clip detection: every decoded frame gets
+    a luma dHash (horizontal gradient signs, H*(W-1) bits), videos become
+    SETS of frame hashes, and pairs sharing >= ``min_shared`` distinct
+    hashes are near-duplicates. The pair space is generated by an
+    inverted-index equi-join on the frame hash (same shape as MinHash
+    band joins -- never all-pairs); hashes appearing in more than
+    ``max_df`` videos are dropped first (black frames / title cards --
+    the stop-frame guard, exactly the max_df skew guard the text SSJoin
+    uses). Pixels never shuffle: the join carries 28-bit hash strings.
+
+    Returns (id_a, id_b, n_shared), id_a < id_b."""
+    import numpy as np
+
+    def frame_hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, frames = decode_y4m(payload)
+                for y in frames:
+                    yl = y.astype(np.int64)
+                    bits = (yl[:, :-1] < yl[:, 1:]).astype(np.uint8)
+                    rows.append((doc_id, "".join("01"[b] for b in bits.ravel())))
+            yield pd.DataFrame(rows, columns=["doc_id", "fhash"])
+
+    hashes = with_payload.mapInPandas(
+        frame_hashes, "doc_id long, fhash string"
+    ).dropDuplicates(["doc_id", "fhash"])
+    rare = (
+        hashes.groupBy("fhash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fhash")
+    )
+    kept = hashes.join(rare, "fhash")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fhash")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fhash")
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

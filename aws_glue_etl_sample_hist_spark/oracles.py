@@ -3886,3 +3886,44 @@ ORACLE_SQL["orders_target_encoding"] = """
            END AS te_loo
     FROM orders o JOIN stats st USING (o_orderpriority), g
 """
+
+# video frame-hash dedup: frame f's luma pixel i = text byte
+# ((f*16 + i) mod n), inverted for f >= 3; per (frame row r, col x < 7)
+# bit = y(r*8+x) < y(r*8+x+1); 28-bit hash per (doc, frame); distinct
+# per-doc hash sets; df <= 100 stop-frame guard; pairs sharing >= 3.
+ORACLE_SQL["multimodal_video_dedup"] = """
+    WITH px AS (
+        SELECT doc_id, f, i,
+               CASE WHEN f >= 3 THEN 255 - v ELSE v END AS y
+        FROM (
+            SELECT doc_id, f, i,
+                   ascii(substr(text,
+                       CAST((f * 16 + i) % len(text) AS INTEGER) + 1, 1)) AS v
+            FROM documents,
+                 UNNEST(generate_series(0, 5)) AS uf(f),
+                 UNNEST(generate_series(0, 31)) AS ui(i)
+        )
+    ), bits AS (
+        SELECT a.doc_id, a.f,
+               (a.i // 8) AS r, (a.i % 8) AS x,
+               CASE WHEN a.y < b.y THEN '1' ELSE '0' END AS bit
+        FROM px a JOIN px b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND b.i = a.i + 1
+        WHERE a.i % 8 < 7
+    ), fh AS (
+        SELECT doc_id, f, string_agg(bit, '' ORDER BY r, x) AS fhash
+        FROM bits GROUP BY doc_id, f
+    ), h AS (
+        SELECT DISTINCT doc_id, fhash FROM fh
+    ), rare AS (
+        SELECT fhash FROM h GROUP BY fhash HAVING COUNT(*) <= 100
+    ), kept AS (
+        SELECT h.doc_id, h.fhash FROM h JOIN rare USING (fhash)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+"""

@@ -4490,6 +4490,39 @@ def q_orders_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup pairs by frame-fingerprint overlap
+    (operators.multimodal.video_frame_hash_dedup) over the same 6-frame
+    planted-cut videos: videos sharing >= 3 of their frame dHashes are
+    near-duplicates (exact text dups share all 6). Inverted-index
+    equi-join on the hash, stop-frame max_df guard; pixels never shuffle.
+    Oracle recomputes luma gradient hashes per frame in SQL."""
+    import numpy as np
+
+    from .operators.multimodal import encode_y4m, video_frame_hash_dedup
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_y4m(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                frames = []
+                for f in range(6):
+                    y = np.resize(np.roll(b, -(f * 16)), 32).reshape(4, 8)
+                    frames.append(255 - y if f >= 3 else y)
+                rows.append((doc_id, "video", bytearray(encode_y4m(frames))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_y4m, "doc_id long, media_type string, payload binary"
+    )
+    return video_frame_hash_dedup(with_payload, min_shared=3)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4575,6 +4608,7 @@ QUERIES = {
     "stream_embedding_pca": q_stream_embedding_pca,
     "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
     "orders_target_encoding": q_orders_target_encoding,
+    "multimodal_video_dedup": q_multimodal_video_dedup,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

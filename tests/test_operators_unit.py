@@ -2327,3 +2327,37 @@ def test_target_encode_loo_excludes_own_row(spark):
     assert got[3] == (28.0, 15.0)
     # cat b singleton: encoded (100+80)/3=60; loo NULL
     assert got[4] == (60.0, None)
+
+
+def test_video_frame_hash_dedup_overlap_threshold(spark):
+    """Frame-hash overlap must count DISTINCT shared hashes against the
+    threshold: an exact re-upload matches, a video sharing only one frame
+    does not, and the stop-frame guard kills a hash present in every
+    video."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_hash_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    f1, f2, f3 = (rng.integers(0, 256, (4, 8)).astype(np.uint8) for _ in range(3))
+    black = np.zeros((4, 8), dtype=np.uint8)  # the ubiquitous stop frame
+    other = rng.integers(0, 256, (2, 4, 8)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, "video", bytearray(encode_y4m([f1, f2, f3, black]))),
+            (1, "video", bytearray(encode_y4m([f1, f2, f3, black]))),   # re-upload
+            (2, "video", bytearray(encode_y4m([f1, other[0], other[1], black]))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in video_frame_hash_dedup(df, min_shared=2, max_df=2).collect()
+    }
+    # black AND f1 appear in all 3 videos -> df=3 > max_df=2 -> both
+    # dropped by the stop-frame guard; 0-1 still share f2,f3 (2 distinct,
+    # meets min_shared=2); 0-2 and 1-2 share nothing surviving the guard
+    assert got == {(0, 1): 2}
