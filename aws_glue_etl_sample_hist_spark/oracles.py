@@ -3927,3 +3927,29 @@ ORACLE_SQL["multimodal_video_dedup"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3
 """
+
+# SGNS negative-sampling table: unigram^0.75 normalized + cumulative in
+# token order (vocab-bounded window -- deterministic cumsum sequence)
+ORACLE_SQL["corpus_negative_sampling_table"] = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ), c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token
+    ), t AS (SELECT SUM(POW(n, 0.75)) AS z FROM c)
+    SELECT token, n,
+           ROUND(POW(n, 0.75) / z, 6) AS p_neg,
+           ROUND(SUM(POW(n, 0.75)) OVER (
+               ORDER BY token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / z, 6)
+               AS cum_p
+    FROM c, t
+"""
+
+# k-anonymity audit over (nation, segment) quasi-identifiers
+ORACLE_SQL["customer_k_anonymity"] = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < 5 AS at_risk
+    FROM customer GROUP BY 1, 2
+"""

@@ -4523,6 +4523,46 @@ def q_multimodal_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return video_frame_hash_dedup(with_payload, min_shared=3)
 
 
+def q_corpus_negative_sampling_table(spark: SparkSession, sf: str) -> DataFrame:
+    """SGNS negative-sampling table (Mikolov et al. 2013): unigram counts
+    raised to the 3/4 power, normalized, with the cumulative distribution
+    in token order -- the lookup table word2vec training draws negatives
+    from. One token-count agg (vocab-bounded) + one vocab-sized window
+    cumsum; the corpus shuffles token strings once."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum(F.pow("n", 0.75))).collect()[0][0]
+    w = Window.orderBy("token").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "token",
+        "n",
+        F.round(F.pow("n", 0.75) / F.lit(float(total)), 6).alias("p_neg"),
+        F.round(
+            F.sum(F.pow("n", 0.75)).over(w) / F.lit(float(total)), 6
+        ).alias("cum_p"),
+    )
+
+
+def q_customer_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market segment):
+    equivalence-class sizes and the at-risk flag (class < k = 5) -- the
+    governance check run before releasing joined training data containing
+    demographic columns (Sweeney 2002). One groupBy on the
+    quasi-identifier tuple; class-cardinality output."""
+    cust = load_table(spark, sf, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", F.col("class_size") < 5)
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4609,6 +4649,8 @@ QUERIES = {
     "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
     "orders_target_encoding": q_orders_target_encoding,
     "multimodal_video_dedup": q_multimodal_video_dedup,
+    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
+    "customer_k_anonymity": q_customer_k_anonymity,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
