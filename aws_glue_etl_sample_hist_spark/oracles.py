@@ -3953,3 +3953,7 @@ ORACLE_SQL["customer_k_anonymity"] = """
            COUNT(*) < 5 AS at_risk
     FROM customer GROUP BY 1, 2
 """
+
+# native streaming session windows drain to exactly the batch
+# F.session_window answer -- the oracle is shared verbatim
+ORACLE_SQL["stream_events_session_native"] = ORACLE_SQL["events_session_window"]

@@ -4563,6 +4563,17 @@ def q_customer_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_events_session_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Native streaming session windows
+    (streaming.jobs.stream_events_session_native): built-in
+    F.session_window in a watermarked streaming agg, state = open sessions
+    only; the availableNow drain equals the batch session_window answer
+    row-for-row (shared oracle)."""
+    from .streaming.jobs import stream_events_session_native
+
+    return stream_events_session_native(spark, sf)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4651,6 +4662,7 @@ QUERIES = {
     "multimodal_video_dedup": q_multimodal_video_dedup,
     "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
     "customer_k_anonymity": q_customer_k_anonymity,
+    "stream_events_session_native": q_stream_events_session_native,
     # --- block 4: latest driver evidence r3 (46) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,

@@ -611,3 +611,30 @@ def stream_pca_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component long, n_vectors long, n_batches long,"
         " eig_matches boolean, component_aligned boolean",
     ).filter(F.lit(ni == nf and len(states) >= 2))
+
+
+def stream_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows: the BUILT-IN F.session_window in a
+    streaming aggregation -- Spark merges overlapping per-event candidate
+    sessions in state, evicting sessions once the watermark passes their
+    close (state is O(open sessions), the shape that survives an unbounded
+    stream). Complete-mode availableNow drain produces exactly the batch
+    F.session_window answer, so this shares events_session_window's oracle
+    verbatim -- the declarative twin of the applyInPandasWithState
+    sessionizer (stream_events_sessionize), zero custom state code."""
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
