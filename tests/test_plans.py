@@ -242,3 +242,37 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = f.join(d, "part_key")
     plan = joined._jdf.queryExecution().sparkPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:4000]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
+    """A selective dim filter injects a runtime BLOOM FILTER into the fact
+    side of a shuffle join (the non-partitioned analog of dynamic
+    partition pruning): probe rows that cannot match are dropped BEFORE
+    the exchange, so the shuffle carries ~matching rows instead of the
+    whole fact. Defaults hide it at test scale -- the application side
+    must look big enough to pay for the filter (10 GB threshold) and the
+    join must not broadcast -- so both knobs are pinned for the assert and
+    restored after."""
+    fact = spark.range(0, 500_000).selectExpr("id AS k", "id * 2 AS v")
+    fact.write.parquet(str(tmp_path / "fact"))
+    dim = spark.range(0, 50_000).selectExpr("id AS k", "id % 7 AS grp")
+    dim.write.parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("grp") == 3)
+        plan = f.join(d, "k")._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
