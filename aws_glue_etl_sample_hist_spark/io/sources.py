@@ -234,6 +234,18 @@ def write_xml(df: DataFrame, path: str, *, row_tag: str, mode: str = "overwrite"
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
 
 
+def _is_missing_avro_module(exc: Exception) -> bool:
+    """True only for the SPECIFIC missing-data-source failure (Spark's
+    FAILED_FIND_DATA_SOURCE error class / 'Failed to find ... data source:
+    avro' message). A PATH_NOT_FOUND or permission error on a path that
+    merely CONTAINS 'avro' must re-raise as itself, not be misblamed on
+    the absent jar."""
+    msg = str(exc)
+    return "FAILED_FIND_DATA_SOURCE" in msg or (
+        "Failed to find" in msg and "data source: avro" in msg.lower()
+    )
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Avro source. ENVIRONMENT GATE (same honesty contract as PIL/PyAV/
     protobuf): spark-avro is an external module jar
@@ -247,7 +259,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:  # noqa: BLE001
-        if "avro" in str(exc).lower():
+        if _is_missing_avro_module(exc):
             raise NotImplementedError(
                 "the avro data source needs the external spark-avro module "
                 "jar (org.apache.spark:spark-avro_2.13), absent from this "
@@ -263,7 +275,7 @@ def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     try:
         df.write.mode(mode).format("avro").save(path)
     except Exception as exc:  # noqa: BLE001
-        if "avro" in str(exc).lower():
+        if _is_missing_avro_module(exc):
             raise NotImplementedError(
                 "the avro data source needs the external spark-avro module "
                 "jar (org.apache.spark:spark-avro_2.13), absent from this "

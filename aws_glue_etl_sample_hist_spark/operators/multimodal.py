@@ -895,9 +895,29 @@ def audio_activity_segments(
 DHASH_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("dhash", StringType()),
+        StructField("dhash", LongType()),
     ]
 )
+
+
+def _pack_bits_s64(bits) -> int:
+    """Pack a <= 64-long row-major bit vector into ONE signed 64-bit int
+    (two's complement for the full-64-bit case) -- first bit is the most
+    significant. BIGINT fingerprints shuffle 8 bytes per row where the
+    old '0'/'1' character strings shuffled one BYTE PER BIT (8x wider),
+    and they enable banded hamming matching via shiftright/bit_count."""
+    if len(bits) > 64:
+        raise ValueError(
+            f"_pack_bits_s64: {len(bits)} bits do not fit a 64-bit "
+            "fingerprint -- thumbnail the image to <= 8x9 (or split into "
+            "multiple hash columns) before fingerprinting"
+        )
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
 
 
 def image_dhash(with_payload: DataFrame) -> DataFrame:
@@ -906,11 +926,13 @@ def image_dhash(with_payload: DataFrame) -> DataFrame:
     family): grayscale the decoded RGB with INTEGER luma
     ((299*r + 587*g + 114*b) // 1000, exact in both engines), then one bit
     per horizontally adjacent pixel pair (1 iff left < right), packed
-    row-major into a '0'/'1' string -- an (H, W) image gives H*(W-1) bits.
-    Identical and near-identical images (resize/re-encode survivors)
-    collide on the hash, so image-level dedup becomes the same
-    hash-groupBy shape as text dedup_exact: no pairwise comparison, no
-    shuffle of pixels -- only the tiny hash strings shuffle.
+    row-major into ONE signed BIGINT (most-significant bit first, two's
+    complement) -- an (H, W) image gives H*(W-1) <= 64 bits, the classic
+    8x9 thumbnail exactly 64. Identical and near-identical images
+    (resize/re-encode survivors) collide on the hash, so image-level dedup
+    becomes the same hash-groupBy shape as text dedup_exact: no pairwise
+    comparison, no shuffle of pixels -- only 8-byte longs shuffle (the
+    r6 form shuffled one character per bit, 8x wider rows).
 
     Map-only Arrow pass; decode + luma + gradient are vectorized numpy."""
     import numpy as np
@@ -924,7 +946,7 @@ def image_dhash(with_payload: DataFrame) -> DataFrame:
                     299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
                 ) // 1000
                 bits = (lum[:, :-1] < lum[:, 1:]).astype(np.uint8)
-                rows.append((doc_id, "".join("01"[b] for b in bits.ravel())))
+                rows.append((doc_id, _pack_bits_s64(bits.ravel())))
             yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 
     return with_payload.mapInPandas(hashes, DHASH_SCHEMA)
@@ -1015,7 +1037,8 @@ def video_frame_hash_dedup(
     band joins -- never all-pairs); hashes appearing in more than
     ``max_df`` videos are dropped first (black frames / title cards --
     the stop-frame guard, exactly the max_df skew guard the text SSJoin
-    uses). Pixels never shuffle: the join carries 28-bit hash strings.
+    uses). Pixels never shuffle: the join carries one packed BIGINT per
+    frame (the r6 form carried one character per bit, 8x wider).
 
     Returns (id_a, id_b, n_shared), id_a < id_b."""
     import numpy as np
@@ -1028,11 +1051,11 @@ def video_frame_hash_dedup(
                 for y in frames:
                     yl = y.astype(np.int64)
                     bits = (yl[:, :-1] < yl[:, 1:]).astype(np.uint8)
-                    rows.append((doc_id, "".join("01"[b] for b in bits.ravel())))
+                    rows.append((doc_id, _pack_bits_s64(bits.ravel())))
             yield pd.DataFrame(rows, columns=["doc_id", "fhash"])
 
     hashes = with_payload.mapInPandas(
-        frame_hashes, "doc_id long, fhash string"
+        frame_hashes, "doc_id long, fhash long"
     ).dropDuplicates(["doc_id", "fhash"])
     rare = (
         hashes.groupBy("fhash")
@@ -1049,4 +1072,62 @@ def video_frame_hash_dedup(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def image_near_dup_hamming(
+    with_payload: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-exact image matching under small perceptual drift: pairs of
+    images whose 64-bit dHashes differ in at most ``max_hamming`` bits --
+    the brightness-shift / light-recompress survivors that exact-collision
+    dedup misses. This is the BIGINT payoff beyond the 8x narrower
+    shuffle: the SimHash banding theorem (dedup.simhash_pairs, pigeonhole:
+    hamming <= 3 over 4 bands forces >= 1 identical band) applies to the
+    packed fingerprint directly, so candidates come from an EQUI-join on
+    any shared 16-bit band (shiftright + mask, pure codegen arithmetic)
+    and the exact test is one bit_count(xor) per candidate -- never an
+    all-pairs hamming scan, and both steps are engine-portable SQL.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, exact distances."""
+    hashes = image_dhash(with_payload)
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash"), s).bitwiseAND(F.lit(65535))
+                    for s in (48, 32, 16, 0)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash").alias("h_a"),
+        "band",
+        "chunk",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash").alias("h_b"),
+        F.col("band").alias("band_b"),
+        F.col("chunk").alias("chunk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("chunk") == F.col("chunk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(h_a ^ h_b)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )

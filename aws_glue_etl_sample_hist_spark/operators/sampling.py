@@ -401,7 +401,11 @@ def dsir_select(
         .groupBy(id_col)
         .agg(F.sum(F.col("n") * F.col("log_ratio")).alias("log_weight"))
     )
-    u = (sample_hash(F.col(id_col), salt) + 1) / float(SAMPLE_MOD)  # (0, 1]
+    # + 0.5 keeps u STRICTLY inside (0, 1): u == 1.0 (hash == SAMPLE_MOD-1,
+    # p = 1e-6 per doc, near-certain at realistic pool sizes) would make
+    # -log(-log(u)) hit log(0) -- NULL in Spark (doc silently sorts last)
+    # but a hard error in DuckDB, so the engines would disagree on selection
+    u = (sample_hash(F.col(id_col), salt) + 0.5) / float(SAMPLE_MOD)
     gumbel = -F.log(-F.log(u))
     return (
         doc_weights.withColumn("score", F.col("log_weight") + gumbel)

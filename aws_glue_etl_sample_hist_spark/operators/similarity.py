@@ -954,12 +954,21 @@ def pca_moments(emb: DataFrame, *, vec_col: str = "embedding"):
     append contract as the IVF index). Returns (n, s [d], ss [d x d])."""
     import numpy as np
 
-    d_probe = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).first()
+    if probe is None:
+        raise ValueError(
+            "pca_moments: input has no rows -- moments are undefined on an "
+            "empty corpus (callers accumulating per micro-batch should skip "
+            "empty batches; see streaming.jobs.stream_pca_maintenance)"
+        )
+    d_probe = len(probe[0])
 
     def partials(batches):
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             yield pd.DataFrame(
                 {
@@ -992,6 +1001,11 @@ def pca_from_moments(n: int, s, ss, k: int = 4):
     deterministic up to float summation order."""
     import numpy as np
 
+    if n <= 1:
+        raise ValueError(
+            f"pca_from_moments: need n >= 2 vectors for a sample "
+            f"covariance (got n={n})"
+        )
     mu = np.asarray(s, dtype=np.float64) / n
     cov = (np.asarray(ss, dtype=np.float64) - n * np.outer(mu, mu)) / (n - 1)
     eigval, eigvec = np.linalg.eigh(cov)  # ascending
@@ -1037,6 +1051,9 @@ def hard_negatives(
     emb: DataFrame,
     k: int = 3,
     *,
+    cand_per_band: int = 8,
+    min_cos: float = 0.0,
+    band_dims: tuple[tuple[int, ...], ...] = DEFAULT_NEAR_DUP_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -1046,14 +1063,70 @@ def hard_negatives(
     label -- the near-misses a bi-encoder must learn to push apart, the
     pair-mining stage of every dense-retrieval training pipeline.
 
-    Scale shape: candidates come from the SAME multi-band sign-LSH
-    equi-join as near_dup_pairs (threshold 0 keeps the informative
-    positive-cosine half; the n^2 space is never built -- misses are the
-    documented LSH recall trade). Pairs symmetrize to anchor perspective,
-    labels attach by equi-join, and top-k is one row_number window keyed
-    on (rounded cosine desc, neg id asc) -- the ROUNDED value ranks, so
-    ranking is deterministic across engines even at float ties."""
-    pairs = near_dup_pairs(emb, threshold=0.0, id_col=id_col, vec_col=vec_col)
+    Scale shape -- OUTPUT-bounded, not collision-bounded: candidates come
+    from the same multi-band sign-LSH buckets as near_dup_pairs, but each
+    bucket's members are ranked by id (one row_number window over the n *
+    n_bands banded rows) and an anchor pairs only with its next
+    ``cand_per_band`` bucket neighbors (a deterministic "ring" join: pos
+    difference in [1, cand_per_band] as the post-equi-join filter). Every
+    anchor therefore feeds AT MOST 2 * n_bands * cand_per_band candidate
+    rows into the cosine/label/top-k shuffles regardless of how hot a
+    bucket is -- the max_df stop-word idea applied to band collisions,
+    closing the one unbounded-shuffle caveat of the threshold-0 form (a
+    degenerate all-same-signature corpus used to cost n^2/2 candidates;
+    now 4*8*n). The price is recall within oversized buckets, the same
+    documented LSH trade as the band misses themselves. Pairs symmetrize
+    to anchor perspective, labels attach by equi-join, and top-k is one
+    row_number window keyed on (rounded cosine desc, neg id asc) -- the
+    ROUNDED value ranks, so ranking is deterministic across engines even
+    at float ties."""
+    normed = emb.withColumn(
+        "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+    ).withColumn(
+        "_nv", F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm"))
+    )
+    sigs = F.array(*[sign_bucket(F.col("_nv"), d) for d in band_dims])
+    pos = tracked_persist(
+        normed.select(F.col(id_col), F.posexplode(sigs).alias("band", "sig"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("band", "sig").orderBy(F.col(id_col))
+            ),
+        )
+    )
+    a = pos.select(
+        F.col(id_col).alias("id_a"), "band", "sig", F.col("pos").alias("pa")
+    )
+    b = pos.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("pos").alias("pb"),
+    )
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + cand_per_band),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = tracked_persist(
+        normed.select(F.col(id_col).alias("_vid"), F.col("_nv"))
+    )
+    pairs = (
+        cand_ids.join(
+            vecs.select(F.col("_vid").alias("id_a"), F.col("_nv").alias("va")), "id_a"
+        )
+        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_nv").alias("vb")), "id_b")
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("cos_raw"))
+        .filter(F.col("cos_raw") >= min_cos)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+    )
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("neg_id"), "cosine"
     ).unionByName(
@@ -1219,4 +1292,103 @@ def kmeans_parallel_centroids(
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cent_id long, cv array<double>",
+    )
+
+
+# ------------------------------------------------------------ ANN recall@k
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    *,
+    floor: float,
+) -> DataFrame:
+    """Recall@k of an approximate top-k answer against the exact one --
+    the first question a 100 TB user asks of any ANN index: at THIS probe
+    budget, what fraction of the true neighbors come back? Both inputs are
+    (query_id, neighbor_id, rank, ...) frames (cosine_topk's contract);
+    recall(q) = |approx(q) ∩ exact(q)| / |exact(q)|.
+
+    Output is the driver-checkable CONTRACT shape (the HLL/IVF pattern):
+    per query, the measured recall rounded to 4 dp plus boolean witnesses
+    -- the exact side returned a full k, and recall clears the pinned
+    ``floor``. The oracle asserts exact query keys and all-true flags;
+    recall itself is deterministic (seeded quantizers) but only
+    contract-bounded in SQL. Scale shape: two query-bounded frames joined
+    on (query_id, neighbor_id) -- O(queries * k) rows end to end."""
+    e = exact.select("query_id", F.col("neighbor_id").alias("_nid"))
+    a = approx.select(
+        "query_id", F.col("neighbor_id").alias("_nid"), F.lit(1).alias("_hit")
+    )
+    return (
+        e.join(a, ["query_id", "_nid"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("_n_hit"),
+        )
+        .select(
+            "query_id",
+            F.lit(k).cast("long").alias("k"),
+            (F.col("_n_exact") == k).alias("exact_side_full"),
+            (
+                F.round(F.col("_n_hit") / F.col("_n_exact"), 4) >= floor
+            ).alias("recall_ok"),
+        )
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ serving shape (IVFADC + rerank, Jegou et al.
+    2011 sec. V): the compressed codes produce a cheap ``shortlist`` of
+    candidates per query via ADC, then ONLY those shortlist rows fetch
+    their full vectors for an exact cosine rerank to top-``k``. ADC's
+    quantization distortion decides which ~50 candidates are considered;
+    the exact math decides their order -- recall@k is dramatically higher
+    than raw-ADC-rank@k at the cost of |Q| * shortlist full-vector reads
+    (nothing corpus-sized; at rest this is a point-lookup join against
+    the id-partitioned vector table).
+
+    Returns (query_id, neighbor_id, rank, cosine) like cosine_topk."""
+    short = pq_adc_topk(
+        emb, query_ids, k=shortlist, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    v = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(v, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_nv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
     )

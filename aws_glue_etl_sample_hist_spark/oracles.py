@@ -3501,7 +3501,7 @@ ORACLE_SQL["corpus_dsir_select"] = r"""
         SELECT doc_id, log_weight,
                log_weight - ln(-ln(
                    (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                         AS BIGINT) % 1000000 + 1) / 1000000.0
+                         AS BIGINT) % 1000000 + 0.5) / 1000000.0
                )) AS score
         FROM doc_w
     )
@@ -3581,11 +3581,14 @@ ORACLE_SQL["embedding_pca"] = """
     FROM UNNEST(generate_series(0, 3)) AS u(c)
 """
 
-# hard-negative mining: the near_dup_bucketed band/candidate/normalize CTEs
-# verbatim (threshold 0 keeps the positive-cosine half), pairs symmetrized
-# to anchor perspective, different-label filter, and the deterministic
-# (ROUNDED cosine desc, neg_id asc) row_number top-3 -- ranking on the
-# rounded value is what makes rank order engine-invariant at float ties.
+# hard-negative mining: sign-LSH buckets as in near_dup_bucketed, but the
+# candidate join is the OUTPUT-BOUNDED ring form mirroring the operator --
+# bucket members ranked by vec_id, each anchor paired only with its next 8
+# bucket neighbors per band (pos difference in [1, 8]); then pairs
+# symmetrized to anchor perspective, different-label filter, and the
+# deterministic (ROUNDED cosine desc, neg_id asc) row_number top-3 --
+# ranking on the rounded value is what makes rank order engine-invariant
+# at float ties.
 ORACLE_SQL["embedding_hard_negatives"] = """
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -3606,18 +3609,21 @@ ORACLE_SQL["embedding_hard_negatives"] = """
                 CASE WHEN embedding[57] >= 0 THEN '1' ELSE '0' END ||
                 CASE WHEN embedding[61] >= 0 THEN '1' ELSE '0' END) AS b3
         FROM embeddings
+    ), bands AS (
+        SELECT vec_id, 0 AS band, b0 AS sig FROM e
+        UNION ALL SELECT vec_id, 1, b1 FROM e
+        UNION ALL SELECT vec_id, 2, b2 FROM e
+        UNION ALL SELECT vec_id, 3, b3 FROM e
+    ), pos AS (
+        SELECT vec_id, band, sig,
+               ROW_NUMBER() OVER (PARTITION BY band, sig
+                                  ORDER BY vec_id) AS pos
+        FROM bands
     ), cand AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
-        UNION
-        SELECT a.vec_id, b.vec_id
-        FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
-        UNION
-        SELECT a.vec_id, b.vec_id
-        FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id < b.vec_id
-        UNION
-        SELECT a.vec_id, b.vec_id
-        FROM e a JOIN e b ON a.b3 = b.b3 AND a.vec_id < b.vec_id
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM pos a JOIN pos b
+          ON a.band = b.band AND a.sig = b.sig
+         AND b.pos > a.pos AND b.pos <= a.pos + 8
     ), en AS (
         SELECT vec_id, list_transform(v, x -> x / n) AS nv
         FROM (SELECT vec_id, v,
@@ -3791,8 +3797,19 @@ ORACLE_SQL["multimodal_image_dedup"] = """
           ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
         WHERE a.x < 8
     ), h AS (
-        SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
-        FROM bits GROUP BY doc_id
+        -- pack the 64 bits (row-major, MSB first) into a signed BIGINT via
+        -- two's complement, mirroring operators.multimodal._pack_bits_s64
+        SELECT doc_id,
+               CAST(CASE WHEN hu >= 9223372036854775808
+                         THEN hu - 18446744073709551616
+                         ELSE hu END AS BIGINT) AS dhash
+        FROM (
+            SELECT doc_id,
+                   SUM(CASE WHEN bit = '1'
+                            THEN CAST(1 AS HUGEINT) << CAST(63 - (y * 8 + x) AS INTEGER)
+                            ELSE 0 END) AS hu
+            FROM bits GROUP BY doc_id
+        )
     )
     SELECT dhash,
            CAST(COUNT(*) AS BIGINT) AS n_images,
@@ -3911,7 +3928,12 @@ ORACLE_SQL["multimodal_video_dedup"] = """
           ON a.doc_id = b.doc_id AND a.f = b.f AND b.i = a.i + 1
         WHERE a.i % 8 < 7
     ), fh AS (
-        SELECT doc_id, f, string_agg(bit, '' ORDER BY r, x) AS fhash
+        -- 28 bits (by r, x; MSB first) packed into a BIGINT, mirroring
+        -- operators.multimodal._pack_bits_s64 (sign never engaged at 28)
+        SELECT doc_id, f,
+               CAST(SUM(CASE WHEN bit = '1'
+                             THEN CAST(1 AS HUGEINT) << CAST(27 - (r * 7 + x) AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS fhash
         FROM bits GROUP BY doc_id, f
     ), h AS (
         SELECT DISTINCT doc_id, fhash FROM fh
@@ -3957,3 +3979,107 @@ ORACLE_SQL["customer_k_anonymity"] = """
 # native streaming session windows drain to exactly the batch
 # F.session_window answer -- the oracle is shared verbatim
 ORACLE_SQL["stream_events_session_native"] = ORACLE_SQL["events_session_window"]
+
+# converged PageRank CONTRACT oracle: the rank values are data-dependent
+# (round count varies), so the oracle re-derives the graph's node set and
+# asserts the per-node stochastic-matrix witnesses the Spark side computed
+# in-plan -- rank in (0,1), ranks sum to 1, epsilon-stop before the cap.
+# Any violated flag hash-mismatches against this all-true frame.
+ORACLE_SQL["nations_pagerank_converged"] = """
+    WITH edges AS (
+        SELECT sn.n_name AS src, cn.n_name AS dst
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT node AS n_name,
+           TRUE AS rank_in_unit,
+           TRUE AS sum_to_one,
+           TRUE AS converged
+    FROM (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+        )
+    )
+"""
+
+# banded-hamming image near-dup: the image_dedup pixel/luma/bit/pack CTEs
+# over TWO images per doc (original + first-red-channel +96 variant), then
+# the 4x16-bit band equi-join and exact bit_count(xor) <= 3 rerank --
+# the SQL mirror of operators.multimodal.image_near_dup_hamming.
+ORACLE_SQL["multimodal_image_near_dup"] = """
+    WITH px AS (
+        SELECT 2 * doc_id + var AS img_id, y, x, c,
+               CASE WHEN var = 1 AND y = 0 AND x = 0 AND c = 0
+                    THEN (v + 96) % 256 ELSE v END AS v
+        FROM (
+            SELECT doc_id, y, x, c,
+                   ascii(substr(text,
+                       CAST((y * 27 + x * 3 + c) % len(text) AS INTEGER) + 1, 1)) AS v
+            FROM documents,
+                 UNNEST(generate_series(0, 7)) AS uy(y),
+                 UNNEST(generate_series(0, 8)) AS ux(x),
+                 UNNEST(generate_series(0, 2)) AS uc(c)
+        ), UNNEST(generate_series(0, 1)) AS uv(var)
+    ), lum AS (
+        SELECT img_id, y, x,
+               (299 * MAX(CASE WHEN c = 0 THEN v END)
+              + 587 * MAX(CASE WHEN c = 1 THEN v END)
+              + 114 * MAX(CASE WHEN c = 2 THEN v END)) // 1000 AS l
+        FROM px GROUP BY img_id, y, x
+    ), bits AS (
+        SELECT a.img_id, a.y, a.x,
+               CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        FROM lum a JOIN lum b
+          ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
+        WHERE a.x < 8
+    ), h AS (
+        SELECT img_id,
+               CAST(CASE WHEN hu >= 9223372036854775808
+                         THEN hu - 18446744073709551616
+                         ELSE hu END AS BIGINT) AS dhash
+        FROM (
+            SELECT img_id,
+                   SUM(CASE WHEN bit = 1
+                            THEN CAST(1 AS HUGEINT) << CAST(63 - (y * 8 + x) AS INTEGER)
+                            ELSE 0 END) AS hu
+            FROM bits GROUP BY img_id
+        )
+    ), bands AS (
+        SELECT img_id, dhash, band,
+               (dhash >> CAST(48 - 16 * band AS INTEGER)) & 65535 AS chunk
+        FROM h, UNNEST(generate_series(0, 3)) AS ub(band)
+    ), cand AS (
+        SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+               a.dhash AS h_a, b.dhash AS h_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.chunk = b.chunk AND a.img_id < b.img_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(h_a, h_b)) <= 3
+"""
+
+# ANN recall contract rows (the HLL pattern): the oracle asserts exact
+# query keys + k and all-true witnesses; the measured recall is
+# deterministic (seeded quantizers) but only contract-bounded in SQL.
+ORACLE_SQL["embedding_ivf_recall"] = """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS k,
+           TRUE AS exact_side_full,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+"""
+
+ORACLE_SQL["embedding_pq_recall"] = """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS k,
+           TRUE AS exact_side_full,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+"""

@@ -4017,10 +4017,16 @@ def q_nations_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
     """Production-parity PageRank over the same trade graph as
     nations_pagerank: dangling mass redistributed (ranks sum to 1),
     epsilon convergence stop instead of a fixed round count,
-    localCheckpoint lineage truncation. Rows-only driver check: a
-    data-dependent round count is not SQL-expressible; the math is pinned
-    by the numpy power-iteration parity test and the 3-round twin's exact
-    oracle."""
+    localCheckpoint lineage truncation. The raw rank values are not
+    SQL-expressible (data-dependent round count), so the registered output
+    is the CONTRACT shape (same trick as the HLL / IVF rows): per graph
+    node, boolean witnesses that the stochastic-matrix model actually held
+    -- rank strictly inside (0, 1), ranks summing to 1 (the property the
+    leaking fixed-round twin does NOT have), and convergence before the
+    round cap. The DuckDB oracle recomputes the node set from the edges
+    and asserts every flag true, making the row hash-checkable; the rank
+    VALUES are pinned by the numpy power-iteration parity test
+    (tests/test_operators_unit.py) and the 3-round twin's exact oracle."""
     from .operators.graph import weighted_pagerank_converged
 
     li = load_table(spark, sf, "lineitem")
@@ -4051,11 +4057,14 @@ def q_nations_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("weight")
         )
     )
-    ranks = weighted_pagerank_converged(edges, eps=1e-9)
+    ranks = weighted_pagerank_converged(edges, eps=1e-9, max_iter=50)
+    # node-sized global window (25 nations): the sum-to-one witness
+    total = F.sum("rank").over(Window.partitionBy())
     return ranks.select(
         F.col("node").alias("n_name"),
-        F.round("rank", 6).alias("pagerank"),
-        "n_rounds",
+        ((F.col("rank") > 0) & (F.col("rank") < 1)).alias("rank_in_unit"),
+        (F.abs(total - F.lit(1.0)) < 1e-6).alias("sum_to_one"),
+        (F.col("n_rounds") < F.lit(50)).alias("converged"),
     )
 
 
@@ -4421,6 +4430,45 @@ def q_multimodal_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return image_dhash_dedup(with_payload)
 
 
+def q_multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-exact image matching by banded hamming distance over packed
+    64-bit dHashes (operators.multimodal.image_near_dup_hamming): each
+    document yields its 8x9 BMP plus a PERTURBED variant (first pixel's
+    red channel +96 mod 256 -- a one-gradient-bit brightness nudge), and
+    the operator must recover every (original, variant) pair plus the
+    exact-text dup cross-pairs at hamming <= 3. Candidates from an
+    equi-join on any shared 16-bit band of the BIGINT fingerprint
+    (SimHash pigeonhole: hamming <= 3 over 4 bands guarantees a shared
+    band -- recall 1.0, never all-pairs), exact bit_count(xor) rerank.
+    Oracle recomputes both fingerprints and the band join in SQL."""
+    import numpy as np
+
+    from .operators.multimodal import encode_bmp, image_near_dup_hamming
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def to_bmp(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                px = np.resize(b, 216).reshape(8, 9, 3)
+                rows.append((2 * doc_id, "image", bytearray(encode_bmp(px))))
+                px2 = px.copy()
+                px2[0, 0, 0] = (int(px2[0, 0, 0]) + 96) % 256
+                rows.append(
+                    (2 * doc_id + 1, "image", bytearray(encode_bmp(px2)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    with_payload = docs.mapInPandas(
+        to_bmp, "doc_id long, media_type string, payload binary"
+    )
+    return image_near_dup_hamming(with_payload, max_hamming=3)
+
+
 def q_multimodal_shot_keyframes(spark: SparkSession, sf: str) -> DataFrame:
     """Shot segmentation + keyframe selection over the same 6-frame
     planted-cut videos as multimodal_shot_boundaries
@@ -4574,73 +4622,55 @@ def q_stream_events_session_native(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_session_native(spark, sf)
 
 
+def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality accounting for the IVF path: recall@10 of the
+    partial-probe IVF answer (8 seeded cells, nprobe=2 -- the SAME budget
+    as embedding_ivf_ann) against the exact brute-force top-10, per query
+    (operators.similarity.topk_recall). The driver-checkable claim is the
+    contract row: every query's recall clears the pinned floor of 0.5 at
+    a 2/8 probe budget -- measured 0.7-1.0 across sf0.01/sf0.1, floor
+    pinned below with margin. PERF.md tracks recall vs nprobe."""
+    from .operators.similarity import cosine_topk, ivf_ann_topk, topk_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    approx = ivf_ann_topk(emb, qids, k=10, n_centroids=8, nprobe=2)
+    exact = cosine_topk(emb, qids, k=10)
+    return topk_recall(approx, exact, k=10, floor=0.5)
+
+
+def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality accounting for the PQ path, in its PRODUCTION serving
+    shape (operators.similarity.pq_rerank_topk -- ADC shortlist of 50,
+    then exact cosine rerank to top-10; raw ADC-rank@10 bottoms at 0.0
+    recall on this unclustered synthetic corpus, which is exactly the
+    measurement this row exists to surface). Contract row: recall@10 >=
+    the pinned 0.2 floor per query (measured 0.3-0.8 across
+    sf0.01/sf0.1; quantization distortion, not randomness -- codebooks
+    are deterministic). PERF.md tracks recall vs shortlist size."""
+    from .operators.similarity import cosine_topk, pq_rerank_topk, topk_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    approx = pq_rerank_topk(emb, qids, k=10, shortlist=50)
+    exact = cosine_topk(emb, qids, k=10)
+    return topk_recall(approx, exact, k=10, floor=0.2)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-6 rotation (VERDICT r5 item 1): slot 1 is
-    # the new cross-doc exact substring dedup (first-ever driver row), slots
-    # 2-50 are the 49 queries whose latest driver evidence dated to round 2
-    # (the reference spine incl. all four marts + the core dedup family) --
-    # re-verified hard AFTER the r5 dtype-strict-compare and cache-release
-    # changes. Past slot 50, blocks are ordered oldest-evidence-first (r3,
-    # then r4, then r5) so future rotations keep pointing at the stalest
-    # rows; other round-6 additions sit at 51+ and rotate in next round.
-    # Everything past slot 50 stays oracle-checked every round via
-    # tests/test_oracle_parity.py.
-    # --- block 1: round-6 additions needing a first driver row (1) ---
-    "corpus_substring_dedup": q_corpus_substring_dedup,
-    # --- block 2: latest driver evidence r2 (49) ---
-    "pricing_summary": q_pricing_summary,
-    "silver_denorm": q_silver_denorm,
-    "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
-    "mart_sales_by_customer": q_mart_sales_by_customer,
-    "adhoc_join_limit": q_adhoc_join_limit,
-    "multimodal_media_meta": q_multimodal_media_meta,
-    "stream_events_sessionize": q_stream_events_sessionize,
-    "text_stats": q_text_stats,
-    "text_langid": q_text_langid,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "cleaned_corpus": q_cleaned_corpus,
-    "embedding_cosine_topk": q_embedding_cosine_topk,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf_ann": q_embedding_ivf_ann,
-    "bronze_purchases": q_bronze_purchases,
-    "mart_sales_by_datetime": q_mart_sales_by_datetime,
-    "mart_sales_by_region": q_mart_sales_by_region,
-    "multimodal_type_stats": q_multimodal_type_stats,
-    "stream_events_windowed": q_stream_events_windowed,
-    "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "monthly_revenue": q_monthly_revenue,
-    "weekday_hour_revenue": q_weekday_hour_revenue,
-    "product_category_revenue": q_product_category_revenue,
-    "segment_category_revenue": q_segment_category_revenue,
-    "region_revenue": q_region_revenue,
-    "customer_base_stats": q_customer_base_stats,
-    "customer_monthly_stats": q_customer_monthly_stats,
-    "top_parts": q_top_parts,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "customer_running_total": q_customer_running_total,
-    "customer_order_ranks": q_customer_order_ranks,
-    "order_set_ops": q_order_set_ops,
-    "customers_without_orders": q_customers_without_orders,
-    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
-    "embedding_near_dup": q_embedding_near_dup,
-    "events_windowed_agg": q_events_windowed_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
-    "events_json_extract": q_events_json_extract,
-    "events_daily_pivot": q_events_daily_pivot,
-    "events_rollup": q_events_rollup,
-    "events_cube": q_events_cube,
-    "events_type_stats_salted": q_events_type_stats_salted,
-    "product_category_revenue_salted": q_product_category_revenue_salted,
-    # --- block 3: round-6 additions past the window (rotate in r7) ---
+    # the FIRST 50 entries. Round-7 rotation (VERDICT r6 item 1): slots
+    # 1-22 are the round-6-late additions whose correctness so far rested
+    # only on local oracle runs (first-ever driver rows, incl. the
+    # now-contract-oracled converged PageRank), slots 23-50 the 28 stalest
+    # round-3-era rows. Past slot 50, blocks stay ordered
+    # oldest-evidence-first (rest of r3, then r4, r5, and the reference
+    # spine re-verified in r6) so future rotations keep pointing at the
+    # stalest rows. Everything past slot 50 stays oracle-checked every
+    # round via tests/test_oracle_parity.py.
+    # --- block 1: round-6-late, first driver rows (22) ---
     "nations_pagerank_converged": q_nations_pagerank_converged,
     "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
     "corpus_dsir_select": q_corpus_dsir_select,
@@ -4663,7 +4693,7 @@ QUERIES = {
     "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
     "customer_k_anonymity": q_customer_k_anonymity,
     "stream_events_session_native": q_stream_events_session_native,
-    # --- block 4: latest driver evidence r3 (46) ---
+    # --- block 2: stalest r3-era driver evidence (28) ---
     "text_gopher_quality": q_text_gopher_quality,
     "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
     "embedding_semantic_dedup": q_embedding_semantic_dedup,
@@ -4692,6 +4722,11 @@ QUERIES = {
     "events_asof_last_order": q_events_asof_last_order,
     "stream_events_dedup": q_stream_events_dedup,
     "stream_events_purchase_follow": q_stream_events_purchase_follow,
+    # --- block 2b: round-7 additions past the window (rotate in r8) ---
+    "multimodal_image_near_dup": q_multimodal_image_near_dup,
+    "embedding_ivf_recall": q_embedding_ivf_recall,
+    "embedding_pq_recall": q_embedding_pq_recall,
+    # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_shard_pack": q_corpus_shard_pack,
@@ -4710,7 +4745,7 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- block 5: latest driver evidence r4 (33) ---
+    # --- block 4: latest driver evidence r4 (33) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -4744,7 +4779,7 @@ QUERIES = {
     "part_entity_resolution": q_part_entity_resolution,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
-    # --- block 6: latest driver evidence r5 (50) ---
+    # --- block 5: latest driver evidence r5 (50) ---
     "text_repetition": q_text_repetition,
     "orders_median_mode": q_orders_median_mode,
     "corpus_winsorized_length": q_corpus_winsorized_length,
@@ -4795,4 +4830,56 @@ QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
     "events_user_trend_pandas": q_events_user_trend_pandas,
+    # --- block 6: reference spine, re-verified r6 (50) ---
+    "corpus_substring_dedup": q_corpus_substring_dedup,
+    "pricing_summary": q_pricing_summary,
+    "silver_denorm": q_silver_denorm,
+    "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
+    "mart_sales_by_customer": q_mart_sales_by_customer,
+    "adhoc_join_limit": q_adhoc_join_limit,
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "stream_events_sessionize": q_stream_events_sessionize,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "cleaned_corpus": q_cleaned_corpus,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf_ann": q_embedding_ivf_ann,
+    "bronze_purchases": q_bronze_purchases,
+    "mart_sales_by_datetime": q_mart_sales_by_datetime,
+    "mart_sales_by_region": q_mart_sales_by_region,
+    "multimodal_type_stats": q_multimodal_type_stats,
+    "stream_events_windowed": q_stream_events_windowed,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "monthly_revenue": q_monthly_revenue,
+    "weekday_hour_revenue": q_weekday_hour_revenue,
+    "product_category_revenue": q_product_category_revenue,
+    "segment_category_revenue": q_segment_category_revenue,
+    "region_revenue": q_region_revenue,
+    "customer_base_stats": q_customer_base_stats,
+    "customer_monthly_stats": q_customer_monthly_stats,
+    "top_parts": q_top_parts,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "customer_running_total": q_customer_running_total,
+    "customer_order_ranks": q_customer_order_ranks,
+    "order_set_ops": q_order_set_ops,
+    "customers_without_orders": q_customers_without_orders,
+    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
+    "embedding_near_dup": q_embedding_near_dup,
+    "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
+    "events_json_extract": q_events_json_extract,
+    "events_daily_pivot": q_events_daily_pivot,
+    "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_type_stats_salted": q_events_type_stats_salted,
+    "product_category_revenue_salted": q_product_category_revenue_salted,
 }
+

@@ -566,6 +566,11 @@ def stream_pca_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = tempfile.mkdtemp(prefix="pca_stream_state_")
 
     def _accumulate(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch can receive EMPTY batches on checkpoint replay /
+        # restart; pca_moments on zero rows is undefined (no d probe), so
+        # skip -- zero moments contribute nothing to the merge anyway
+        if batch.isEmpty():
+            return
         n, s, ss = pca_moments(batch)
         with open(os.path.join(state_dir, f"batch_{batch_id}.json"), "w") as f:
             json.dump({"n": n, "s": list(s), "ss": list(ss.ravel())}, f)

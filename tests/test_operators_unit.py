@@ -2088,6 +2088,39 @@ def test_hard_negatives_exclude_same_label(spark):
     assert got[(2, 1)] in (0, 1)          # anchor 2's nearest is the base pair
 
 
+def test_hard_negatives_ring_cap_bounds_candidates(spark):
+    """The adversarial shuffle-bound witness: a degenerate corpus where
+    EVERY vector lands in the same sign bucket of every band (the case
+    that used to cost n^2/2 candidate rows at threshold 0). With the ring
+    cap, each anchor may meet at most cand_per_band successors plus
+    cand_per_band predecessors per band -- so the per-anchor candidate
+    count is <= 2 * n_bands * cand_per_band no matter the bucket size."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, cap = 60, 64, 2
+    rows = []
+    for i in range(n):
+        v = rng.uniform(0.05, 1.0, d)  # all-positive => one bucket everywhere
+        rows.append((i, [float(x) for x in v], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    # k large enough that the window never truncates below the candidate set
+    got = hard_negatives(emb, k=10_000, cand_per_band=cap).collect()
+    per_anchor: dict[int, int] = {}
+    for r in got:
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    bound = 2 * 4 * cap  # 2 directions x 4 bands x cap
+    assert max(per_anchor.values()) <= bound
+    # and the total candidate volume is linear in n, nowhere near n^2/2
+    assert len(got) <= n * bound < n * (n - 1) // 2
+
+
 def test_pca_moments_merge_equals_full_fit(spark):
     """Moment statistics must be associative: merging the two halves'
     moments reproduces the full-corpus covariance fit (eigenvalues to
@@ -2257,12 +2290,46 @@ def test_image_dhash_collides_only_on_same_gradient(spark):
         "doc_id long, media_type string, payload binary",
     )
     hashes = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
-    assert hashes[0] == hashes[1] == hashes[2] == "1" * 64
-    assert hashes[3] == "0" * 64
+    # 64 one-bits packed into a signed BIGINT = two's complement -1;
+    # 64 zero-bits = 0 (the packed form of the old '1'*64 / '0'*64 strings)
+    assert hashes[0] == hashes[1] == hashes[2] == -1
+    assert hashes[3] == 0
     groups = [
         (r.n_images, r.keeper_id) for r in image_dhash_dedup(df).collect()
     ]
     assert groups == [(3, 0)]
+
+
+def test_image_near_dup_hamming_banded(spark):
+    """The banded-hamming matcher must pair an image with its one-bit
+    perturbation (hamming 1), keep exact copies at hamming 0, and NOT pair
+    the gradient-flipped image (hamming 64, no shared band)."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.multimodal import (
+        encode_bmp,
+        image_near_dup_hamming,
+    )
+
+    base = np.zeros((8, 9, 3), dtype=np.uint8)
+    base[:, :, :] = (np.arange(9) * 10)[None, :, None]
+    onebit = base.copy()
+    onebit[0, 0, :] = 90  # first pixel above its right neighbor: bit 0 flips
+    flipped = base[:, ::-1, :].copy()
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(encode_bmp(base))),
+            (1, "image", bytearray(encode_bmp(base))),
+            (2, "image", bytearray(encode_bmp(onebit))),
+            (3, "image", bytearray(encode_bmp(flipped))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_hamming(df, max_hamming=3).collect()
+    }
+    assert got == {(0, 1): 0, (0, 2): 1, (1, 2): 1}
 
 
 def test_shot_keyframes_segments_on_cut(spark):

@@ -26,8 +26,6 @@ def test_every_query_has_oracle_or_is_flagged():
         "customer_base_stats_approx",  # HLL sketch is engine-specific
         "embedding_ivf_ann_trained",  # KMeans quantizer not SQL-reproducible
         "quality_quantiles_by_lang_approx",  # percentile sketch engine-specific
-        "nations_pagerank_converged",  # data-dependent round count; math
-        # pinned by numpy parity test + the 3-round twin's exact oracle
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
 

@@ -1,0 +1,77 @@
+"""sf0.1 spot-oracle tier (VERDICT r6 item 3): every routine oracle
+comparison runs at sf0.01, where many groups fit in ONE shuffle partition --
+so an operator whose correctness depends on partitioning (gaps-and-islands
+windows, banded joins, sessionization, iterative contraction) could pass
+there yet break the moment a group spans partitions. This tier re-runs the
+DuckDB comparison for the heavy partitioning-sensitive families at 10x the
+rows with the engine's full 32-way shuffle parallelism, so per-group data
+genuinely crosses partition boundaries.
+
+Marked `sf01`: deselect with `-m "not sf01"` for a quick loop; the round
+checklist runs it (`python -m pytest tests/test_oracle_sf01.py -q`).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_compare import compare, duckdb_connection
+
+SF01 = "/root/testdata/sf0.1"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+# the partitioning-sensitive families: window/island logic, banded
+# self-joins, stateful streaming drains, iterative graph contraction
+HEAVY = [
+    # cross-doc substring dedup: inverted index + two gaps-and-islands passes
+    "corpus_substring_dedup",
+    "corpus_substring_dedup_apply",
+    "corpus_substring_dedup_keep_first",
+    "corpus_substring_dedup_apply_keep_first",
+    # text dedup family: shingle/banded equi-joins + connected components
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "text_token_dedup",
+    # set-similarity join: prefix-filter blocking
+    "part_set_similarity_join",
+    # embedding banded joins (incl. the r7 ring-capped miner)
+    "embedding_near_dup",
+    "embedding_hard_negatives",
+    "multimodal_image_near_dup",
+    "multimodal_video_dedup",
+    # sessionize / windows / islands over event time
+    "events_sessionize",
+    "events_session_window",
+    "events_incident_windows",
+    "events_user_state_scd2",
+    "customer_running_total",
+    # importance resampling: corpus-wide bucket totals + broadcast ratios
+    "corpus_dsir_select",
+]
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = duckdb_connection(SF01)
+    yield c
+    c.close()
+
+
+def test_heavy_list_is_current():
+    missing = [q for q in HEAVY if q not in QUERIES or q not in ORACLES]
+    assert not missing, f"heavy-tier queries no longer registered/oracled: {missing}"
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", HEAVY)
+def test_heavy_query_matches_oracle_at_sf01(spark, con01, name):
+    df = QUERIES[name](spark, SF01)
+    report = compare(df, con01, ORACLES[name])
+    assert report["rowcount_match"], report
+    assert report["schema_match"], report
+    assert report["values_match"], report["first_diff"]

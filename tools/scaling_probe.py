@@ -85,13 +85,17 @@ HEAVY_CUTOFF_S = 5.0  # second trial skipped at sf1 past this first-trial wall
 
 
 def _time_query(spark, name: str, sf_dir: str, trials: int) -> float:
+    # the heavy cutoff applies ONLY at sf1 (matching the SCALING.md prose:
+    # every sub-sf1 cell is min-of-2); at smaller SFs a slow first trial
+    # still gets its second run
+    at_sf1 = os.path.abspath(sf_dir) == os.path.abspath(SF1_DIR)
     best = float("inf")
     for t in range(trials):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
         release_operator_caches()
-        if best > HEAVY_CUTOFF_S:
+        if at_sf1 and best > HEAVY_CUTOFF_S:
             break
     return best
 
