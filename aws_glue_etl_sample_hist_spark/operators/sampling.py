@@ -417,3 +417,145 @@ def dsir_select(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def dsir_quality(
+    pool: DataFrame,
+    target: DataFrame,
+    fraction: float = 0.25,
+    *,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """The claim Xie et al. 2023 actually make, audited: DSIR's selected
+    set is DISTRIBUTIONALLY closer to the target than a size-matched
+    random sample -- not merely "matches its own oracle". Computes the
+    add-one-smoothed hashed-ngram distributions of the target (T), the
+    ``dsir_select``-ed docs (S), and a deterministic random baseline
+    (R: the same-count pool docs with the smallest md5 draw under an
+    independent salt), then the exact KL(T || S) and KL(T || R) over all
+    ``n_buckets`` buckets (unobserved buckets enter through a closed-form
+    smoothing correction, so the divergences are exact, not truncated).
+
+    The audit selects a FRACTION of the pool (k = ceil(fraction *
+    n_pool)), not a fixed k: the improvement claim is a function of
+    selection PRESSURE, and pinning k would silently change the claim as
+    the corpus grows. Measured on the synthetic corpus (PERF.md): at 25%
+    pressure KL drops ~2.6-2.9x vs random at both sf0.01 and sf0.1; at a
+    fixed k=100 on sf0.1 (2% pressure) top-k OVERSHOOTS -- it
+    concentrates on extreme-ratio docs of a noise-dominated ratio map and
+    lands FARTHER from the target than random (0.372 vs 0.090). That
+    overshoot is a real property of top-k importance selection at
+    aggressive ratios, which is exactly why this audit exists.
+
+    Scale shape: the pool's per-(doc, bucket) counts are computed once and
+    filtered to S / R by left-semi joins on the bounded id sets; every
+    aggregate after that is <= n_buckets rows; the only driver traffic is
+    bounded scalars (pool count, three corpus totals + union-bucket count
+    in one row, the final two-KL row).
+
+    Returns ONE contract row -- (sel_fraction, n_selected_matches,
+    improves_over_random, kl_finite) -- hash-checkable against a literal
+    all-true oracle; the measured KLs are deterministic but not
+    SQL-bounded, so they live in PERF.md, not the driver row."""
+    import math
+
+    from ._cache import tracked_persist
+
+    n_pool = pool.count()  # bounded scalar: sets the selection size
+    k = int(math.ceil(fraction * n_pool))
+    sel_ids = dsir_select(
+        pool, target, k, n_buckets=n_buckets,
+        text_col=text_col, id_col=id_col, salt=salt,
+    ).select(id_col)
+    rand_ids = (
+        pool.select(id_col)
+        .orderBy(
+            sample_hash(F.col(id_col), salt + "_randbase").asc(),
+            F.col(id_col).asc(),
+        )
+        .limit(k)
+    )
+    doc_bucket = tracked_persist(
+        _hashed_grams(pool, text_col, id_col)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t_counts = (
+        _hashed_grams(target, text_col, None)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    s_counts = (
+        doc_bucket.join(sel_ids, id_col, "left_semi")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("s"))
+    )
+    r_counts = (
+        doc_bucket.join(rand_ids, id_col, "left_semi")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("r"))
+    )
+    joined = tracked_persist(
+        t_counts.join(s_counts, "bucket", "full_outer")
+        .join(r_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.coalesce("s", F.lit(0)).alias("s"),
+            F.coalesce("r", F.lit(0)).alias("r"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("t").alias("tt"),
+        F.sum("s").alias("st"),
+        F.sum("r").alias("rt"),
+        F.count(F.lit(1)).alias("n_obs"),
+    ).collect()[0]
+    tt, st, rt = float(tot.tt), float(tot.st), float(tot.rt)
+    n_missing = n_buckets - int(tot.n_obs)
+    td, sd, rd = tt + n_buckets, st + n_buckets, rt + n_buckets
+    partial = (
+        joined.select(
+            (
+                ((F.col("t") + 1) / td)
+                * (
+                    F.log((F.col("t") + 1) / td)
+                    - F.log((F.col("s") + 1) / sd)
+                )
+            ).alias("kls"),
+            (
+                ((F.col("t") + 1) / td)
+                * (
+                    F.log((F.col("t") + 1) / td)
+                    - F.log((F.col("r") + 1) / rd)
+                )
+            ).alias("klr"),
+        )
+        .agg(F.sum("kls").alias("kls"), F.sum("klr").alias("klr"))
+        .collect()[0]
+    )
+    # closed-form smoothing correction for the (n_buckets - n_obs) buckets
+    # unseen in ALL three corpora: each contributes (1/td)*ln(sd/td-ratio)
+    corr_s = n_missing * (1.0 / td) * (math.log(1.0 / td) - math.log(1.0 / sd))
+    corr_r = n_missing * (1.0 / td) * (math.log(1.0 / td) - math.log(1.0 / rd))
+    kl_sel = float(partial.kls) + corr_s
+    kl_rand = float(partial.klr) + corr_r
+    n_selected = sel_ids.count()
+    spark = pool.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                float(fraction),
+                bool(n_selected == k),
+                bool(kl_sel < kl_rand),
+                bool(math.isfinite(kl_sel) and math.isfinite(kl_rand)),
+            )
+        ],
+        "sel_fraction double, n_selected_matches boolean,"
+        " improves_over_random boolean, kl_finite boolean",
+    )

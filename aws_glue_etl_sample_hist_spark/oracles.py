@@ -4083,3 +4083,13 @@ ORACLE_SQL["embedding_pq_recall"] = """
            TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 5
 """
+
+# DSIR quality contract: one all-true row; the KL comparison itself is
+# deterministic (md5 draws) but not SQL-bounded -- PERF.md carries the
+# measured divergences.
+ORACLE_SQL["corpus_dsir_quality"] = """
+    SELECT 0.25::DOUBLE AS sel_fraction,
+           TRUE AS n_selected_matches,
+           TRUE AS improves_over_random,
+           TRUE AS kl_finite
+"""

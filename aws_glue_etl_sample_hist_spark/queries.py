@@ -4622,6 +4622,24 @@ def q_stream_events_session_native(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_session_native(spark, sf)
 
 
+def q_corpus_dsir_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR quality audit (operators.sampling.dsir_quality): at 25%
+    selection pressure, the selected docs' hashed-ngram distribution must
+    be closer (exact smoothed KL over all 4096 buckets) to the target
+    than a size-matched deterministic random sample's -- the
+    distribution-shift claim of Xie et al. 2023 itself, not just oracle
+    parity of the selection. Contract row; measured KLs (including the
+    fixed-k overshoot regime) are tracked in PERF.md."""
+    from .operators.sampling import dsir_quality
+
+    docs = load_table(spark, sf, "documents")
+    return dsir_quality(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        fraction=0.25,
+    )
+
+
 def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """ANN quality accounting for the IVF path: recall@10 of the
     partial-probe IVF answer (8 seeded cells, nprobe=2 -- the SAME budget
@@ -4726,6 +4744,7 @@ QUERIES = {
     "multimodal_image_near_dup": q_multimodal_image_near_dup,
     "embedding_ivf_recall": q_embedding_ivf_recall,
     "embedding_pq_recall": q_embedding_pq_recall,
+    "corpus_dsir_quality": q_corpus_dsir_quality,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -2428,3 +2428,61 @@ def test_video_frame_hash_dedup_overlap_threshold(spark):
     # dropped by the stop-frame guard; 0-1 still share f2,f3 (2 distinct,
     # meets min_shared=2); 0-2 and 1-2 share nothing surviving the guard
     assert got == {(0, 1): 2}
+
+
+def test_topk_recall_counts_hits(spark):
+    """recall@k accounting: hits = |approx ∩ exact| per query, floor
+    compared against the ROUNDED ratio; a query with recall exactly at
+    the floor passes."""
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        topk_recall,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: both right; q2: one right, one wrong
+        [(1, 10), (1, 11), (2, 21), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r.query_id: (r.k, r.exact_side_full, r.recall_ok)
+        for r in topk_recall(approx, exact, k=2, floor=0.5).collect()
+    }
+    assert got == {1: (2, True, True), 2: (2, True, True)}
+    strict = {
+        r.query_id: r.recall_ok
+        for r in topk_recall(approx, exact, k=2, floor=0.6).collect()
+    }
+    assert strict == {1: True, 2: False}
+
+
+def test_pq_rerank_beats_adc_rank(spark):
+    """The shortlist-rerank contract: with a shortlist covering the whole
+    corpus, pq_rerank_topk must return EXACTLY the brute-force top-k
+    (rerank math is exact cosine), regardless of ADC distortion."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        cosine_topk,
+        pq_rerank_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=64)], 0) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, [0, 1], k=5).collect()
+    }
+    rer = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_rerank_topk(emb, [0, 1], k=5, shortlist=39).collect()
+    }
+    assert rer == exact

@@ -76,6 +76,16 @@ PROBE = [
     "embedding_kmeans_parallel",
     "corpus_skipgram_pairs",
     "orders_target_encoding",
+    # round 6 (missed sf1 rows, VERDICT r6 item 7) -- every registered
+    # family gets two 10x-step data points
+    "corpus_negative_sampling_table",
+    "customer_k_anonymity",
+    "multimodal_video_dedup",
+    "stream_events_session_native",
+    # round 7: banded-hamming image near-dup (packed BIGINT fingerprints),
+    # ring-capped hard negatives already above; DSIR quality audit
+    "multimodal_image_near_dup",
+    "corpus_dsir_quality",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
@@ -208,12 +218,13 @@ def main() -> None:
         "  bounded-size dup clusters, so output -- and these walls -- grow",
         "  ~linearly there; the candidate machinery itself (signatures,",
         "  bands, pair-key blocking) is row-linear as the sub-10x",
-        "  non-pair-emitting rows show. embedding_hard_negatives (~40x)",
-        "  is the same effect at threshold 0: its candidate set is EVERY",
-        "  positive-cosine banded pair (~2x the near-dup pair count here),",
-        "  and though its OUTPUT is bounded at k*n by the top-k window,",
-        "  the window's input shuffle carries the candidate pairs -- on a",
-        "  real corpus band collisions are rare and this row is linear.",
+        "  non-pair-emitting rows show. embedding_hard_negatives used to",
+        "  be the one sibling WITHOUT a structural bound (r6: ~28x, every",
+        "  positive-cosine banded pair fed the top-k window's shuffle);",
+        "  since r7 its ring cap (each anchor meets <= cand_per_band",
+        "  bucket neighbors per band) makes candidates <= 2*4*8 per",
+        "  anchor REGARDLESS of bucket sizes -- candidate volume is now",
+        "  O(n), and its sf1 step reads like the non-pair-emitting rows.",
         "- **curation_pipeline (~21-24x across runs)**: same cause one level up -- its",
         "  dedup_clusters stage runs connected components over the",
         "  ~n^2-edge dup-pair graph (1.15M edges at sf1), so contraction",
