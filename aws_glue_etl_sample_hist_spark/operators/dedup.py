@@ -1015,3 +1015,75 @@ def substring_dedup_apply(
         F.size("_toks").cast("long").alias("n_tokens"),
         (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: containment C(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| -- the quote/excerpt/
+    boilerplate-wrapper detector. Jaccard misses the case a short doc is
+    wholly contained in a much longer one (union is dominated by the long
+    side, so J is tiny while C is ~1); containment is the right metric for
+    "this article was copied INTO that aggregation page", the second dedup
+    pass real crawl pipelines run after symmetric near-dup.
+
+    Same inverted-index shape as ngram_jaccard_pairs (distinct shingles ->
+    equi-join -> intersection counts; high-DF shingle stop-guard bounds
+    every posting list) with ONE refinement: the symmetric intersection is
+    computed once per unordered pair (id < id join) and then fans out into
+    the two directed rows via a 2-element explode -- candidate volume is
+    never doubled for asymmetry. Containment is measured over the KEPT
+    (post-max_df) shingle sets, stated in the output sizes.
+
+    Returns (doc_id, container_id, n_common, size, containment) for
+    directed pairs with containment >= threshold."""
+    sh = _distinct_shingles(docs, n, text_col, id_col, max_df).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("shingle").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("container_id"),
+                    F.col("n_common"),
+                    F.col("size_a").alias("size"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("container_id"),
+                    F.col("n_common"),
+                    F.col("size_b").alias("size"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        directed.withColumn(
+            "containment", F.round(F.col("n_common") / F.col("size"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_id", "container_id", "n_common", "size", "containment")
+    )

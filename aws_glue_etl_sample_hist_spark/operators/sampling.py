@@ -559,3 +559,57 @@ def dsir_quality(
         "sel_fraction double, n_selected_matches boolean,"
         " improves_over_random boolean, kl_finite boolean",
     )
+
+
+def context_pack(
+    df: DataFrame,
+    context_len: int = 512,
+    bucket_width: int = 32,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed-size
+    context windows so padding is bounded -- the step between a sampled
+    corpus and the dataloader, where naive one-doc-per-context wastes most
+    of the batch on padding tokens.
+
+    True first-fit-decreasing is inherently sequential, so this is the
+    LENGTH-BUCKETED static packing real pipelines use instead: docs whose
+    token count falls in [b*W, (b+1)*W) share a bucket, and a bucket's bin
+    capacity is the CLOSED-FORM floor(C / ((b+1)*W)) docs (capacity
+    guaranteed by the bucket's upper bound -- no cumulative sum, no
+    sequential state). bin = floor(rank_in_bucket / capacity) with rank a
+    per-bucket row_number: ONE window partitioned by length bucket, fully
+    parallel across buckets, deterministic, engine-portable. Per-bin
+    padding is bounded by capacity * W + (C mod bucket upper) by
+    construction. Docs >= C tokens get capacity max(1,0)=1 -- their own
+    bin, flagged truncated.
+
+    Returns per-doc (id, n_tokens, lbucket, bin, truncated); callers
+    aggregate per (lbucket, bin) for padding accounting."""
+    w = F.col(weight_col)
+    lb = F.floor(w / bucket_width)
+    dpb = F.greatest(
+        F.lit(1), F.floor(F.lit(context_len) / ((lb + 1) * bucket_width))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lbucket").orderBy(F.col(id_col))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            w.cast("long").alias("n_tokens"),
+            lb.cast("long").alias("lbucket"),
+            dpb.cast("long").alias("_dpb"),
+            (w >= context_len).alias("truncated"),
+        )
+        .withColumn("_rk", rk)
+        .select(
+            id_col,
+            "n_tokens",
+            "lbucket",
+            F.floor((F.col("_rk") - 1) / F.col("_dpb")).cast("long").alias("bin"),
+            "truncated",
+        )
+    )

@@ -4093,3 +4093,66 @@ ORACLE_SQL["corpus_dsir_quality"] = """
            TRUE AS improves_over_random,
            TRUE AS kl_finite
 """
+
+# asymmetric containment dedup: the jaccard inverted-index CTEs plus the
+# max_df stop-shingle guard, intersection computed once per unordered pair
+# then fanned into both directed rows
+ORACLE_SQL["dedup_containment"] = r"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    ), keep AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) <= 100
+    ), sh AS (
+        SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
+    ), sizes AS (
+        SELECT doc_id, COUNT(shingle) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pair2 AS (
+        SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b
+        FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                   JOIN sizes sb ON inter.doc_b = sb.doc_id
+    ), directed AS (
+        SELECT doc_a AS doc_id, doc_b AS container_id, n_common,
+               size_a AS size
+        FROM pair2
+        UNION ALL
+        SELECT doc_b, doc_a, n_common, size_b FROM pair2
+    )
+    SELECT doc_id, container_id, n_common, size,
+           ROUND(n_common / size, 4) AS containment
+    FROM directed
+    WHERE ROUND(n_common / size, 4) >= 0.8
+"""
+
+# length-bucketed context packing: closed-form per-bucket bin capacity,
+# row_number binning, per-bin padding accounting
+ORACLE_SQL["corpus_context_pack"] = r"""
+    WITH d AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS nt
+        FROM documents
+    ), b AS (
+        SELECT doc_id, nt, nt // 32 AS lbucket,
+               GREATEST(1, 512 // ((nt // 32 + 1) * 32)) AS dpb
+        FROM d
+    ), r AS (
+        SELECT doc_id, nt, lbucket, dpb,
+               ROW_NUMBER() OVER (PARTITION BY lbucket ORDER BY doc_id) AS rk
+        FROM b
+    )
+    SELECT CAST(lbucket AS BIGINT) AS lbucket,
+           CAST((rk - 1) // dpb AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(GREATEST(0, 512 - SUM(nt)) AS BIGINT) AS padding,
+           BOOL_OR(nt >= 512) AS any_truncated
+    FROM r GROUP BY 1, 2
+"""

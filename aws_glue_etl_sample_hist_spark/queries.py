@@ -4640,6 +4640,48 @@ def q_corpus_dsir_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (operators.dedup.containment_pairs):
+    directed pairs where >= 80% of one doc's 3-gram shingles appear in
+    another's -- the quote/excerpt detector symmetric Jaccard misses when
+    a short doc is wholly contained in a long one. Inverted-index
+    candidates with the max_df stop-shingle guard; oracle mirrors the
+    index join and the per-direction ratio in SQL."""
+    from .operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.8, max_df=100
+    )
+
+
+def q_corpus_context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing audit (operators.sampling.context_pack):
+    length-bucketed static packing of the corpus into 512-token context
+    windows (bucket width 32; per-bucket bin capacity is closed-form, one
+    parallel window, no sequential first-fit state), aggregated to
+    per-bin (n_docs, sum_tokens, padding) -- the padding-efficiency
+    accounting every dataloader pipeline needs. Oracle mirrors the
+    row_number binning and padding arithmetic in SQL."""
+    from .operators.sampling import context_pack
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    packed = context_pack(docs, context_len=512, bucket_width=32)
+    return (
+        packed.groupBy("lbucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.greatest(F.lit(0), F.lit(512) - F.sum("n_tokens"))
+            .cast("long")
+            .alias("padding"),
+            F.max(F.col("truncated").cast("int")).cast("boolean").alias("any_truncated"),
+        )
+    )
+
+
 def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """ANN quality accounting for the IVF path: recall@10 of the
     partial-probe IVF answer (8 seeded cells, nprobe=2 -- the SAME budget
@@ -4745,6 +4787,8 @@ QUERIES = {
     "embedding_ivf_recall": q_embedding_ivf_recall,
     "embedding_pq_recall": q_embedding_pq_recall,
     "corpus_dsir_quality": q_corpus_dsir_quality,
+    "dedup_containment": q_dedup_containment,
+    "corpus_context_pack": q_corpus_context_pack,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -2486,3 +2486,57 @@ def test_pq_rerank_beats_adc_rank(spark):
         for r in pq_rerank_topk(emb, [0, 1], k=5, shortlist=39).collect()
     }
     assert rer == exact
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: Jaccard is tiny
+    (union dominated by the long side) but containment(short in long) is
+    1.0 -- and the direction matters (long in short stays far below
+    threshold)."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long = filler + " " + short + " " + " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.container_id): r.containment
+        for r in containment_pairs(docs, threshold=0.8, max_df=100).collect()
+    }
+    assert got.get((1, 2)) == 1.0       # short contained in long
+    assert (2, 1) not in got            # NOT vice versa
+    assert (3, 2) not in got and (2, 3) not in got
+    jac = ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    assert not any(
+        {r.doc_a, r.doc_b} == {1, 2} for r in jac
+    )  # symmetric jaccard misses the pair at its own default threshold
+
+
+def test_context_pack_capacity_and_determinism(spark):
+    """Every bin's token sum must respect the context length (docs under
+    C), capacity is the closed form, and truncated docs sit alone."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        context_pack,
+    )
+
+    rows = [(i, 10 + (i * 37) % 600) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = context_pack(df, context_len=512, bucket_width=32).collect()
+    bins: dict[tuple[int, int], list] = {}
+    for r in packed:
+        bins.setdefault((r.lbucket, r.bin), []).append(r)
+    for (lb, _), members in bins.items():
+        total = sum(m.n_tokens for m in members)
+        if any(m.truncated for m in members):
+            assert len(members) == 1  # truncated docs pack alone
+        else:
+            assert total <= 512, (lb, total)
+    # deterministic: same input -> identical assignment
+    again = context_pack(df, context_len=512, bucket_width=32).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
