@@ -87,6 +87,13 @@ HEADLINE = [
     "corpus_substring_dedup_apply",
     "corpus_dsir_select",
     "embedding_hard_negatives",
+    # round-7 additions: banded-hamming media near-dup (packed BIGINT),
+    # asymmetric containment, context packing, ANN recall accounting
+    "multimodal_image_near_dup",
+    "dedup_containment",
+    "corpus_context_pack",
+    "embedding_ivf_recall",
+    "embedding_pq_recall",
 ]
 
 
