@@ -2540,3 +2540,81 @@ def test_context_pack_capacity_and_determinism(spark):
     # deterministic: same input -> identical assignment
     again = context_pack(df, context_len=512, bucket_width=32).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_pca_moments_guard_empty_and_single(spark):
+    """ADVICE r6: foreachBatch can hand an empty micro-batch on checkpoint
+    replay -- pca_moments must fail LOUDLY (not TypeError on first()[0]),
+    and pca_from_moments must reject n<=1 instead of dividing by zero."""
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        pca_from_moments,
+        pca_moments,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="no rows"):
+        pca_moments(empty)
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    n, s, ss = pca_moments(one)
+    with _pytest.raises(ValueError, match="n >= 2"):
+        pca_from_moments(n, s, ss, k=1)
+
+
+def test_avro_gate_classifies_only_missing_datasource():
+    """ADVICE r6: only the FAILED_FIND_DATA_SOURCE / 'Failed to find ...
+    data source: avro' failure is the missing-jar case; a PATH_NOT_FOUND
+    whose path merely contains 'avro' must NOT be blamed on the jar."""
+    from aws_glue_etl_sample_hist_spark.io.sources import (
+        _is_missing_avro_module,
+    )
+
+    assert _is_missing_avro_module(
+        Exception(
+            "Failed to find data source: avro. Avro is built-in but "
+            "external data source module since Spark 2.4."
+        )
+    )
+    assert _is_missing_avro_module(
+        Exception("[FAILED_FIND_DATA_SOURCE] could not load avro")
+    )
+    assert not _is_missing_avro_module(
+        Exception(
+            "[PATH_NOT_FOUND] Path does not exist: "
+            "file:/tmp/pytest/avro_roundtrip. SQLSTATE: 42K03"
+        )
+    )
+    assert not _is_missing_avro_module(
+        Exception("Permission denied: /data/avro_lake/part-0000.avro")
+    )
+
+
+def test_dsir_gumbel_draw_never_hits_log_zero(spark):
+    """ADVICE r6: doc_id 999286 hashes to 999999 under the 'dsir' salt --
+    the +1/MOD draw gave u = 1.0 exactly, making -log(-log(u)) NULL in
+    Spark (doc silently sorts last) while DuckDB RAISES. The +0.5 draw
+    must give this doc a finite score like everyone else."""
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.sampling import dsir_select
+
+    pool = spark.createDataFrame(
+        [
+            (999286, "alpha beta gamma delta"),
+            (1, "alpha beta epsilon zeta"),
+            (2, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = dsir_select(pool, target, k=3).collect()
+    assert len(rows) == 3
+    by_id = {r.doc_id: r for r in rows}
+    assert 999286 in by_id
+    for r in rows:
+        assert r.score is not None and math.isfinite(r.score), r

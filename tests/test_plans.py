@@ -118,6 +118,10 @@ NESTED_LOOP_WHITELIST = {
     "orders_benford_audit",        # 1-row total x 9-digit frame
     "embedding_ivf_index_search",  # probe-cell equi-join, but the build's
                                    # assignment pass crossJoins broadcast centroids
+    "embedding_ivf_recall",        # composes the exact twin (broadcast 5 queries
+                                   # x corpus) + the IVF assignment crossJoin
+    "embedding_pq_recall",         # composes the exact twin + broadcast 5
+                                   # queries x encoded corpus (ADC shortlist)
 }
 
 
