@@ -1076,7 +1076,7 @@ def video_frame_hash_dedup(
 
 
 def image_near_dup_hamming(
-    with_payload: DataFrame, max_hamming: int = 3
+    with_payload: DataFrame, max_hamming: int = 3, *, max_bucket: int = 256
 ) -> DataFrame:
     """Near-exact image matching under small perceptual drift: pairs of
     images whose 64-bit dHashes differ in at most ``max_hamming`` bits --
@@ -1089,9 +1089,20 @@ def image_near_dup_hamming(
     and the exact test is one bit_count(xor) per candidate -- never an
     all-pairs hamming scan, and both steps are engine-portable SQL.
 
+    ``max_bucket`` is the stop-bucket guard (the max_df idea at the band
+    level): gradient fingerprints are NOT uniform -- common patterns make
+    hot 16-bit buckets whose within-bucket pairs grow quadratically
+    (measured on the synthetic corpus: 254k -> 20.3M candidates for 10x
+    images before the guard, max bucket 208 -> 1952). Dropping buckets
+    over ``max_bucket`` members bounds candidates at <= 2*n*max_bucket
+    (linear); a true pair is lost only if EVERY band it shares lands in a
+    hot bucket, so the pigeonhole recall guarantee holds for pairs with
+    at least one non-hot shared band -- the same documented trade as
+    every max_df guard in the engine.
+
     Returns (id_a, id_b, hamming), id_a < id_b, exact distances."""
     hashes = image_dhash(with_payload)
-    bands = hashes.select(
+    all_bands = hashes.select(
         "doc_id",
         "dhash",
         F.posexplode(
@@ -1103,6 +1114,13 @@ def image_near_dup_hamming(
             )
         ).alias("band", "chunk"),
     )
+    cool = (
+        all_bands.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") <= max_bucket)
+        .select("band", "chunk")
+    )
+    bands = all_bands.join(cool, ["band", "chunk"])
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("dhash").alias("h_a"),

@@ -4049,10 +4049,15 @@ ORACLE_SQL["multimodal_image_near_dup"] = """
                             ELSE 0 END) AS hu
             FROM bits GROUP BY img_id
         )
-    ), bands AS (
+    ), bands0 AS (
         SELECT img_id, dhash, band,
                (dhash >> CAST(48 - 16 * band AS INTEGER)) & 65535 AS chunk
         FROM h, UNNEST(generate_series(0, 3)) AS ub(band)
+    ), cool AS (
+        SELECT band, chunk FROM bands0 GROUP BY band, chunk
+        HAVING COUNT(*) <= 256
+    ), bands AS (
+        SELECT bands0.* FROM bands0 JOIN cool USING (band, chunk)
     ), cand AS (
         SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
                a.dhash AS h_a, b.dhash AS h_b

@@ -52,6 +52,10 @@ HEAVY = [
     "customer_running_total",
     # importance resampling: corpus-wide bucket totals + broadcast ratios
     "corpus_dsir_select",
+    # r7 additions: asymmetric containment (inverted index), context
+    # packing (per-bucket windows)
+    "dedup_containment",
+    "corpus_context_pack",
 ]
 
 

@@ -245,6 +245,15 @@ def main() -> None:
         "  JPEG row is the costliest per-byte (Python entropy coding,",
         "  ~1 MB/s/core ceiling quantified in PERF.md) and tracks doc count",
         "  exactly linearly (10.0x per 10x docs).",
+        "- **multimodal_image_near_dup**: OUTPUT pairs are linear on this",
+        "  corpus (5.7k -> 57k per 10x images -- per-replica vocabulary",
+        "  permutation kills cross-replica image dups), but the raw",
+        "  16-bit-band candidate space measured 254k -> 20.3M (hot",
+        "  gradient buckets, max 208 -> 1952 members): the r7 stop-bucket",
+        "  guard (max_bucket=256, the max_df idea at the band level)",
+        "  bounds candidates at 2*n*256, halves the sf1 wall, and costs",
+        "  0.4% of pairs (those whose EVERY shared band is hot) -- zero",
+        "  at the <= sf0.1 oracle tiers where no bucket exceeds the cap.",
         "- **corpus_substring_dedup 7.3x**: shingle rows scale with corpus",
         "  tokens; the duplicated-shingle join and per-doc windows carry",
         "  md5 hashes + integer positions only, never document text.",
