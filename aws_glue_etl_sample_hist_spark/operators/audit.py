@@ -272,3 +272,72 @@ def key_skew_profile(df: DataFrame, table: str, key: str) -> DataFrame:
             ),
         ).alias("top_key"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    reference: str,
+    value_col: str = "n_chars",
+    bucket_width: int = 256,
+    n_buckets: int = 16,
+    alert_threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index per group against a reference group --
+    the standard "did this slice's distribution move" monitor (PSI > 0.2
+    is the conventional re-examine threshold) run before admitting a new
+    crawl batch / source into a training mix.
+
+    PSI(g) = sum over buckets of (p_g - p_ref) * ln(p_g / p_ref), with
+    FIXED-width value buckets (floor(value / width), capped at
+    n_buckets-1) so binning is deterministic and engine-portable -- no
+    quantile sketch in the definition of the metric itself -- and add-one
+    smoothing so empty buckets stay finite.
+
+    Scale shape: one groupBy(group, bucket) count (map-side combined,
+    output bounded by groups x n_buckets), the reference's bucket
+    distribution broadcast back, one groups-cardinality aggregate. The
+    corpus is scanned once."""
+    bucket = F.least(
+        F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)
+    ).alias("bucket")
+    counts = df.select(F.col(group_col).alias("grp"), bucket).groupBy(
+        "grp", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # densify to ALL n_buckets per group so smoothing covers empty buckets
+    grps = counts.select("grp").distinct()
+    grid = grps.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(n_buckets).select(
+                F.col("id").alias("bucket")
+            )
+        )
+    )
+    dense = grid.join(counts, ["grp", "bucket"], "left").select(
+        "grp", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    totals = dense.groupBy("grp").agg(F.sum("n").alias("tot"))
+    dist = dense.join(F.broadcast(totals), "grp").select(
+        "grp",
+        "bucket",
+        ((F.col("n") + 1) / (F.col("tot") + n_buckets)).alias("p"),
+    )
+    ref = dist.filter(F.col("grp") == reference).select(
+        "bucket", F.col("p").alias("p_ref")
+    )
+    return (
+        dist.filter(F.col("grp") != reference)
+        .join(F.broadcast(ref), "bucket")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("p_ref"))
+                    * (F.log("p") - F.log("p_ref"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .withColumn("drifted", F.col("psi") > alert_threshold)
+    )

@@ -4161,3 +4161,34 @@ ORACLE_SQL["corpus_context_pack"] = r"""
            BOOL_OR(nt >= 512) AS any_truncated
     FROM r GROUP BY 1, 2
 """
+
+# PSI drift monitor: fixed-width buckets + add-one smoothing, alert on the
+# ROUNDED value so the flag is engine-exact
+ORACLE_SQL["corpus_psi_drift"] = """
+    WITH c AS (
+        SELECT source AS grp, LEAST(n_chars // 256, 15) AS bucket,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1, 2
+    ), grid AS (
+        SELECT g.grp, b.bucket
+        FROM (SELECT DISTINCT grp FROM c) g,
+             UNNEST(generate_series(0, 15)) AS b(bucket)
+    ), dense AS (
+        SELECT grid.grp, grid.bucket, COALESCE(c.n, 0) AS n
+        FROM grid LEFT JOIN c
+          ON c.grp = grid.grp AND c.bucket = grid.bucket
+    ), tot AS (
+        SELECT grp, SUM(n) AS t FROM dense GROUP BY 1
+    ), dist AS (
+        SELECT dense.grp, bucket, (n + 1) / (t + 16.0) AS p
+        FROM dense JOIN tot USING (grp)
+    ), ref AS (
+        SELECT bucket, p AS p_ref FROM dist WHERE grp = 'src0'
+    )
+    SELECT grp AS source,
+           ROUND(SUM((p - p_ref) * (ln(p) - ln(p_ref))), 6) AS psi,
+           ROUND(SUM((p - p_ref) * (ln(p) - ln(p_ref))), 6) > 0.2 AS drifted
+    FROM dist JOIN ref USING (bucket)
+    WHERE grp <> 'src0'
+    GROUP BY 1
+"""

@@ -4682,6 +4682,22 @@ def q_corpus_context_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per source vs the src0 reference
+    (operators.audit.psi_drift): fixed-width n_chars buckets, add-one
+    smoothing, PSI > 0.2 alert flag -- the admit-this-crawl-batch
+    distribution monitor. One corpus scan; output bounded by sources x
+    16 buckets. Oracle mirrors the binning and smoothing in SQL."""
+    from .operators.audit import psi_drift
+
+    return psi_drift(
+        load_table(spark, sf, "documents"),
+        group_col="source",
+        reference="src0",
+        value_col="n_chars",
+    )
+
+
 def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """ANN quality accounting for the IVF path: recall@10 of the
     partial-probe IVF answer (8 seeded cells, nprobe=2 -- the SAME budget
@@ -4789,6 +4805,7 @@ QUERIES = {
     "corpus_dsir_quality": q_corpus_dsir_quality,
     "dedup_containment": q_dedup_containment,
     "corpus_context_pack": q_corpus_context_pack,
+    "corpus_psi_drift": q_corpus_psi_drift,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

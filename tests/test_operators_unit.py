@@ -2618,3 +2618,24 @@ def test_dsir_gumbel_draw_never_hits_log_zero(spark):
     assert 999286 in by_id
     for r in rows:
         assert r.score is not None and math.isfinite(r.score), r
+
+
+def test_psi_drift_flags_planted_shift(spark):
+    """PSI must be ~0 for a group drawn from the reference distribution
+    and exceed the 0.2 alert threshold for a clearly shifted one."""
+    rows = []
+    # reference + clone: values spread over buckets 0..7
+    for i in range(400):
+        rows.append((i, "ref", (i % 8) * 256))
+        rows.append((1000 + i, "same", (i % 8) * 256))
+        rows.append((2000 + i, "shifted", 2048 + (i % 8) * 256))  # buckets 8..15
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from aws_glue_etl_sample_hist_spark.operators.audit import psi_drift
+
+    got = {
+        r.source: (r.psi, r.drifted)
+        for r in psi_drift(df, reference="ref").collect()
+    }
+    assert set(got) == {"same", "shifted"}
+    assert abs(got["same"][0]) < 1e-9 and got["same"][1] is False
+    assert got["shifted"][0] > 0.2 and got["shifted"][1] is True

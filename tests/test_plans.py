@@ -122,6 +122,8 @@ NESTED_LOOP_WHITELIST = {
                                    # x corpus) + the IVF assignment crossJoin
     "embedding_pq_recall",         # composes the exact twin + broadcast 5
                                    # queries x encoded corpus (ADC shortlist)
+    "corpus_psi_drift",            # sources-cardinality grid x broadcast
+                                   # 16-bucket range (densify for smoothing)
 }
 
 
