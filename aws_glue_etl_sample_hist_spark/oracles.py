@@ -4192,3 +4192,43 @@ ORACLE_SQL["corpus_psi_drift"] = """
     WHERE grp <> 'src0'
     GROUP BY 1
 """
+
+# streaming drift monitor: per deterministic split (user_id % 3), PSI of
+# the split's value histogram vs the GLOBAL reference -- the availableNow
+# drain yields one micro-batch per split, so the streaming answer equals
+# this batch SQL
+ORACLE_SQL["stream_quality_drift"] = """
+    WITH e AS (
+        SELECT user_id % 3 AS split,
+               LEAST(CAST(FLOOR(value / 32) AS INTEGER), 15) AS bucket
+        FROM events
+    ), c AS (
+        SELECT split, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.split, b.bucket
+        FROM (SELECT DISTINCT split FROM e) s,
+             UNNEST(generate_series(0, 15)) AS b(bucket)
+    ), dense AS (
+        SELECT grid.split, grid.bucket, COALESCE(c.n, 0) AS n
+        FROM grid LEFT JOIN c
+          ON c.split = grid.split AND c.bucket = grid.bucket
+    ), tot AS (
+        SELECT split, SUM(n) AS t FROM dense GROUP BY 1
+    ), dist AS (
+        SELECT dense.split, bucket, (n + 1) / (t + 16.0) AS p, t
+        FROM dense JOIN tot USING (split)
+    ), gref AS (
+        SELECT b.bucket,
+               (COALESCE(cg.n, 0) + 1)
+                   / ((SELECT COUNT(*) FROM e) + 16.0) AS p_ref
+        FROM UNNEST(generate_series(0, 15)) AS b(bucket)
+        LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM e GROUP BY 1) cg
+          ON cg.bucket = b.bucket
+    )
+    SELECT CAST(split AS INTEGER) AS split,
+           CAST(MAX(t) AS BIGINT) AS n_events,
+           ROUND(SUM((p - p_ref) * (ln(p) - ln(p_ref))), 6) AS psi,
+           ROUND(SUM((p - p_ref) * (ln(p) - ln(p_ref))), 6) > 0.2 AS drifted
+    FROM dist JOIN gref USING (bucket)
+    GROUP BY split
+"""

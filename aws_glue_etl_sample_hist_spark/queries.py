@@ -4698,6 +4698,18 @@ def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_quality_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming per-micro-batch PSI drift monitor
+    (streaming.jobs.stream_quality_drift): the corpus split into three
+    deterministic one-file batches (user_id % 3), each batch's value
+    histogram PSI'd against the full-corpus reference inside foreachBatch
+    -- the as-data-arrives form of corpus_psi_drift. Oracle recomputes
+    the per-split PSI against the global distribution in SQL."""
+    from .streaming.jobs import stream_quality_drift
+
+    return stream_quality_drift(spark, sf)
+
+
 def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     """ANN quality accounting for the IVF path: recall@10 of the
     partial-probe IVF answer (8 seeded cells, nprobe=2 -- the SAME budget
@@ -4806,6 +4818,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "corpus_context_pack": q_corpus_context_pack,
     "corpus_psi_drift": q_corpus_psi_drift,
+    "stream_quality_drift": q_stream_quality_drift,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

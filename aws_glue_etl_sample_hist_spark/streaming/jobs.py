@@ -643,3 +643,93 @@ def stream_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: per micro-batch PSI of the
+    events `value` distribution against the full-corpus reference -- the
+    model-monitoring loop (operators.audit.psi_drift's semantics) run AS
+    data arrives, so a skewed producer is flagged on its first batch, not
+    at the next nightly audit.
+
+    Determinism scaffold: the corpus is split into exactly three files
+    keyed by user_id % 3 (one file per split, written separately), so the
+    maxFilesPerTrigger=1 availableNow drain yields exactly one micro-batch
+    per split and the (split, psi) answer is batch-order-invariant --
+    which is what makes the streaming answer oracle-checkable in SQL.
+    Per batch, only the 16-row bucket histogram is collected; the
+    reference histogram is computed once up front (16 smoothed probs on
+    the driver). At scale the same foreachBatch ships the histogram to a
+    metrics store instead of a local list.
+
+    Returns (split, n_events, psi, drifted) -- PSI over fixed-width value
+    buckets (width 32, cap 15; /32 is a power-of-two divide so the float
+    binning is engine-exact), add-one smoothed, alert at 0.2."""
+    import math
+
+    n_buckets, width, thr = 16, 32.0, 0.2
+    ev = spark.read.parquet(table_path(sf_dir, "events")).withColumn(
+        "split", F.pmod("user_id", F.lit(3)).cast("int")
+    )
+    bucket = F.least(
+        F.floor(F.col("value") / width), F.lit(n_buckets - 1)
+    ).cast("int")
+    ref_rows = (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded: <= 16 rows
+    ref_n = {r.bucket: r.n for r in ref_rows}
+    ref_tot = sum(ref_n.values())
+    ref_p = [
+        (ref_n.get(b, 0) + 1) / (ref_tot + n_buckets) for b in range(n_buckets)
+    ]
+
+    src_dir = tempfile.mkdtemp(prefix="drift_stream_src_")
+    for s in range(3):
+        ev.filter(F.col("split") == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"s{s}"))
+
+    results: list[tuple[int, int, float, bool]] = []
+
+    def _audit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        hist = (
+            batch.select(
+                F.col("split"),
+                F.least(
+                    F.floor(F.col("value") / width), F.lit(n_buckets - 1)
+                ).cast("int").alias("bucket"),
+            )
+            .groupBy("split", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # bounded: <= 16 rows (one split per batch by construction)
+        split = int(hist[0].split)
+        n_b = {r.bucket: r.n for r in hist}
+        tot = sum(n_b.values())
+        psi = 0.0
+        for b in range(n_buckets):  # fixed bucket order: deterministic sum
+            p = (n_b.get(b, 0) + 1) / (tot + n_buckets)
+            psi += (p - ref_p[b]) * (math.log(p) - math.log(ref_p[b]))
+        psi = round(psi, 6)
+        results.append((split, tot, psi, psi > thr))
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="drift_stream_ckpt_"), "ckpt")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/s*")
+        .writeStream.foreachBatch(_audit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(results),
+        "split int, n_events long, psi double, drifted boolean",
+    )
