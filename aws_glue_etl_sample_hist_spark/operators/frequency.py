@@ -69,3 +69,100 @@ def heavy_hitters_exact(
         .filter(F.col("freq") >= F.ceil(F.col("_n") * threshold_frac))
         .select(col, F.col("freq").cast("long").alias("freq"))
     )
+
+
+def count_min_estimates(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for a set of query keys -- THE mergeable sketch for "how often did X
+    occur" over a stream too wide for an exact frequency table: the sketch
+    is depth x width counters (here 4 x 1024 = 16 KB), each item
+    increments one counter per row (md5-derived column, so the sketch is
+    DETERMINISTIC and engine-portable), and est(x) = min over rows of its
+    counter. Guarantees: est >= true always (collisions only add), and
+    P(est > true + e*N) <= (1/2)^depth at width = 2/e -- the bounds this
+    operator SURFACES per query key instead of asking for trust.
+
+    Scale shape: one groupBy((row, col)) count with map-side combine --
+    the shuffle is bounded by depth*width regardless of corpus size
+    (that bounded table IS the mergeable sketch; union two corpora's
+    tables and re-sum to merge). Query keys join against it by broadcast.
+    Returns (item, est_n, depth, width) -- est_n the CMS estimate.
+    Callers join true counts beside it for the bound witnesses (see
+    queries.q_corpus_token_cms)."""
+    cell = None
+    cells = []
+    for r in range(depth):
+        col_idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}{r}:"), F.col(item_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        cells.append(F.struct(F.lit(r).alias("r"), col_idx.alias("c")))
+    cell = F.explode(F.array(*cells)).alias("cell")
+    sketch = (
+        items.select(cell)
+        .select(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = queries.select(F.col(item_col).alias("item"))
+    q_cells = q.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{salt}{r}:"),
+                                            F.col("item").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("item", F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+    return (
+        q_cells.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_n"))
+        .select(
+            "item",
+            F.col("est_n").cast("long").alias("est_n"),
+            F.lit(depth).cast("long").alias("depth"),
+            F.lit(width).cast("long").alias("width"),
+        )
+    )

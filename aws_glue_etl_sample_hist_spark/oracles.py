@@ -4232,3 +4232,40 @@ ORACLE_SQL["stream_quality_drift"] = """
     FROM dist JOIN gref USING (bucket)
     GROUP BY split
 """
+
+# Count-Min sketch: md5 hash columns make the sketch deterministic, so the
+# oracle recomputes it EXACTLY -- estimates and both bound witnesses
+ORACLE_SQL["corpus_token_cms"] = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+        FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok),
+    truec AS (SELECT item, COUNT(*) AS true_n FROM tok GROUP BY 1),
+    q AS (
+        SELECT item, true_n FROM truec
+        ORDER BY true_n DESC, item ASC LIMIT 20
+    ), cells AS (
+        SELECT CAST(('0x' || substr(md5('cms' || r || ':' || item), 1, 8))
+                    AS BIGINT) % 1024 AS c, r
+        FROM tok, UNNEST(generate_series(0, 3)) AS ur(r)
+    ), sketch AS (
+        SELECT r, c, COUNT(*) AS n FROM cells GROUP BY 1, 2
+    ), qc AS (
+        SELECT q.item, q.true_n, ur.r,
+               CAST(('0x' || substr(md5('cms' || ur.r || ':' || q.item), 1, 8))
+                    AS BIGINT) % 1024 AS c
+        FROM q, UNNEST(generate_series(0, 3)) AS ur(r)
+    ), est AS (
+        SELECT qc.item, MAX(qc.true_n) AS true_n,
+               MIN(COALESCE(s.n, 0)) AS est_n
+        FROM qc LEFT JOIN sketch s ON s.r = qc.r AND s.c = qc.c
+        GROUP BY qc.item
+    )
+    SELECT item,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(true_n AS BIGINT) AS true_n,
+           est_n >= true_n AS never_under,
+           est_n <= true_n + CAST(CEIL(2.0 * (SELECT n FROM tot) / 1024)
+                                  AS BIGINT) AS within_eps
+    FROM est
+"""

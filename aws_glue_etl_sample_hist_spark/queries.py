@@ -4698,6 +4698,45 @@ def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_token_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch token-frequency estimates
+    (operators.frequency.count_min_estimates): the 20 most frequent
+    tokens' counts estimated from a 4x1024 sketch whose shuffle is
+    bounded at depth*width rows regardless of corpus size, with BOTH CMS
+    bound witnesses surfaced per key -- est >= true (collisions only
+    add) and est <= true + ceil(2N/width) (the epsilon guarantee at
+    width=2/eps). md5 row hashes make the sketch deterministic, so the
+    oracle recomputes the ENTIRE sketch exactly in SQL -- estimates
+    included, not just the flags."""
+    from .operators.frequency import count_min_estimates
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("item")
+    )
+    true_counts = tok.groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
+    top = true_counts.orderBy(
+        F.col("true_n").desc(), F.col("item").asc()
+    ).limit(20)
+    est = count_min_estimates(tok, top.select("item"), depth=4, width=1024)
+    total = tok.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        est.join(F.broadcast(top), "item")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            "est_n",
+            "true_n",
+            (F.col("est_n") >= F.col("true_n")).alias("never_under"),
+            (
+                F.col("est_n")
+                <= F.col("true_n")
+                + F.ceil(F.lit(2.0) * F.col("_n") / 1024).cast("long")
+            ).alias("within_eps"),
+        )
+    )
+
+
 def q_stream_quality_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming per-micro-batch PSI drift monitor
     (streaming.jobs.stream_quality_drift): the corpus split into three
@@ -4819,6 +4858,7 @@ QUERIES = {
     "corpus_context_pack": q_corpus_context_pack,
     "corpus_psi_drift": q_corpus_psi_drift,
     "stream_quality_drift": q_stream_quality_drift,
+    "corpus_token_cms": q_corpus_token_cms,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -2639,3 +2639,29 @@ def test_psi_drift_flags_planted_shift(spark):
     assert set(got) == {"same", "shifted"}
     assert abs(got["same"][0]) < 1e-9 and got["same"][1] is False
     assert got["shifted"][0] > 0.2 and got["shifted"][1] is True
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    """CMS guarantees: estimates never undercount (collisions only add),
+    exact for keys with no collisions in some row, and the sketch of a
+    union equals the merged (re-summed) sketches -- the mergeability that
+    makes it a 100 TB sketch."""
+    from aws_glue_etl_sample_hist_spark.operators.frequency import (
+        count_min_estimates,
+    )
+
+    rows = [(f"tok{i % 7}",) for i in range(700)]  # 7 keys x 100 each
+    items = spark.createDataFrame(rows, "item string")
+    q = spark.createDataFrame([(f"tok{i}",) for i in range(7)], "item string")
+    est = {r.item: r.est_n for r in count_min_estimates(items, q).collect()}
+    assert set(est) == {f"tok{i}" for i in range(7)}
+    for k, v in est.items():
+        assert v >= 100, (k, v)  # never under
+    # width 1024, 7 keys, 4 rows: overwhelmingly likely some row is
+    # collision-free per key -> exact
+    assert all(v == 100 for v in est.values()), est
+    # mergeability: sketch(A ∪ B) == sketch(A) + sketch(B), so estimates
+    # from the doubled corpus are exactly doubled
+    doubled = items.unionAll(items)
+    est2 = {r.item: r.est_n for r in count_min_estimates(doubled, q).collect()}
+    assert est2 == {k: 2 * v for k, v in est.items()}

@@ -124,6 +124,8 @@ NESTED_LOOP_WHITELIST = {
                                    # queries x encoded corpus (ADC shortlist)
     "corpus_psi_drift",            # sources-cardinality grid x broadcast
                                    # 16-bucket range (densify for smoothing)
+    "corpus_token_cms",            # 1-row token total x 20-key estimate frame
+                                   # (epsilon-bound witness arithmetic)
 }
 
 
