@@ -86,6 +86,11 @@ PROBE = [
     # ring-capped hard negatives already above; DSIR quality audit
     "multimodal_image_near_dup",
     "corpus_dsir_quality",
+    # round 7 (late): containment dedup, context packing, PSI drift, CMS
+    "dedup_containment",
+    "corpus_context_pack",
+    "corpus_psi_drift",
+    "corpus_token_cms",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
