@@ -4269,3 +4269,13 @@ ORACLE_SQL["corpus_token_cms"] = r"""
                                   AS BIGINT) AS within_eps
     FROM est
 """
+
+# unigram-LM tokenizer training: EM fixpoint -> contract row (the
+# converged-PageRank pattern); the lattice math is pinned by the
+# pure-python parity unit test
+ORACLE_SQL["corpus_unigram_train"] = """
+    SELECT TRUE AS vocab_in_bounds,
+           TRUE AS em_monotone,
+           TRUE AS probs_normalized,
+           TRUE AS encode_compresses
+"""

@@ -4698,6 +4698,64 @@ def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenizer training + Viterbi encode
+    (operators.unigram.unigram_train/unigram_encode -- the SentencePiece
+    family, completing the tokenizer surface beside BPE): EM over
+    segmentation lattices on the word-frequency table, expected-count
+    pruning to a 96-piece cap. Contract row (the converged-PageRank
+    pattern -- an EM fixpoint is not SQL-expressible): corpus
+    log-likelihood non-decreasing within every fixed-vocab EM block,
+    vocab within [n_chars, cap], probs sum to 1, every corpus word
+    Viterbi-segmentable under the trained vocab, and the encoding
+    compresses (pieces strictly between word count and char count).
+    A pure-python lattice parity test pins the math."""
+    import math as _math
+
+    from .operators.unigram import unigram_encode, unigram_train
+
+    docs = load_table(spark, sf, "documents")
+    vocab, diag = unigram_train(
+        docs, vocab_size=96, seed_size=256, em_iters=2
+    )
+    em_monotone = all(
+        b[i] <= b[i + 1] + 1e-6
+        for b in diag["ll_blocks"]
+        for i in range(len(b) - 1)
+    )
+    probs_sum_one = abs(sum(v for _, v in vocab) - 1.0) < 1e-9
+    enc = unigram_encode(docs, vocab)
+    stats = enc.agg(
+        F.sum("n_words").alias("w"),
+        F.sum("n_pieces").alias("p"),
+        F.count(F.lit(1)).alias("d"),
+    ).collect()[0]
+    chars = docs.select(
+        F.sum(
+            F.aggregate(
+                F.transform(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda w: F.length(w),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("c")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                bool(diag["n_chars"] <= len(vocab) <= 96),
+                bool(em_monotone),
+                bool(probs_sum_one and _math.isfinite(diag["ll_blocks"][-1][-1])),
+                bool(stats.p >= stats.w and stats.p <= chars.c),
+            )
+        ],
+        "vocab_in_bounds boolean, em_monotone boolean,"
+        " probs_normalized boolean, encode_compresses boolean",
+    )
+
+
 def q_corpus_token_cms(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch token-frequency estimates
     (operators.frequency.count_min_estimates): the 20 most frequent
@@ -4859,6 +4917,7 @@ QUERIES = {
     "corpus_psi_drift": q_corpus_psi_drift,
     "stream_quality_drift": q_stream_quality_drift,
     "corpus_token_cms": q_corpus_token_cms,
+    "corpus_unigram_train": q_corpus_unigram_train,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

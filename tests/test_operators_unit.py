@@ -2665,3 +2665,94 @@ def test_count_min_never_underestimates_and_merges(spark):
     doubled = items.unionAll(items)
     est2 = {r.item: r.est_n for r in count_min_estimates(doubled, q).collect()}
     assert est2 == {k: 2 * v for k, v in est.items()}
+
+
+def test_unigram_estep_matches_pure_python(spark):
+    """The distributed E-step's expected counts and log-likelihood must
+    equal a direct enumeration of ALL segmentations of each word (the
+    ground-truth lattice sum) on a fixture small enough to enumerate."""
+    import itertools
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.unigram import (
+        _estep_counts,
+    )
+
+    words = spark.createDataFrame(
+        [("abab", 2), ("ab", 3), ("ba", 1)], "word string, freq long"
+    )
+    logp = {
+        "a": math.log(0.3),
+        "b": math.log(0.3),
+        "ab": math.log(0.4),
+    }
+
+    def enumerate_word(word):
+        # all segmentations into pieces from logp
+        n = len(word)
+        segs = []
+        def rec(i, cur):
+            if i == n:
+                segs.append(list(cur))
+                return
+            for j in range(i + 1, n + 1):
+                p = word[i:j]
+                if p in logp:
+                    cur.append(p)
+                    rec(j, cur)
+                    cur.pop()
+        rec(0, [])
+        z = 0.0
+        exp = {}
+        for s in segs:
+            w = math.exp(sum(logp[p] for p in s))
+            z += w
+            for p in s:
+                exp[p] = exp.get(p, 0.0) + w
+        return math.log(z), {p: v / z for p, v in exp.items()}
+
+    want_counts: dict[str, float] = {}
+    want_ll = 0.0
+    for word, freq in [("abab", 2), ("ab", 3), ("ba", 1)]:
+        ll, exp = enumerate_word(word)
+        want_ll += freq * ll
+        for p, v in exp.items():
+            want_counts[p] = want_counts.get(p, 0.0) + freq * v
+
+    got_counts, got_ll = _estep_counts(words, logp, 2)
+    assert abs(got_ll - want_ll) < 1e-9
+    assert set(got_counts) == set(want_counts)
+    for p in want_counts:
+        assert abs(got_counts[p] - want_counts[p]) < 1e-9, p
+
+
+def test_unigram_train_and_viterbi_encode(spark):
+    """End-to-end: trained vocab respects the size cap and keeps all
+    chars; Viterbi encode picks the max-probability segmentation (a
+    frequent whole word becomes ONE piece) and is deterministic."""
+    from aws_glue_etl_sample_hist_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hello world " * 5 + "rare") for i in range(4)],
+        "doc_id long, text string",
+    )
+    vocab, diag = unigram_train(docs, vocab_size=20, seed_size=64, em_iters=2)
+    assert diag["n_chars"] <= len(vocab) <= 20
+    pieces = dict(vocab)
+    assert all(
+        b[i] <= b[i + 1] + 1e-6
+        for b in diag["ll_blocks"]
+        for i in range(len(b) - 1)
+    )
+    enc = {r.doc_id: r for r in unigram_encode(docs, vocab).collect()}
+    # 'hello' and 'world' are dominant: if they survived pruning as whole
+    # pieces, each encodes as ONE piece
+    if "hello" in pieces and "world" in pieces:
+        assert enc[0].pieces_preview.startswith("hello world")
+    again = {r.doc_id: r for r in unigram_encode(docs, vocab).collect()}
+    assert {k: tuple(v) for k, v in enc.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
