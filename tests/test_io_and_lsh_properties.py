@@ -375,3 +375,57 @@ def test_avro_roundtrip_gated_or_real(spark, tmp_path):
     got = read_avro(spark, path)  # pragma: no cover (jar absent here)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
     assert dict(got.dtypes) == dict(df.dtypes)
+
+
+def test_manifest_publish_atomic_and_orphan_proof(spark, tmp_path):
+    """Manifest publish: (1) readers see exactly the committed file list
+    -- an orphan parquet dropped into the data dir is invisible; (2) a
+    failed publish (no manifest rename) leaves the previous version
+    intact; (3) versions are pinnable."""
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.io.manifest import (
+        latest_version,
+        publish_tables,
+        read_published,
+    )
+
+    root = str(tmp_path / "lake")
+    a1 = spark.range(10).withColumnRenamed("id", "k")
+    b1 = spark.range(5).withColumnRenamed("id", "k")
+    v1 = publish_tables({"a": a1, "b": b1}, root)
+    assert v1 == 1 and latest_version(root) == 1
+    assert read_published(spark, root, "a").count() == 10
+    assert read_published(spark, root, "b").count() == 5
+
+    # orphan file in the published dir: invisible (manifest is the table)
+    orphan_src = str(tmp_path / "orphan")
+    spark.range(99).withColumnRenamed("id", "k").coalesce(1).write.parquet(
+        orphan_src
+    )
+    import glob as _glob
+    import shutil
+
+    orphan_file = _glob.glob(orphan_src + "/*.parquet")[0]
+    import os as _os
+
+    dst_dir = _os.path.join(root, "data", "v1", "a")
+    shutil.copy(orphan_file, _os.path.join(dst_dir, "zz-orphan.parquet"))
+    assert read_published(spark, root, "a").count() == 10  # still 10
+
+    # failed publish: second table errors (dest exists) -> NO new manifest
+    pre = latest_version(root)
+    conflict = _os.path.join(root, "data", f"v{pre + 1}", "b")
+    _os.makedirs(conflict)  # make b's mode='error' write fail
+    with _pytest.raises(Exception):
+        publish_tables({"a": a1, "b": b1}, root)
+    assert latest_version(root) == pre  # previous version untouched
+    assert read_published(spark, root, "a").count() == 10
+
+    # successful v_next after cleanup; old version stays pinnable
+    shutil.rmtree(_os.path.join(root, "data", f"v{pre + 1}"))
+    a2 = spark.range(20).withColumnRenamed("id", "k")
+    v2 = publish_tables({"a": a2, "b": b1}, root)
+    assert read_published(spark, root, "a").count() == 20
+    assert read_published(spark, root, "a", version=1).count() == 10
+    assert v2 == pre + 1
