@@ -633,3 +633,102 @@ def skipgram_pairs(
         .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def kn_bigram_perplexity(
+    docs,
+    *,
+    discount: float = 0.75,
+    train_frac: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    salt: str = "knsplit",
+):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the formula
+    as in Chen & Goodman 1999 eq. 4.24) trained on a deterministic
+    hash-split of the corpus and evaluated as held-out perplexity per
+    language, beside an add-one (Laplace) baseline -- the classic "is
+    this smoothing worth it" experiment, run at corpus scale:
+
+      P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1)
+                    + D * N1+(w1,.) / c(w1) * Pcont(w2)
+      Pcont(w2)   = (N1+(., w2) + 1) / (N1+(., .) + V + 1)
+
+    (continuation probability add-one smoothed so held-out OOV words
+    stay finite; unseen w1 backs off to Pcont alone). Every count table
+    is vocab-bounded and broadcast; the two corpus-wide scalars (bigram
+    type count N1+(.,.), train vocab V) are bounded calibration collects.
+    The whole computation is deterministic closed-form arithmetic, so the
+    DuckDB oracle recomputes it EXACTLY -- including the per-language
+    perplexities and the kn-beats-laplace verdicts.
+
+    Returns (lang, n_eval_bigrams, ppl_kn, ppl_laplace,
+    kn_beats_laplace), ppl = exp(-avg ln p) over eval bigram
+    occurrences."""
+    from .sampling import SAMPLE_MOD, sample_hash
+
+    is_train = sample_hash(F.col(id_col), salt) < int(train_frac * SAMPLE_MOD)
+    base = docs.select(
+        F.col(id_col), F.col(lang_col).alias("lang"), F.col(text_col)
+    ).withColumn("_train", is_train)
+    bg = base.select(
+        "lang",
+        "_train",
+        F.explode(word_shingles(tokens(F.col(text_col)), 2)).alias("bigram"),
+    ).select(
+        "lang",
+        "_train",
+        "bigram",
+        F.split_part("bigram", F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part("bigram", F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    train = bg.filter("_train")
+    c_bg = train.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    w1_stats = train.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.count_distinct("w2").alias("n1fw"),
+    )
+    w2_cont = train.select("w1", "w2").distinct().groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1l")
+    )
+    # bounded calibration scalars: bigram TYPE count and train vocab size
+    t_types = train.select("bigram").distinct().count()
+    v_train = (
+        train.select(F.col("w1").alias("w"))
+        .unionByName(train.select(F.col("w2").alias("w")))
+        .distinct()
+        .count()
+    )
+    ev = bg.filter(~F.col("_train"))
+    joined = (
+        ev.join(F.broadcast(c_bg), "bigram", "left")
+        .join(F.broadcast(w1_stats), "w1", "left")
+        .join(F.broadcast(w2_cont), "w2", "left")
+    )
+    pcont = (F.coalesce("n1l", F.lit(0)) + 1) / F.lit(
+        float(t_types + v_train + 1)
+    )
+    disc = F.when(
+        F.col("c").isNotNull(),
+        F.greatest(F.col("c") - discount, F.lit(0.0)) / F.col("c1"),
+    ).otherwise(F.lit(0.0))
+    lam = F.when(
+        F.col("c1").isNotNull(), discount * F.col("n1fw") / F.col("c1")
+    ).otherwise(F.lit(1.0))
+    p_kn = disc + lam * pcont
+    p_lap = F.when(
+        F.col("c1").isNotNull(),
+        (F.coalesce("c", F.lit(0)) + 1) / (F.col("c1") + v_train + 1),
+    ).otherwise(F.lit(1.0 / (v_train + 1)))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_bigrams"),
+            F.round(F.exp(-F.avg(F.log(p_kn))), 4).alias("ppl_kn"),
+            F.round(F.exp(-F.avg(F.log(p_lap))), 4).alias("ppl_laplace"),
+        )
+        .withColumn(
+            "kn_beats_laplace", F.col("ppl_kn") < F.col("ppl_laplace")
+        )
+    )

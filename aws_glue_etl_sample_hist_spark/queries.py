@@ -4698,6 +4698,17 @@ def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_kn_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM vs add-one baseline, held-out
+    perplexity per language (operators.text.kn_bigram_perplexity):
+    deterministic 80/20 hash split, vocab-bounded count tables broadcast,
+    two bounded calibration scalars. Closed-form arithmetic end to end,
+    so the oracle recomputes the per-language perplexities EXACTLY."""
+    from .operators.text import kn_bigram_perplexity
+
+    return kn_bigram_perplexity(load_table(spark, sf, "documents"))
+
+
 def q_corpus_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
     """Unigram-LM tokenizer training + Viterbi encode
     (operators.unigram.unigram_train/unigram_encode -- the SentencePiece
@@ -4918,6 +4929,7 @@ QUERIES = {
     "stream_quality_drift": q_stream_quality_drift,
     "corpus_token_cms": q_corpus_token_cms,
     "corpus_unigram_train": q_corpus_unigram_train,
+    "corpus_kn_perplexity": q_corpus_kn_perplexity,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -2756,3 +2756,33 @@ def test_unigram_train_and_viterbi_encode(spark):
     assert {k: tuple(v) for k, v in enc.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_kn_perplexity_backoff_and_verdict(spark):
+    """KN smoothing sanity: evaluation bigrams with UNSEEN w1 take pure
+    continuation probability (no crash, finite ppl), and on a corpus
+    whose eval half re-uses the train distribution, KN's held-out
+    perplexity beats add-one (which wastes mass on the huge unseen
+    grid)."""
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        kn_bigram_perplexity,
+    )
+
+    # doc_ids chosen so the md5 split puts ~80% in train deterministically;
+    # identical text everywhere -> eval distribution == train distribution
+    rows = [
+        (i, "en", "the cat sat on the mat and the cat ran") for i in range(40)
+    ]
+    # one eval-only doc with a novel first word ('zebra' never in train)
+    rows.append((10_001, "en", "zebra the cat sat"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = kn_bigram_perplexity(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_eval_bigrams > 0
+    assert math.isfinite(r.ppl_kn) and math.isfinite(r.ppl_laplace)
+    assert r.ppl_kn > 0
+    assert bool(r.kn_beats_laplace) == (r.ppl_kn < r.ppl_laplace)
+    assert r.ppl_kn < r.ppl_laplace  # KN wins on the repeated-text corpus

@@ -3,9 +3,9 @@ comparison runs at sf0.01, where many groups fit in ONE shuffle partition --
 so an operator whose correctness depends on partitioning (gaps-and-islands
 windows, banded joins, sessionization, iterative contraction) could pass
 there yet break the moment a group spans partitions. This tier re-runs the
-DuckDB comparison for the heavy partitioning-sensitive families at 10x the
-rows with the engine's full 32-way shuffle parallelism, so per-group data
-genuinely crosses partition boundaries.
+DuckDB comparison for the 22 heavy partitioning-sensitive queries at 10x
+the rows with the engine's full 32-way shuffle parallelism, so per-group
+data genuinely crosses partition boundaries.
 
 Marked `sf01`: deselect with `-m "not sf01"` for a quick loop; the round
 checklist runs it (`python -m pytest tests/test_oracle_sf01.py -q`).
