@@ -613,3 +613,32 @@ def context_pack(
             "truncated",
         )
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    cap: int,
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "balance",
+) -> DataFrame:
+    """Count-capped per-class sampling: keep exactly min(n, cap) rows per
+    stratum -- the class-balancing step before classifier training, where
+    rate-based sampling (stratified_hash_sample) cannot promise exact
+    counts. Selection order is the deterministic md5 draw (ties by key),
+    so the kept set is reproducible, engine-portable, and stable under
+    corpus growth ONLY for strata still under the cap (a doc can be
+    displaced by new lower-draw arrivals once its stratum is over cap --
+    inherent to exact-count semantics, documented here).
+
+    One row_number window per stratum (parallel across strata; a stratum
+    over ~task size would need the two-level trick, but caps are
+    dataloader-sized). Adds ``sample_rank`` (1-based within stratum)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= cap)
+    )

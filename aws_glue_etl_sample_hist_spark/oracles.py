@@ -4335,3 +4335,31 @@ ORACLE_SQL["corpus_kn_perplexity"] = r"""
                < ROUND(EXP(-AVG(LN(p_lap))), 4) AS kn_beats_laplace
     FROM ev GROUP BY lang
 """
+
+# count-capped class balancing: per-stratum md5-ordered row_number <= cap
+ORACLE_SQL["corpus_balanced_sample"] = """
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5('balance:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 ASC,
+                       doc_id ASC) AS rk
+        FROM documents
+    )
+    WHERE rk <= 60
+"""
+
+# matryoshka truncation audit: contract keys (5 queries x 2 prefix widths),
+# all-true flags; the 64-dim row is the structural identity invariant
+ORACLE_SQL["embedding_matryoshka_recall"] = """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS k,
+           TRUE AS exact_side_full,
+           TRUE AS recall_ok,
+           CAST(d AS BIGINT) AS dims
+    FROM embeddings, UNNEST([16, 64]) AS u(d)
+    WHERE vec_id < 5
+"""

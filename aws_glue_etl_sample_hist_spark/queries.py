@@ -4698,6 +4698,47 @@ def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-capped class balancing (operators.sampling.balanced_sample):
+    exactly min(n, 60) docs per language by deterministic md5 order --
+    the exact-count guarantee rate-based stratified sampling cannot give.
+    Oracle mirrors the per-stratum row_number selection in SQL."""
+    from .operators.sampling import balanced_sample
+
+    return balanced_sample(
+        load_table(spark, sf, "documents").select("doc_id", "lang"), cap=60
+    )
+
+
+def q_embedding_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147 motivation): recall@10 of brute-force search over a
+    PREFIX of the 64 dims against full-dimension search -- the question
+    behind every embedding-truncation cost cut, per prefix width. The
+    64-dim row is a structural INVARIANT (the full prefix must reproduce
+    the exact ranking: floor 1.0 pins the slice/rank machinery); the
+    16-dim row is the measurement -- these synthetic vectors are NOT
+    MRL-trained, so truncation recall is near chance (the baseline an
+    MRL-trained model must beat; measured values in PERF.md), floor 0.0.
+    Contract oracle: exact (query x dims) keys, all-true flags."""
+    from .operators.similarity import cosine_topk, topk_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=10)
+    out = None
+    for dims, floor in ((16, 0.0), (64, 1.0)):
+        truncated = emb.select(
+            "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+        )
+        approx = cosine_topk(truncated, qids, k=10)
+        part = topk_recall(approx, exact, k=10, floor=floor).withColumn(
+            "dims", F.lit(dims).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_corpus_kn_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM vs add-one baseline, held-out
     perplexity per language (operators.text.kn_bigram_perplexity):
@@ -4930,6 +4971,8 @@ QUERIES = {
     "corpus_token_cms": q_corpus_token_cms,
     "corpus_unigram_train": q_corpus_unigram_train,
     "corpus_kn_perplexity": q_corpus_kn_perplexity,
+    "corpus_balanced_sample": q_corpus_balanced_sample,
+    "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -2786,3 +2786,22 @@ def test_kn_perplexity_backoff_and_verdict(spark):
     assert r.ppl_kn > 0
     assert bool(r.kn_beats_laplace) == (r.ppl_kn < r.ppl_laplace)
     assert r.ppl_kn < r.ppl_laplace  # KN wins on the repeated-text corpus
+
+
+def test_balanced_sample_exact_caps(spark):
+    """Exact-count semantics: strata over the cap return exactly cap
+    rows (deterministic md5 order), strata under it return all rows."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        balanced_sample,
+    )
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = balanced_sample(df, cap=10).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, []).append(r)
+    assert len(by["big"]) == 10 and len(by["small"]) == 3
+    assert sorted(r.sample_rank for r in by["big"]) == list(range(1, 11))
+    again = balanced_sample(df, cap=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
