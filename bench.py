@@ -94,6 +94,11 @@ HEADLINE = [
     "corpus_context_pack",
     "embedding_ivf_recall",
     "embedding_pq_recall",
+    # round-7-late: drift monitor, CMS, KN perplexity, balanced sampling
+    "corpus_psi_drift",
+    "corpus_token_cms",
+    "corpus_kn_perplexity",
+    "corpus_balanced_sample",
 ]
 
 

@@ -126,6 +126,8 @@ NESTED_LOOP_WHITELIST = {
                                    # 16-bucket range (densify for smoothing)
     "corpus_token_cms",            # 1-row token total x 20-key estimate frame
                                    # (epsilon-bound witness arithmetic)
+    "embedding_matryoshka_recall",  # composes the exact twin at two prefix
+                                    # widths (broadcast 5 queries x corpus)
 }
 
 
