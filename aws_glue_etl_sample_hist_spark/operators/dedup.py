@@ -1087,3 +1087,75 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_id", "container_id", "n_common", "size", "containment")
     )
+
+
+def connected_components_incremental(
+    old_labels: DataFrame,
+    new_nodes: DataFrame,
+    new_pairs: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Merge a NEW edge batch into an existing components labeling without
+    re-running CC over the standing graph -- the daily-crawl shape of
+    near-dup maintenance at 100 TB: the standing corpus's (doc, cluster)
+    labels are an artifact at rest; a new batch contributes its nodes plus
+    the edges TOUCHING it, and only the contracted graph (one node per
+    existing cluster + the new nodes, sized |clusters| + |batch|, not
+    |corpus|) goes through the iterative loop.
+
+    Correctness is the classic contraction argument, exact not heuristic:
+    collapsing each old component onto its min-label node preserves
+    connectivity, and since the old label IS the old component's min id,
+    the merged component's min equals the true global min -- so after
+    re-expanding old members through their (possibly re-mapped) label, the
+    labels are IDENTICAL to a full recompute over the union graph. The
+    registered query's oracle is literally the full-recompute recursive
+    CTE, making that identity the hash-checked claim.
+
+    Assumes ``new_pairs``'s endpoints are new nodes or old nodes (old ones
+    are mapped through ``old_labels``); edges strictly between old nodes
+    belong to the standing graph and must already be reflected in
+    ``old_labels``."""
+    a, b = pair_cols
+    m = old_labels.select(
+        F.col(node_col).alias("_n"), F.col("cluster_id").alias("_l")
+    )
+    mapped = (
+        new_pairs.join(
+            m.withColumnRenamed("_n", a).withColumnRenamed("_l", "_la"),
+            a,
+            "left",
+        )
+        .join(
+            m.withColumnRenamed("_n", b).withColumnRenamed("_l", "_lb"),
+            b,
+            "left",
+        )
+        .select(
+            F.coalesce("_la", F.col(a)).alias("doc_a"),
+            F.coalesce("_lb", F.col(b)).alias("doc_b"),
+        )
+    )
+    contracted_nodes = (
+        old_labels.select(F.col("cluster_id").alias(node_col))
+        .distinct()
+        .unionByName(new_nodes.select(node_col))
+        .distinct()
+    )
+    merged = connected_components(
+        contracted_nodes, mapped, node_col=node_col
+    )
+    lbl_map = merged.select(
+        F.col(node_col).alias("_l"), F.col("cluster_id").alias("_nl")
+    )
+    old_final = old_labels.join(
+        lbl_map, old_labels["cluster_id"] == F.col("_l"), "left"
+    ).select(
+        node_col, F.coalesce("_nl", "cluster_id").alias("cluster_id")
+    )
+    new_final = merged.join(new_nodes, node_col, "left_semi").select(
+        node_col, "cluster_id"
+    )
+    return old_final.unionByName(new_final)

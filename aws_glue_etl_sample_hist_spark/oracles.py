@@ -4363,3 +4363,8 @@ ORACLE_SQL["embedding_matryoshka_recall"] = """
     FROM embeddings, UNNEST([16, 64]) AS u(d)
     WHERE vec_id < 5
 """
+
+# incremental CC maintenance: the hash-checked claim IS the contraction
+# identity -- incremental labels must equal the full recompute, so the
+# oracle is dedup_clusters' recursive-CTE full recompute verbatim
+ORACLE_SQL["dedup_clusters_incremental"] = ORACLE_SQL["dedup_clusters"]

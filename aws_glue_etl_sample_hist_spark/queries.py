@@ -4698,6 +4698,43 @@ def q_corpus_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup cluster maintenance
+    (operators.dedup.connected_components_incremental): the corpus is
+    split into a standing 80% (doc_id % 10 < 8, labels computed as the
+    stored artifact) and a 20% "new crawl batch"; only the contracted
+    graph -- one node per standing cluster plus the batch -- goes through
+    the iterative CC loop with the batch's edges. The hash-checked claim
+    is the contraction identity itself: the oracle is dedup_clusters'
+    full-recompute recursive CTE VERBATIM, so incremental labels must
+    equal a from-scratch run on the union graph, row for row."""
+    from .operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_df=100
+    ).select("doc_a", "doc_b")
+    new_a = F.col("doc_a") % 10 >= 8
+    new_b = F.col("doc_b") % 10 >= 8
+    old_nodes = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id")
+    new_nodes = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id")
+    old_labels = connected_components(
+        old_nodes, pairs.filter(~new_a & ~new_b)
+    )
+    inc = connected_components_incremental(
+        old_labels, new_nodes, pairs.filter(new_a | new_b)
+    )
+    return inc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
 def q_corpus_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Count-capped class balancing (operators.sampling.balanced_sample):
     exactly min(n, 60) docs per language by deterministic md5 order --
@@ -4973,6 +5010,7 @@ QUERIES = {
     "corpus_kn_perplexity": q_corpus_kn_perplexity,
     "corpus_balanced_sample": q_corpus_balanced_sample,
     "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

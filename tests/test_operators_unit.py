@@ -2805,3 +2805,42 @@ def test_balanced_sample_exact_caps(spark):
     assert sorted(r.sample_rank for r in by["big"]) == list(range(1, 11))
     again = balanced_sample(df, cap=10).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_incremental_cc_merges_and_relabels(spark):
+    """Contraction-identity edge cases: a new node BRIDGING two old
+    components must merge them; a new node with a SMALLER id than an old
+    cluster's label must become the new label for every old member
+    (re-expansion through the remapped label); untouched old clusters
+    keep their labels."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_nodes = spark.createDataFrame(
+        [(10,), (11,), (20,), (21,), (30,)], "doc_id long"
+    )
+    old_pairs = spark.createDataFrame(
+        [(10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    old_labels = connected_components(old_nodes, old_pairs)
+    assert {(r.doc_id, r.cluster_id) for r in old_labels.collect()} == {
+        (10, 10), (11, 10), (20, 20), (21, 20), (30, 30),
+    }
+    # new batch: 100 bridges the two clusters; 1 attaches to cluster 20
+    # with a SMALLER id than every old member
+    new_nodes = spark.createDataFrame([(100,), (1,)], "doc_id long")
+    new_pairs = spark.createDataFrame(
+        [(10, 100), (100, 21), (1, 20)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_incremental(
+            old_labels, new_nodes, new_pairs
+        ).collect()
+    }
+    # everything touching the bridge collapses to min id 1; 30 untouched
+    assert got == {
+        (10, 1), (11, 1), (20, 1), (21, 1), (100, 1), (1, 1), (30, 30),
+    }
