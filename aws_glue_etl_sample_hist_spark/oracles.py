@@ -4368,3 +4368,44 @@ ORACLE_SQL["embedding_matryoshka_recall"] = """
 # identity -- incremental labels must equal the full recompute, so the
 # oracle is dedup_clusters' recursive-CTE full recompute verbatim
 ORACLE_SQL["dedup_clusters_incremental"] = ORACLE_SQL["dedup_clusters"]
+
+# streaming incremental cluster maintenance: full-recompute recursive CTE
+# (the dedup_clusters oracle WITHOUT the df guard -- the streaming path
+# drops max_df so per-batch Jaccard pairs are doc-local and order-free)
+ORACLE_SQL["stream_dedup_clusters"] = r"""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, COUNT(shingle) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labeled AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
+    FROM labeled
+"""

@@ -4735,6 +4735,21 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of the incremental cluster merge
+    (streaming.jobs.stream_dedup_clusters): three deterministic document
+    micro-batches, each generating only the candidate pairs that TOUCH it
+    (batch shingles vs the accumulated index; no df guard, so Jaccard
+    pairs are doc-local and the per-batch edge union is exactly the full
+    pair set) and merging into the standing labels via the contracted
+    graph. Oracle = the full-recompute recursive CTE over the whole
+    corpus: stored-label maintenance across batches must equal
+    from-scratch, row for row."""
+    from .streaming.jobs import stream_dedup_clusters
+
+    return stream_dedup_clusters(spark, sf)
+
+
 def q_corpus_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Count-capped class balancing (operators.sampling.balanced_sample):
     exactly min(n, 60) docs per language by deterministic md5 order --
@@ -5011,6 +5026,7 @@ QUERIES = {
     "corpus_balanced_sample": q_corpus_balanced_sample,
     "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
+    "stream_dedup_clusters": q_stream_dedup_clusters,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

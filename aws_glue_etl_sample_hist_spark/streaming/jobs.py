@@ -733,3 +733,118 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(results),
         "split int, n_events long, psi double, drifted boolean",
     )
+
+
+def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup cluster maintenance: documents arrive in three
+    deterministic micro-batches (doc_id % 3, one file each), and every
+    batch is merged into the standing labeling INCREMENTALLY
+    (operators.dedup.connected_components_incremental) -- per batch, only
+    candidate pairs touching the batch are generated (batch shingles
+    joined against the accumulated shingle index; Jaccard is doc-local so
+    the union of per-batch edges is EXACTLY the full corpus's pair set,
+    no max_df so the claim is order-independent), and only the contracted
+    graph goes through the iterative loop. The final labels must equal a
+    from-scratch run over the whole corpus -- which is what the oracle
+    (the dedup_clusters recursive CTE, sans df guard) checks row for row.
+
+    Replay safety: merging the same batch's edges again is a no-op (CC is
+    idempotent) and the shingle index is read through distinct(), so an
+    at-least-once re-delivery changes nothing. Per-batch label frames are
+    written to fresh dirs (never read-and-overwrite the same path)."""
+    from ..operators.dedup import (
+        _distinct_shingles,
+        connected_components_incremental,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    src_dir = tempfile.mkdtemp(prefix="cc_stream_src_")
+    for s in range(3):
+        docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"s{s}"))
+    sh_dir = os.path.join(tempfile.mkdtemp(prefix="cc_stream_state_"), "sh")
+    labels_root = tempfile.mkdtemp(prefix="cc_stream_labels_")
+    state = {"labels_path": None, "n_batches": 0}
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bsh = _distinct_shingles(batch, 3, "text", "doc_id", None)
+        if os.path.isdir(sh_dir):
+            seen = spark.read.parquet(sh_dir).distinct()
+            all_sh = seen.unionByName(bsh).distinct()
+        else:
+            all_sh = bsh
+        sizes = all_sh.groupBy("doc_id").agg(
+            F.count("shingle").alias("n_sh")
+        )
+        a = bsh.alias("a")
+        b = all_sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.col("a.shingle").alias("shingle"),
+            )
+            .groupBy("doc_a", "doc_b")
+            # countDistinct collapses the doubled batch-batch rows (each
+            # such pair is seen from both sides of the A join)
+            .agg(F.count_distinct("shingle").alias("n_common"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b")
+        )
+        pairs = (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(
+                F.round(
+                    F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                    4,
+                )
+                >= 0.2
+            )
+            .select("doc_a", "doc_b")
+        )
+        if state["labels_path"] is None:
+            old_labels = spark.createDataFrame(
+                [], "doc_id long, cluster_id long"
+            )
+        else:
+            old_labels = spark.read.parquet(state["labels_path"])
+        inc = connected_components_incremental(
+            old_labels, batch.select("doc_id"), pairs
+        )
+        out = os.path.join(labels_root, f"v{batch_id}")
+        inc.write.mode("overwrite").parquet(out)
+        bsh.write.mode("append").parquet(sh_dir)
+        state["labels_path"] = out
+        state["n_batches"] += 1
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="cc_stream_ckpt_"), "ckpt")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/s*")
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    labels = spark.read.parquet(state["labels_path"])
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
