@@ -53,9 +53,12 @@ HEAVY = [
     # importance resampling: corpus-wide bucket totals + broadcast ratios
     "corpus_dsir_select",
     # r7 additions: asymmetric containment (inverted index), context
-    # packing (per-bucket windows)
+    # packing (per-bucket windows), incremental + streaming cluster
+    # maintenance (contracted-graph merges vs full recompute)
     "dedup_containment",
     "corpus_context_pack",
+    "dedup_clusters_incremental",
+    "stream_dedup_clusters",
 ]
 
 

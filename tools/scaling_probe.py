@@ -86,11 +86,14 @@ PROBE = [
     # ring-capped hard negatives already above; DSIR quality audit
     "multimodal_image_near_dup",
     "corpus_dsir_quality",
-    # round 7 (late): containment dedup, context packing, PSI drift, CMS
+    # round 7 (late): containment dedup, context packing, PSI drift, CMS,
+    # KN perplexity, incremental CC merge
     "dedup_containment",
     "corpus_context_pack",
     "corpus_psi_drift",
     "corpus_token_cms",
+    "corpus_kn_perplexity",
+    "dedup_clusters_incremental",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
