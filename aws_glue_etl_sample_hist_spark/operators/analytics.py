@@ -278,3 +278,87 @@ def target_encode(
         )
         .drop("_s", "_n")
     )
+
+
+def survival_km(
+    orders: DataFrame,
+    *,
+    censor_days: int = 90,
+    id_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over customer lifetimes -- the
+    standard churn/retention curve (Kaplan & Meier 1958), with right
+    censoring done properly instead of the naive "average lifetime"
+    that biases toward churned customers:
+
+      lifetime  = days between a customer's first and last order
+      event     = churned (last order > ``censor_days`` before the
+                  corpus's last date); otherwise censored (still alive
+                  at observation end -- contributes to risk sets but
+                  never to the hazard)
+      S(t)      = prod over event times t_i <= t of (1 - d_i / n_i),
+                  d = events at t_i, n = customers with lifetime >= t_i
+
+    Scale shape: one per-customer aggregate (first/last dates), then
+    everything runs on the LIFETIME HISTOGRAM -- distinct-duration
+    cardinality, bounded by the observation window in days, the same
+    bounded-window justification as corpus_source_budget: the reverse
+    cumulative sum for risk sets and the running ln-sum product for S(t)
+    are windows over that small relation, never over customers. The
+    censor horizon derives from the data's max date (computed in-plan,
+    one 1-row broadcast join).
+
+    Returns one row per EVENT time: (t_days, n_risk, n_events,
+    survival) -- survival = exp(sum ln(1 - d/n)), rounded to 6 dp."""
+    per_cust = orders.groupBy(id_col).agg(
+        F.min(date_col).alias("_first"), F.max(date_col).alias("_last")
+    )
+    horizon = orders.agg(F.max(date_col).alias("_maxd"))
+    life = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("_last", "_first").cast("long").alias("t_days"),
+        (
+            F.datediff("_maxd", "_last") > censor_days
+        ).cast("int").alias("_event"),
+    )
+    hist = life.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("_n_at"),
+        F.sum("_event").alias("n_events"),
+    )
+    w_risk = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_surv = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("n_risk", F.sum("_n_at").over(w_risk))
+        .withColumn(
+            "survival",
+            # greatest(..., 1e-300): at the last event time d may equal n
+            # (every remaining customer churns) and ln(0) is NULL in Spark
+            # but an ERROR in DuckDB -- the same engine-divergence class as
+            # the DSIR Gumbel edge (ADVICE r6); the floor keeps both
+            # engines at survival 0.0 after rounding
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.greatest(
+                                1.0 - F.col("n_events") / F.col("n_risk"),
+                                F.lit(1e-300),
+                            )
+                        )
+                    ).over(w_surv)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            "t_days",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "survival",
+        )
+    )

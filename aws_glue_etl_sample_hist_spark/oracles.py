@@ -4409,3 +4409,35 @@ ORACLE_SQL["stream_dedup_clusters"] = r"""
            CAST(doc_id = cluster_id AS INTEGER) AS is_keeper
     FROM labeled
 """
+
+# Kaplan-Meier: reverse-cumulative risk sets + ln-sum survival product
+# over the bounded lifetime histogram; 1e-300 floor mirrors the Spark
+# guard for the d == n last-event edge
+ORACLE_SQL["customer_survival_km"] = """
+    WITH life AS (
+        SELECT o_custkey,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t_days,
+               CASE WHEN date_diff('day', MAX(o_orderdate),
+                        (SELECT MAX(o_orderdate) FROM orders)) > 90
+                    THEN 1 ELSE 0 END AS ev
+        FROM orders GROUP BY 1
+    ), hist AS (
+        SELECT t_days, COUNT(*) AS n_at, SUM(ev) AS n_events
+        FROM life GROUP BY 1
+    ), risk AS (
+        SELECT t_days, n_at, n_events,
+               SUM(n_at) OVER (ORDER BY t_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        FROM hist
+    )
+    SELECT CAST(t_days AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(EXP(SUM(LN(GREATEST(1.0 - n_events / CAST(n_risk AS DOUBLE),
+                                     1e-300)))
+               OVER (ORDER BY t_days ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS survival
+    FROM risk
+    QUALIFY n_events > 0
+"""

@@ -4735,6 +4735,18 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_customer_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier retention curve over customer order lifetimes
+    (operators.analytics.survival_km): right-censored churn analysis --
+    lifetimes whose last order sits within 90 days of the corpus horizon
+    are censored, contributing to risk sets but not the hazard. All
+    windows run on the bounded lifetime histogram. Oracle recomputes the
+    reverse-cumulative risk sets and the ln-sum product exactly."""
+    from .operators.analytics import survival_km
+
+    return survival_km(load_table(spark, sf, "orders"))
+
+
 def q_stream_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming twin of the incremental cluster merge
     (streaming.jobs.stream_dedup_clusters): three deterministic document
@@ -5027,6 +5039,7 @@ QUERIES = {
     "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "stream_dedup_clusters": q_stream_dedup_clusters,
+    "customer_survival_km": q_customer_survival_km,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -2844,3 +2844,35 @@ def test_incremental_cc_merges_and_relabels(spark):
     assert got == {
         (10, 1), (11, 1), (20, 1), (21, 1), (100, 1), (1, 1), (30, 30),
     }
+
+
+def test_survival_km_hand_computed(spark):
+    """KM against a hand-computed fixture: censored customers leave risk
+    sets without adding hazard; survival is the running product of
+    (1 - d/n) at event times only."""
+    from datetime import date
+
+    from aws_glue_etl_sample_hist_spark.operators.analytics import (
+        survival_km,
+    )
+
+    # horizon = 2020-12-31. Customers (first, last):
+    #   A: lifetime 10, last 2020-01-11 -> churned
+    #   B: lifetime 10, last 2020-12-20 -> censored (within 90d of horizon)
+    #   C: lifetime 30, last 2020-01-31 -> churned
+    #   D: lifetime 50, last 2020-12-31 -> censored
+    rows = [
+        (1, date(2020, 1, 1)), (1, date(2020, 1, 11)),
+        (2, date(2020, 12, 10)), (2, date(2020, 12, 20)),
+        (3, date(2020, 1, 1)), (3, date(2020, 1, 31)),
+        (4, date(2020, 11, 11)), (4, date(2020, 12, 31)),
+    ]
+    orders = spark.createDataFrame(rows, "o_custkey long, o_orderdate date")
+    got = {
+        r.t_days: (r.n_risk, r.n_events, r.survival)
+        for r in survival_km(orders, censor_days=90).collect()
+    }
+    # event times: t=10 (A churns; B censored at same t), t=30 (C)
+    # t=10: n_risk=4 (all lifetimes >= 10), d=1 -> S = 0.75
+    # t=30: n_risk=2 (C, D), d=1 -> S = 0.75 * 0.5 = 0.375
+    assert got == {10: (4, 1, 0.75), 30: (2, 1, 0.375)}
