@@ -99,6 +99,8 @@ HEADLINE = [
     "corpus_token_cms",
     "corpus_kn_perplexity",
     "corpus_balanced_sample",
+    "customer_survival_km",
+    "dedup_clusters_incremental",
 ]
 
 

@@ -94,6 +94,7 @@ PROBE = [
     "corpus_token_cms",
     "corpus_kn_perplexity",
     "dedup_clusters_incremental",
+    "customer_survival_km",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
