@@ -1392,3 +1392,62 @@ def pq_rerank_topk(
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+def pq_codebook_trained(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    *,
+    sample: int = 2048,
+    lloyd_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pqtrain",
+) -> list[list[list[float]]]:
+    """TRAINED product-quantization codebooks: per subspace, Lloyd's
+    k-means fit driver-side on a deterministic md5-ordered sample --
+    the quality upgrade over `pq_codebook`'s first-n_codes seeding
+    (Jegou et al. 2011 train their codebooks exactly this way; the
+    seeded twin exists for exact SQL oracles). Same nested-list
+    contract, so pq_codes / adc_distance / pq_rerank_topk consume it
+    unchanged.
+
+    Determinism: the sample is the ``sample`` smallest md5 draws (ties
+    by id) -- reproducible and engine-independent; init is the sample's
+    first n_codes rows; Lloyd runs a fixed ``lloyd_iters`` on the sample
+    in numpy (empty clusters re-seeded deterministically from the
+    sample). Driver state: O(sample * dim) floats -- the
+    bounded-calibration pattern, never corpus-scale."""
+    import numpy as np
+
+    from .sampling import sample_hash
+
+    # the sample is selected DISTRIBUTED (TakeOrdered on the md5 draw);
+    # only `sample` rows ever reach the driver
+    drawn = (
+        emb.select(id_col, vec_col)
+        .orderBy(
+            sample_hash(F.col(id_col), salt).asc(), F.col(id_col).asc()
+        )
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([[float(v) for v in r[1]] for r in drawn], dtype=np.float64)
+    dim = x.shape[1]
+    sub = dim // m
+    out: list[list[list[float]]] = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cent = xs[:n_codes].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+                else:  # deterministic re-seed: farthest sample point
+                    cent[c] = xs[d2.min(axis=1).argmax()]
+        out.append([[float(v) for v in row] for row in cent])
+    return out

@@ -4441,3 +4441,11 @@ ORACLE_SQL["customer_survival_km"] = """
     FROM risk
     QUALIFY n_events > 0
 """
+
+# trained-PQ improvement contract: deterministic training => stable flags
+ORACLE_SQL["embedding_pq_trained"] = """
+    SELECT CAST(4 AS BIGINT) AS m,
+           CAST(16 AS BIGINT) AS n_codes,
+           TRUE AS trained_beats_seeded,
+           TRUE AS errs_finite
+"""

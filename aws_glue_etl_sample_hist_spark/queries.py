@@ -4735,6 +4735,40 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained vs seeded PQ codebooks
+    (operators.similarity.pq_codebook_trained): per-subspace Lloyd's
+    k-means on a deterministic md5 sample must cut total reconstruction
+    error vs the first-n_codes seeding -- closing the loop on the r7
+    recall finding that PQ quality is the ANN family's weak axis.
+    Contract row: corpus-summed recon_err strictly improves, both
+    finite, codebook shape exact. Deterministic end to end (sampling,
+    init, fixed Lloyd rounds), so the flags are stable facts."""
+    import math as _math
+
+    from .operators.similarity import pq_codebook_trained, pq_codes
+
+    emb = load_table(spark, sf, "embeddings")
+    seeded_err = pq_codes(emb).agg(F.sum("recon_err")).collect()[0][0]
+    cb = pq_codebook_trained(emb)
+    trained_err = (
+        pq_codes(emb, codebook=cb).agg(F.sum("recon_err")).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(cb),
+                len(cb[0]),
+                bool(trained_err < seeded_err),
+                bool(
+                    _math.isfinite(trained_err) and _math.isfinite(seeded_err)
+                ),
+            )
+        ],
+        "m long, n_codes long, trained_beats_seeded boolean, errs_finite boolean",
+    )
+
+
 def q_customer_survival_km(spark: SparkSession, sf: str) -> DataFrame:
     """Kaplan-Meier retention curve over customer order lifetimes
     (operators.analytics.survival_km): right-censored churn analysis --
@@ -5040,6 +5074,7 @@ QUERIES = {
     "dedup_clusters_incremental": q_dedup_clusters_incremental,
     "stream_dedup_clusters": q_stream_dedup_clusters,
     "customer_survival_km": q_customer_survival_km,
+    "embedding_pq_trained": q_embedding_pq_trained,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
