@@ -14,6 +14,7 @@ north-star extension like the dedup/CC family.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ._cache import tracked_persist
 
@@ -182,3 +183,55 @@ def weighted_pagerank_converged(
     return ranks.select(
         "node", "rank", F.lit(rounds).cast("long").alias("n_rounds")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Weighted synchronous label propagation (Raghavan et al. 2007)
+    community detection -- the cheap communities primitive beside
+    PageRank (influence) and connected components (reachability): every
+    node starts as its own label; each round a node adopts the label with
+    the LARGEST incoming weight sum, ties broken to the SMALLEST label --
+    fully deterministic, so a fixed ``n_iter`` unrolls to an exact SQL
+    twin exactly like the 3-round PageRank (data-dependent convergence
+    stays out of the oracle's reach by design; run more rounds for real
+    use).
+
+    Scale shape per round: edges symmetrize once; one keyed shuffle
+    (dst, label) for the weight sums, one per-node argmax window -- both
+    partitioned by node, no driver traffic at all (the loop is a fixed
+    count, not a convergence check). Returns (node, label)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).unionByName(
+        edges.select(
+            F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
+        )
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    w_pick = Window.partitionBy("v").orderBy(
+        F.col("wsum").desc(), F.col("label").asc()
+    )
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy("v", "label")
+            .agg(F.round(F.sum("w"), 6).alias("wsum"))
+        )
+        picked = (
+            votes.withColumn("_rk", F.row_number().over(w_pick))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("v").alias("node"), "label")
+        )
+        # isolated-in-this-direction nodes keep their label (left join)
+        labels = nodes.join(picked, "node", "left").select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+        )
+    return labels

@@ -4449,3 +4449,59 @@ ORACLE_SQL["embedding_pq_trained"] = """
            TRUE AS trained_beats_seeded,
            TRUE AS errs_finite
 """
+
+# label-propagation communities: 3 synchronized rounds unrolled in SQL
+# (the 3-round-PageRank exact-twin pattern), ties to smallest label
+ORACLE_SQL["nations_communities"] = """
+    WITH edges AS (
+        SELECT sn.n_name AS src, cn.n_name AS dst,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))), 2) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT src AS u, dst AS v, w FROM edges
+        UNION ALL SELECT dst, src, w FROM edges
+    ), nodes AS (SELECT DISTINCT u AS node FROM sym),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    v1 AS (
+        SELECT s.v, l.label, ROUND(SUM(s.w), 6) AS wsum
+        FROM sym s JOIN l0 l ON l.node = s.u GROUP BY 1, 2
+    ), p1 AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY wsum DESC, label ASC) AS rk
+            FROM v1) WHERE rk = 1
+    ), l1 AS (
+        SELECT n.node, COALESCE(p.label, n.node) AS label
+        FROM nodes n LEFT JOIN p1 p USING (node)
+    ), v2 AS (
+        SELECT s.v, l.label, ROUND(SUM(s.w), 6) AS wsum
+        FROM sym s JOIN l1 l ON l.node = s.u GROUP BY 1, 2
+    ), p2 AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY wsum DESC, label ASC) AS rk
+            FROM v2) WHERE rk = 1
+    ), l2 AS (
+        SELECT n.node, COALESCE(p.label, n.node) AS label
+        FROM nodes n LEFT JOIN p2 p USING (node)
+    ), v3 AS (
+        SELECT s.v, l.label, ROUND(SUM(s.w), 6) AS wsum
+        FROM sym s JOIN l2 l ON l.node = s.u GROUP BY 1, 2
+    ), p3 AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY wsum DESC, label ASC) AS rk
+            FROM v3) WHERE rk = 1
+    ), l3 AS (
+        SELECT n.node, COALESCE(p.label, n.node) AS label
+        FROM nodes n LEFT JOIN p3 p USING (node)
+    )
+    SELECT node AS n_name, label AS community FROM l3
+"""

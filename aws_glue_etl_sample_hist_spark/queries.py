@@ -4735,6 +4735,47 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nations_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted label-propagation communities over the nation trade graph
+    (operators.graph.label_propagation): 3 synchronized rounds, ties to
+    the smallest label -- deterministic, so the oracle unrolls the same
+    three rounds in SQL exactly (the 3-round-PageRank pattern applied to
+    community detection). Same broadcast-dim edge build as
+    nations_pagerank."""
+    from .operators.graph import label_propagation
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("src"))
+    cust_nation = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nation), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("weight")
+        )
+    )
+    return label_propagation(edges, n_iter=3).select(
+        F.col("node").alias("n_name"), F.col("label").alias("community")
+    )
+
+
 def q_embedding_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
     """Trained vs seeded PQ codebooks
     (operators.similarity.pq_codebook_trained): per-subspace Lloyd's
@@ -5075,6 +5116,7 @@ QUERIES = {
     "stream_dedup_clusters": q_stream_dedup_clusters,
     "customer_survival_km": q_customer_survival_km,
     "embedding_pq_trained": q_embedding_pq_trained,
+    "nations_communities": q_nations_communities,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

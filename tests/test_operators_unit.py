@@ -2876,3 +2876,29 @@ def test_survival_km_hand_computed(spark):
     # t=10: n_risk=4 (all lifetimes >= 10), d=1 -> S = 0.75
     # t=30: n_risk=2 (C, D), d=1 -> S = 0.75 * 0.5 = 0.375
     assert got == {10: (4, 1, 0.75), 30: (2, 1, 0.375)}
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """LPA on a two-cluster graph with a weak bridge: heavy within-cluster
+    weights dominate, so each cluster converges to its own min label and
+    the bridge does not merge them."""
+    from aws_glue_etl_sample_hist_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # cluster A: 1-2-3 heavily connected
+            (1, 2, 10.0), (2, 3, 10.0), (1, 3, 10.0),
+            # cluster B: 4-5-6 heavily connected
+            (4, 5, 10.0), (5, 6, 10.0), (4, 6, 10.0),
+            # weak bridge
+            (3, 4, 0.1),
+        ],
+        "src long, dst long, weight double",
+    )
+    got = {
+        r.node: r.label for r in label_propagation(edges, n_iter=3).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6] == 4
