@@ -4505,3 +4505,18 @@ ORACLE_SQL["nations_communities"] = """
     )
     SELECT node AS n_name, label AS community FROM l3
 """
+
+# l-diversity audit: distinct sensitive-bucket count per quasi-id class
+ORACLE_SQL["customer_l_diversity"] = """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT CASE
+                WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT CASE
+                WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END) < 2 AS below_l
+    FROM customer GROUP BY 1, 2
+"""

@@ -4735,6 +4735,31 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_customer_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    customer_k_anonymity: a k-anonymous class is still attackable if its
+    SENSITIVE attribute is homogeneous, so per quasi-identifier class
+    (nation, segment) count the distinct sensitive values (the account
+    balance SIGN bucket: negative / low / high) and flag classes below
+    l = 2 -- an attacker knowing someone's class would learn their
+    balance bucket. Same one-groupBy shape; distinct-count per class."""
+    cust = load_table(spark, sf, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        cust.withColumn("_sens", bucket)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct("_sens").alias("l_distinct"),
+        )
+        .withColumn("below_l", F.col("l_distinct") < 2)
+    )
+
+
 def q_nations_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted label-propagation communities over the nation trade graph
     (operators.graph.label_propagation): 3 synchronized rounds, ties to
@@ -5117,6 +5142,7 @@ QUERIES = {
     "customer_survival_km": q_customer_survival_km,
     "embedding_pq_trained": q_embedding_pq_trained,
     "nations_communities": q_nations_communities,
+    "customer_l_diversity": q_customer_l_diversity,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
