@@ -166,3 +166,54 @@ def count_min_estimates(
             F.lit(width).cast("long").alias("width"),
         )
     )
+
+
+def misra_gries_partials(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries WITH their residual counts --
+    the MERGEABLE form (Agarwal et al. 2013, "Mergeable Summaries"):
+    two summaries merge by pointwise count addition followed by the
+    compress step (subtract the (k+1)-th largest count, drop <= 0), and
+    the merged undercount stays <= N/k no matter how many merges -- which
+    is what lets a STREAM maintain one standing summary across batches
+    (streaming/jobs.py::stream_events_heavy_hitters). Returns (col, cnt)
+    rows, at most k per partition."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                v = int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    return df.select(col).mapInPandas(summarize, schema=f"{col} long, cnt long")
+
+
+def merge_mg_summary(
+    state: dict[int, int], rows, k: int
+) -> dict[int, int]:
+    """Driver-side merge of (key, cnt) rows into a standing MG summary of
+    size <= k: pointwise addition, then compress by subtracting the
+    (k+1)-th largest count. Deterministic; O(k log k)."""
+    for key, cnt in rows:
+        state[int(key)] = state.get(int(key), 0) + int(cnt)
+    if len(state) > k:
+        cuts = sorted(state.values(), reverse=True)
+        cut = cuts[k]  # the (k+1)-th largest
+        state = {
+            key: c - cut for key, c in state.items() if c - cut > 0
+        }
+    return state

@@ -4520,3 +4520,7 @@ ORACLE_SQL["customer_l_diversity"] = """
                 ELSE 'high' END) < 2 AS below_l
     FROM customer GROUP BY 1, 2
 """
+
+# streaming merged-MG heavy hitters: candidates are a guaranteed superset,
+# the re-count is exact -- shares the batch oracle verbatim
+ORACLE_SQL["stream_events_heavy_hitters"] = ORACLE_SQL["events_heavy_hitters"]

@@ -4735,6 +4735,18 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_events_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming heavy hitters via merged Misra-Gries summaries
+    (streaming.jobs.stream_events_heavy_hitters): per micro-batch only
+    the <= k-counter partials reach the driver, the standing summary
+    merges with the mergeable-summaries compress rule, and the exact
+    candidate re-count must equal the batch answer -- shares
+    events_heavy_hitters' oracle verbatim."""
+    from .streaming.jobs import stream_events_heavy_hitters
+
+    return stream_events_heavy_hitters(spark, sf)
+
+
 def q_customer_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """l-diversity audit (Machanavajjhala et al. 2007), the companion to
     customer_k_anonymity: a k-anonymous class is still attackable if its
@@ -5143,6 +5155,7 @@ QUERIES = {
     "embedding_pq_trained": q_embedding_pq_trained,
     "nations_communities": q_nations_communities,
     "customer_l_diversity": q_customer_l_diversity,
+    "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

@@ -848,3 +848,59 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
     )
+
+
+def stream_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters by MERGED Misra-Gries summaries: each
+    micro-batch contributes its per-partition MG partials (<= k counters
+    each -- the only thing collected), the driver merges them into ONE
+    standing summary with the mergeable-summaries compress rule, and the
+    final answer is an exact re-count of the summary's candidate keys --
+    the fourth stream-maintained-state exemplar beside the PCA moments,
+    the PSI histograms, and the CC labels. The merged undercount stays
+    <= N/k across any number of merges (Agarwal et al. 2013), so with
+    k = 2/phi the standing summary is a guaranteed superset of every
+    phi-heavy hitter and the re-count answer EQUALS the batch
+    heavy_hitters_exact output -- the shared oracle's claim."""
+    from ..operators.frequency import merge_mg_summary, misra_gries_partials
+
+    phi = 0.0075
+    k = int(2.0 / phi)
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    src_dir = tempfile.mkdtemp(prefix="hh_stream_src_")
+    for s in range(3):
+        ev.filter(F.col("event_id") % 3 == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"s{s}"))
+    state: dict[int, int] = {}
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        nonlocal state
+        if batch.isEmpty():
+            return
+        rows = misra_gries_partials(batch, "user_id", k).collect()
+        state = merge_mg_summary(state, [(r.user_id, r.cnt) for r in rows], k)
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="hh_stream_ckpt_"), "ckpt")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/s*")
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cand = spark.createDataFrame(
+        [(int(u),) for u in sorted(state)], "user_id long"
+    )
+    total = ev.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= F.ceil(F.col("_n") * phi))
+        .select("user_id", F.col("freq").cast("long").alias("freq"))
+    )

@@ -2902,3 +2902,29 @@ def test_label_propagation_finds_planted_communities(spark):
     }
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == got[5] == got[6] == 4
+
+
+def test_mg_merge_preserves_superset_guarantee(spark):
+    """Mergeable-summaries property: merging per-chunk MG summaries keeps
+    every phi-heavy key, even when the heavy key's occurrences are spread
+    adversarially across chunks."""
+    from aws_glue_etl_sample_hist_spark.operators.frequency import (
+        merge_mg_summary,
+        misra_gries_partials,
+    )
+
+    # 1000 rows: key 7 occurs 200x (20%), spread across 4 chunks; the
+    # rest is long-tail noise
+    rows = []
+    for c in range(4):
+        rows += [(7,)] * 50 + [(1000 * c + i,) for i in range(200)]
+    k = 20  # 2 / 0.1
+    state: dict[int, int] = {}
+    for c in range(4):
+        chunk = spark.createDataFrame(rows[c * 250 : (c + 1) * 250], "user_id long")
+        partials = misra_gries_partials(chunk, "user_id", k).collect()
+        state = merge_mg_summary(
+            state, [(r.user_id, r.cnt) for r in partials], k
+        )
+    assert len(state) <= k
+    assert 7 in state  # the 20% key survives every merge+compress
