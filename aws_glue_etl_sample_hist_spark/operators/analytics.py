@@ -362,3 +362,91 @@ def survival_km(
             "survival",
         )
     )
+
+
+def survival_logrank(
+    orders: DataFrame,
+    groups: DataFrame,
+    *,
+    censor_days: int = 90,
+    id_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    flag_col: str = "is_g1",
+) -> DataFrame:
+    """Log-rank test (Mantel 1966) between two survival groups -- "do
+    these segments churn at the same rate", the hypothesis test that
+    belongs next to the Kaplan-Meier curve. ``groups`` maps ``id_col`` to
+    a boolean ``flag_col`` (group 1 = true; dimension-sized, broadcast).
+    At each event time t: observed group-1 events O1, expected
+    E1 = d * n1/n under the null, hypergeometric variance
+    V = d*(n1/n)*(1-n1/n)*(n-d)/(n-1); the statistic
+    (sum(O1-E1))^2 / sum(V) ~ chi2(1).
+
+    Same scale shape as survival_km: per-customer aggregate, then every
+    sum runs over the bounded lifetime histogram (per-group reverse
+    cumulative risk windows). Closed-form deterministic arithmetic ==
+    exact dual-engine oracle. Returns ONE row: (n_events_total, chi2,
+    reject_at_05) with chi2 rounded to 6 dp (critical value 3.841)."""
+    per_cust = orders.groupBy(id_col).agg(
+        F.min(date_col).alias("_first"), F.max(date_col).alias("_last")
+    )
+    horizon = orders.agg(F.max(date_col).alias("_maxd"))
+    life = (
+        per_cust.crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(groups.select(id_col, flag_col)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.datediff("_last", "_first").cast("long").alias("t_days"),
+            (F.datediff("_maxd", "_last") > censor_days)
+            .cast("int")
+            .alias("_ev"),
+            F.coalesce(F.col(flag_col).cast("int"), F.lit(0)).alias("_g1"),
+        )
+    )
+    hist = life.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("_n_at"),
+        F.sum("_g1").alias("_n1_at"),
+        F.sum("_ev").alias("d"),
+        F.sum(F.col("_ev") * F.col("_g1")).alias("o1"),
+    )
+    w_risk = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    terms = (
+        hist.withColumn("n", F.sum("_n_at").over(w_risk))
+        .withColumn("n1", F.sum("_n1_at").over(w_risk))
+        .filter(F.col("d") > 0)
+        .select(
+            "d",
+            "o1",
+            (F.col("d") * F.col("n1") / F.col("n")).alias("e1"),
+            F.when(
+                F.col("n") > 1,
+                (
+                    F.col("d")
+                    * (F.col("n1") / F.col("n"))
+                    * (1 - F.col("n1") / F.col("n"))
+                    * (F.col("n") - F.col("d"))
+                    / (F.col("n") - 1)
+                ),
+            ).otherwise(F.lit(0.0)).alias("v"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("d").alias("n_events_total"),
+        F.sum(F.col("o1") - F.col("e1")).alias("_oe"),
+        F.sum("v").alias("_v"),
+    )
+    return agg.select(
+        F.col("n_events_total").cast("long").alias("n_events_total"),
+        F.round(
+            (F.col("_oe") * F.col("_oe"))
+            / F.greatest(F.col("_v"), F.lit(1e-12)),
+            6,
+        ).alias("chi2"),
+        (
+            (F.col("_oe") * F.col("_oe"))
+            / F.greatest(F.col("_v"), F.lit(1e-12))
+            > 3.841
+        ).alias("reject_at_05"),
+    )

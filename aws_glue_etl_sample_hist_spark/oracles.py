@@ -4524,3 +4524,43 @@ ORACLE_SQL["customer_l_diversity"] = """
 # streaming merged-MG heavy hitters: candidates are a guaranteed superset,
 # the re-count is exact -- shares the batch oracle verbatim
 ORACLE_SQL["stream_events_heavy_hitters"] = ORACLE_SQL["events_heavy_hitters"]
+
+# log-rank test: observed/expected/variance sums over the lifetime
+# histogram, closed form; 1e-12 variance floor mirrors the Spark guard
+ORACLE_SQL["customer_survival_logrank"] = """
+    WITH life AS (
+        SELECT o.o_custkey,
+               date_diff('day', MIN(o.o_orderdate), MAX(o.o_orderdate)) AS t_days,
+               CASE WHEN date_diff('day', MAX(o.o_orderdate),
+                        (SELECT MAX(o_orderdate) FROM orders)) > 90
+                    THEN 1 ELSE 0 END AS ev,
+               CASE WHEN MAX(c.c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    ), hist AS (
+        SELECT t_days, COUNT(*) AS n_at, SUM(g1) AS n1_at,
+               SUM(ev) AS d, SUM(ev * g1) AS o1
+        FROM life GROUP BY 1
+    ), risk AS (
+        SELECT t_days, d, o1,
+               SUM(n_at) OVER (ORDER BY t_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+               SUM(n1_at) OVER (ORDER BY t_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+        FROM hist
+    ), terms AS (
+        SELECT d, o1,
+               d * n1 / CAST(n AS DOUBLE) AS e1,
+               CASE WHEN n > 1
+                    THEN d * (n1 / CAST(n AS DOUBLE))
+                         * (1 - n1 / CAST(n AS DOUBLE))
+                         * (n - d) / (n - 1.0)
+                    ELSE 0.0 END AS v
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(SUM(d) AS BIGINT) AS n_events_total,
+           ROUND(POW(SUM(o1 - e1), 2) / GREATEST(SUM(v), 1e-12), 6) AS chi2,
+           POW(SUM(o1 - e1), 2) / GREATEST(SUM(v), 1e-12) > 3.841
+               AS reject_at_05
+    FROM terms
+"""

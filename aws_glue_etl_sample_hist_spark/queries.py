@@ -4735,6 +4735,23 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_customer_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-rank test between BUILDING-segment customers and the rest
+    (operators.analytics.survival_logrank): does the segment churn at a
+    different rate than everyone else, hypothesis-tested properly against
+    the censored lifetimes -- the statistical companion to the KM curve.
+    Closed-form chi2(1); oracle recomputes observed/expected/variance
+    sums over the lifetime histogram exactly."""
+    from .operators.analytics import survival_logrank
+
+    orders = load_table(spark, sf, "orders")
+    groups = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_g1"),
+    )
+    return survival_logrank(orders, groups)
+
+
 def q_stream_events_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming heavy hitters via merged Misra-Gries summaries
     (streaming.jobs.stream_events_heavy_hitters): per micro-batch only
@@ -5156,6 +5173,7 @@ QUERIES = {
     "nations_communities": q_nations_communities,
     "customer_l_diversity": q_customer_l_diversity,
     "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
+    "customer_survival_logrank": q_customer_survival_logrank,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
