@@ -4564,3 +4564,38 @@ ORACLE_SQL["customer_survival_logrank"] = """
                AS reject_at_05
     FROM terms
 """
+
+# A/B test: md5-bucketed variants, pooled two-proportion z, closed form
+ORACLE_SQL["events_ab_test"] = """
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN CAST(('0x' || substr(md5('abtest:' ||
+                        CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000 < 500000
+                    THEN 1 ELSE 0 END AS variant
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT variant, COUNT(*) AS n, SUM(conv) AS x
+        FROM pu GROUP BY 1
+    ), j AS (
+        SELECT a.n AS n1, a.x AS x1, b.n AS n0, b.x AS x0
+        FROM (SELECT n, x FROM g WHERE variant = 1) a,
+             (SELECT n, x FROM g WHERE variant = 0) b
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n0 AS BIGINT) AS n_control,
+           ROUND(x1 / CAST(n1 AS DOUBLE), 6) AS cr_treat,
+           ROUND(x0 / CAST(n0 AS DOUBLE), 6) AS cr_control,
+           ROUND((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+               / SQRT(GREATEST(
+                   ((x1 + x0) / CAST(n1 + n0 AS DOUBLE))
+                   * (1 - (x1 + x0) / CAST(n1 + n0 AS DOUBLE))
+                   * (1.0 / n1 + 1.0 / n0), 1e-300)), 6) AS z,
+           ABS((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+               / SQRT(GREATEST(
+                   ((x1 + x0) / CAST(n1 + n0 AS DOUBLE))
+                   * (1 - (x1 + x0) / CAST(n1 + n0 AS DOUBLE))
+                   * (1.0 / n1 + 1.0 / n0), 1e-300))) > 1.96 AS reject_at_05
+    FROM j
+"""

@@ -4735,6 +4735,62 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic experiment split -- the
+    A/B readout every event pipeline ends in: users bucket by md5 hash
+    (never user_id parity: sequential ids correlate with signup time),
+    metric = did the user make a HIGH-VALUE purchase (value > 150 --
+    plain "any purchase" saturates at 100% on this corpus and the test
+    degenerates). Closed-form pooled-variance z,
+    two-sided rejection at |z| > 1.96. One per-user agg + one 2-row
+    group agg; exact oracle recomputes z and the verdict."""
+    ev = load_table(spark, sf, "events")
+    from .operators.sampling import SAMPLE_MOD, sample_hash
+
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150)
+            ).cast("int")
+        ).alias("converted")
+    ).withColumn(
+        "variant",
+        (sample_hash(F.col("user_id"), "abtest") < SAMPLE_MOD // 2).cast(
+            "int"
+        ),
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("x"),
+    )
+    a = g.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = g.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("x").alias("x0")
+    )
+    j = a.crossJoin(b)
+    p1 = F.col("x1") / F.col("n1")
+    p0 = F.col("x0") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")) / (F.col("n1") + F.col("n0"))
+    se = F.sqrt(
+        F.greatest(
+            pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
+            F.lit(1e-300),
+        )
+    )
+    z = (p1 - p0) / se
+    return j.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.round(p1, 6).alias("cr_treat"),
+        F.round(p0, 6).alias("cr_control"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_at_05"),
+    )
+
+
 def q_customer_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
     """Log-rank test between BUILDING-segment customers and the rest
     (operators.analytics.survival_logrank): does the segment churn at a
@@ -5174,6 +5230,7 @@ QUERIES = {
     "customer_l_diversity": q_customer_l_diversity,
     "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
     "customer_survival_logrank": q_customer_survival_logrank,
+    "events_ab_test": q_events_ab_test,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
