@@ -4599,3 +4599,69 @@ ORACLE_SQL["events_ab_test"] = """
                    * (1.0 / n1 + 1.0 / n0), 1e-300))) > 1.96 AS reject_at_05
     FROM j
 """
+
+# NDCG@10 of the BM25 ranking vs term-coverage graded relevance: the
+# bm25 CTEs + DCG over the top-10 and IDCG over the corpus-ideal ordering
+ORACLE_SQL["retrieval_ndcg"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ('dup', 'key', 'fast')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(len(regexp_split_to_array(trim(text), '\s+'))) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               COUNT(*) AS n_terms_matched,
+               ROUND(SUM(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    top AS (
+        SELECT doc_id, CAST(n_terms_matched AS DOUBLE) AS rel,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    ),
+    dcg AS (
+        SELECT SUM((POW(2.0, rel) - 1) / LOG2(rank + 1)) AS dcg FROM top
+    ),
+    rel_all AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT term) AS DOUBLE) AS rel
+        FROM toks WHERE term IN ('dup', 'key', 'fast')
+        GROUP BY 1
+    ),
+    ideal AS (
+        SELECT rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS rank
+        FROM rel_all ORDER BY rel DESC, doc_id ASC LIMIT 10
+    ),
+    idcg AS (
+        SELECT SUM((POW(2.0, rel) - 1) / LOG2(rank + 1)) AS idcg FROM ideal
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           ROUND(dcg, 6) AS dcg,
+           ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg
+    FROM dcg, idcg
+"""

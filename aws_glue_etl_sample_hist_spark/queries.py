@@ -4735,6 +4735,65 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-quality accounting for the lexical path: NDCG@10 of the
+    BM25 ranking against term-coverage graded relevance (rel(d) =
+    distinct query terms present -- deterministic ground truth), the
+    retrieval twin of the ANN recall rows. DCG over the BM25 top-10,
+    IDCG over the corpus-wide ideal ordering by relevance; everything is
+    closed-form arithmetic, so the oracle recomputes NDCG exactly. BM25
+    ranks by ROUNDED score with doc_id tie-break, so rank order -- and
+    hence DCG -- is engine-stable."""
+    from .operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    # 'dup' is the corpus's one genuinely rare term (df 25/500 at sf0.01
+    # vs ~380 for the rest of the vocab): coverage grades actually vary
+    # (11 docs carry all three, 297 two, 147 one), so the metric
+    # discriminates -- with three common terms every top doc hits rel 3
+    # and NDCG degenerates to 1.0
+    terms = ["dup", "key", "fast"]
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    top = bm25_topk(docs, terms, k=10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    disc = F.log2(F.col("rank") + 1)
+    ranked = top.withColumn("rank", F.row_number().over(w)).withColumn(
+        "rel", F.col("n_terms_matched").cast("double")
+    )
+    dcg = ranked.agg(F.sum(gain / disc).alias("dcg"))
+    from .operators.text import tokens as _tokens
+
+    rel_all = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(_tokens(F.lower(F.col("text")))), terms_arr
+            )
+        )
+        .cast("double")
+        .alias("rel"),
+    ).filter(F.col("rel") > 0)
+    ideal = rel_all.orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    ).limit(10).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+        ),
+    )
+    idcg = ideal.agg(F.sum(gain / disc).alias("idcg"))
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )
+
+
 def q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Two-proportion z-test over a deterministic experiment split -- the
     A/B readout every event pipeline ends in: users bucket by md5 hash
@@ -5231,6 +5290,7 @@ QUERIES = {
     "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
     "customer_survival_logrank": q_customer_survival_logrank,
     "events_ab_test": q_events_ab_test,
+    "retrieval_ndcg": q_retrieval_ndcg,
     # --- block 3: remaining r3-era (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,

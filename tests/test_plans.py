@@ -128,6 +128,8 @@ NESTED_LOOP_WHITELIST = {
                                    # (epsilon-bound witness arithmetic)
     "embedding_matryoshka_recall",  # composes the exact twin at two prefix
                                     # widths (broadcast 5 queries x corpus)
+    "retrieval_ndcg",              # bm25's 1-row stats x terms + the final
+                                   # 1-row DCG x 1-row IDCG join
 }
 
 
