@@ -101,6 +101,10 @@ HEADLINE = [
     "corpus_balanced_sample",
     "customer_survival_km",
     "dedup_clusters_incremental",
+    "customer_survival_logrank",
+    "events_ab_test",
+    "retrieval_ndcg",
+    "nations_communities",
 ]
 
 

@@ -130,6 +130,10 @@ NESTED_LOOP_WHITELIST = {
                                     # widths (broadcast 5 queries x corpus)
     "retrieval_ndcg",              # bm25's 1-row stats x terms + the final
                                    # 1-row DCG x 1-row IDCG join
+    "customer_survival_km",        # 1-row censor-horizon date x per-customer
+                                   # lifetimes (scalar join)
+    "customer_survival_logrank",   # same horizon scalar join
+    "events_ab_test",              # 1-row treatment arm x 1-row control arm
 }
 
 
