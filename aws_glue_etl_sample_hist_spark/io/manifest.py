@@ -35,8 +35,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def _manifest_dir(root: str) -> str:
@@ -60,7 +62,15 @@ def latest_version(root: str) -> int:
 def publish_tables(tables: dict[str, DataFrame], root: str) -> int:
     """Two-phase atomic publish of every table in ``tables``. Returns the
     committed version. If ANY table write fails, no manifest is written
-    and readers keep seeing the previous version untouched."""
+    and readers keep seeing the previous version untouched.
+
+    Concurrency: the staged manifest name is unique per publisher (uuid,
+    never shared), and the commit is ``os.link(tmp, final)`` -- an
+    EXCLUSIVE-create primitive that fails with EEXIST instead of
+    replacing an already-committed manifest. Two racing publishers that
+    both computed the same next version therefore cannot clobber each
+    other: exactly one wins, the loser raises and its staged data stays
+    orphaned (invisible -- it is in no manifest)."""
     version = latest_version(root) + 1
     entries: dict[str, dict] = {}
     for name, df in tables.items():
@@ -73,14 +83,29 @@ def publish_tables(tables: dict[str, DataFrame], root: str) -> int:
         )
         spark = df.sparkSession
         n = spark.read.parquet(*files).count() if files else 0
-        entries[name] = {"files": files, "n_rows": n}
+        # schema travels in the manifest so a 0-file (empty-table) publish
+        # is still readable with its declared columns
+        entries[name] = {"files": files, "n_rows": n, "schema": df.schema.json()}
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".v{version}.json.inprogress")
+    tmp = os.path.join(mdir, f".staged-{uuid.uuid4().hex}.json.inprogress")
     with open(tmp, "w") as f:
         json.dump({"version": version, "tables": entries}, f, indent=1)
-    # THE commit point: one atomic rename
-    os.rename(tmp, os.path.join(mdir, f"v{version}.json"))
+    final = os.path.join(mdir, f"v{version}.json")
+    try:
+        # THE commit point: one atomic exclusive-create link. rename()
+        # would silently REPLACE a manifest committed by a concurrent
+        # publisher between our latest_version() read and here.
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise RuntimeError(
+            f"concurrent publish lost the race for version {version} at "
+            f"{root!r}: v{version}.json was committed by another writer "
+            "after this publisher read latest_version(). Re-run the "
+            "publish (staged data is orphaned and invisible)."
+        ) from None
+    os.unlink(tmp)
     return version
 
 
@@ -100,5 +125,18 @@ def read_published(
             f"table {table!r} not in manifest v{v} "
             f"(has: {sorted(manifest['tables'])})"
         )
-    files = manifest["tables"][table]["files"]
+    entry = manifest["tables"][table]
+    files = entry["files"]
+    if not files:
+        # empty-table publish (0 part files): reconstruct from the
+        # recorded schema rather than crashing in spark.read.parquet(*[])
+        schema_json = entry.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"table {table!r} at version v{v} has no data files and "
+                "the manifest predates schema recording -- cannot "
+                "reconstruct an empty DataFrame"
+            )
+        schema = StructType.fromJson(json.loads(schema_json))
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)

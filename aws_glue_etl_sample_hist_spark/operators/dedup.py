@@ -70,7 +70,7 @@ def ngram_jaccard_pairs(
     (candidate generation; only docs sharing >= 1 shingle ever pair) ->
     intersection counts -> join per-doc shingle counts -> Jaccard filter.
     """
-    sh = _distinct_shingles(docs, n, text_col, id_col, max_df).cache()
+    sh = tracked_persist(_distinct_shingles(docs, n, text_col, id_col, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count("shingle").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1044,7 +1044,7 @@ def containment_pairs(
 
     Returns (doc_id, container_id, n_common, size, containment) for
     directed pairs with containment >= threshold."""
-    sh = _distinct_shingles(docs, n, text_col, id_col, max_df).cache()
+    sh = tracked_persist(_distinct_shingles(docs, n, text_col, id_col, max_df))
     sizes = sh.groupBy("doc_id").agg(F.count("shingle").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1075,7 +1075,12 @@ def hard_negatives(
     closing the one unbounded-shuffle caveat of the threshold-0 form (a
     degenerate all-same-signature corpus used to cost n^2/2 candidates;
     now 4*8*n). The price is recall within oversized buckets, the same
-    documented LSH trade as the band misses themselves. Pairs symmetrize
+    documented LSH trade as the band misses themselves. Note the cap
+    bounds SHUFFLE and OUTPUT rows, not CPU: within one degenerate hot
+    bucket the sort-merge join still scans O(bucket^2) row combinations
+    before the pos-ring filter drops them -- fine at any realistic skew
+    (the adversarial test pins the output), but not a per-bucket CPU
+    bound. Pairs symmetrize
     to anchor perspective, labels attach by equi-join, and top-k is one
     row_number window keyed on (rounded cosine desc, neg id asc) -- the
     ROUNDED value ranks, so ranking is deterministic across engines even
@@ -1311,13 +1316,16 @@ def topk_recall(
     (query_id, neighbor_id, rank, ...) frames (cosine_topk's contract);
     recall(q) = |approx(q) ∩ exact(q)| / |exact(q)|.
 
-    Output is the driver-checkable CONTRACT shape (the HLL/IVF pattern):
-    per query, the measured recall rounded to 4 dp plus boolean witnesses
-    -- the exact side returned a full k, and recall clears the pinned
-    ``floor``. The oracle asserts exact query keys and all-true flags;
-    recall itself is deterministic (seeded quantizers) but only
-    contract-bounded in SQL. Scale shape: two query-bounded frames joined
-    on (query_id, neighbor_id) -- O(queries * k) rows end to end."""
+    Output: per query, the measured ``recall`` rounded to 4 dp (so
+    PERF.md's recall-vs-budget curves are reproducible straight from this
+    operator) plus boolean witnesses -- the exact side returned a full k,
+    and recall clears the pinned ``floor``. The registered contract rows
+    (the HLL/IVF pattern) DROP the recall column before hashing: the
+    oracle asserts exact query keys and all-true flags; the measured
+    value is deterministic (seeded quantizers) but not SQL-derivable, so
+    it is intentionally kept out of the hash-checked row. Scale shape:
+    two query-bounded frames joined on (query_id, neighbor_id) --
+    O(queries * k) rows end to end."""
     e = exact.select("query_id", F.col("neighbor_id").alias("_nid"))
     a = approx.select(
         "query_id", F.col("neighbor_id").alias("_nid"), F.lit(1).alias("_hit")
@@ -1336,6 +1344,7 @@ def topk_recall(
             (
                 F.round(F.col("_n_hit") / F.col("_n_exact"), 4) >= floor
             ).alias("recall_ok"),
+            F.round(F.col("_n_hit") / F.col("_n_exact"), 4).alias("recall"),
         )
     )
 
@@ -1443,11 +1452,19 @@ def pq_codebook_trained(
         for _ in range(lloyd_iters):
             d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            # deterministic re-seed order: sample points sorted farthest-
+            # first by their assignment distance THIS round; the i-th empty
+            # cluster takes the i-th entry, so re-seeded centroids are
+            # DISTINCT points (re-seeding every empty cluster at the same
+            # farthest point produced duplicate centroids / wasted codes)
+            far_order = np.argsort(-d2.min(axis=1), kind="stable")
+            reseed_i = 0
             for c in range(n_codes):
                 members = xs[assign == c]
                 if len(members):
                     cent[c] = members.mean(axis=0)
-                else:  # deterministic re-seed: farthest sample point
-                    cent[c] = xs[d2.min(axis=1).argmax()]
+                else:
+                    cent[c] = xs[far_order[reseed_i % len(far_order)]]
+                    reseed_i += 1
         out.append([[float(v) for v in row] for row in cent])
     return out

@@ -684,22 +684,42 @@ def kn_bigram_perplexity(
         F.split_part("bigram", F.lit(" "), F.lit(2)).alias("w2"),
     )
     train = bg.filter("_train")
-    c_bg = train.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    from ._cache import tracked_persist
+
+    # the bigram-type table feeds FOUR consumers (broadcast into the eval
+    # join, the continuation counts, and both calibration scalars below)
+    # -- persist it so the corpus-scale groupBy shuffle happens once;
+    # w1/w2 functionally depend on bigram, so the extra keys don't change
+    # the grouping cardinality
+    c_bg_typed = tracked_persist(
+        train.groupBy("bigram", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    c_bg = c_bg_typed.select("bigram", "c")
     w1_stats = train.groupBy("w1").agg(
         F.count(F.lit(1)).alias("c1"),
         F.count_distinct("w2").alias("n1fw"),
     )
-    w2_cont = train.select("w1", "w2").distinct().groupBy("w2").agg(
-        F.count(F.lit(1)).alias("n1l")
+    # N1+(., w2) = #distinct w1 preceding w2 = that w2's rows in the TYPE
+    # table (formerly its own corpus-scale distinct shuffle)
+    w2_cont = c_bg_typed.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    # bounded calibration scalars: bigram TYPE count and train vocab size,
+    # FUSED into one job over the (vocab^2-bounded, Heaps-sublinear)
+    # bigram-type table -- formerly two separate corpus-scale distinct
+    # shuffles (round-7 verdict item 3). Every occurring word appears in
+    # some bigram type, so the word set derived from types equals the one
+    # derived from occurrences; each type contributes exactly 2 word slots
+    # so t_types = slot_count / 2.
+    scal = (
+        c_bg_typed.select(
+            F.explode(F.array(F.col("w1"), F.col("w2"))).alias("w")
+        )
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("t"),
+            F.count_distinct("w").alias("v"),
+        )
+        .collect()[0]
     )
-    # bounded calibration scalars: bigram TYPE count and train vocab size
-    t_types = train.select("bigram").distinct().count()
-    v_train = (
-        train.select(F.col("w1").alias("w"))
-        .unionByName(train.select(F.col("w2").alias("w")))
-        .distinct()
-        .count()
-    )
+    t_types, v_train = scal.t, scal.v
     ev = bg.filter(~F.col("_train"))
     joined = (
         ev.join(F.broadcast(c_bg), "bigram", "left")

@@ -5040,8 +5040,12 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", F.slice("embedding", 1, dims).alias("embedding")
         )
         approx = cosine_topk(truncated, qids, k=10)
-        part = topk_recall(approx, exact, k=10, floor=floor).withColumn(
-            "dims", F.lit(dims).cast("long")
+        # measured recall is not SQL-derivable: drop it from the
+        # hash-checked contract row (topk_recall docstring)
+        part = (
+            topk_recall(approx, exact, k=10, floor=floor)
+            .drop("recall")
+            .withColumn("dims", F.lit(dims).cast("long"))
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -5181,7 +5185,7 @@ def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     qids = [0, 1, 2, 3, 4]
     approx = ivf_ann_topk(emb, qids, k=10, n_centroids=8, nprobe=2)
     exact = cosine_topk(emb, qids, k=10)
-    return topk_recall(approx, exact, k=10, floor=0.5)
+    return topk_recall(approx, exact, k=10, floor=0.5).drop("recall")
 
 
 def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -5199,7 +5203,7 @@ def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     qids = [0, 1, 2, 3, 4]
     approx = pq_rerank_topk(emb, qids, k=10, shortlist=50)
     exact = cosine_topk(emb, qids, k=10)
-    return topk_recall(approx, exact, k=10, floor=0.2)
+    return topk_recall(approx, exact, k=10, floor=0.2).drop("recall")
 
 
 # ---------------------------------------------------------------- registry

@@ -429,3 +429,59 @@ def test_manifest_publish_atomic_and_orphan_proof(spark, tmp_path):
     assert read_published(spark, root, "a").count() == 20
     assert read_published(spark, root, "a", version=1).count() == 10
     assert v2 == pre + 1
+
+
+def test_manifest_concurrent_publish_never_clobbers(spark, tmp_path, monkeypatch):
+    """Two publishers that both read the same latest_version must not
+    clobber each other's committed manifest: the commit primitive is an
+    exclusive-create link, so the loser raises and the winner's version
+    (and every already-committed version) stays byte-identical."""
+    import pytest as _pytest
+
+    from aws_glue_etl_sample_hist_spark.io import manifest as M
+
+    root = str(tmp_path / "lake")
+    a1 = spark.range(10).withColumnRenamed("id", "k")
+    assert M.publish_tables({"a": a1}, root) == 1
+
+    # simulate the race: this publisher read latest_version() BEFORE v1
+    # was committed (stale read), so it stages v1 again under a different
+    # table name (no data-dir collision to save it)
+    monkeypatch.setattr(M, "latest_version", lambda r: 0)
+    b = spark.range(3).withColumnRenamed("id", "k")
+    with _pytest.raises(RuntimeError, match="concurrent publish"):
+        M.publish_tables({"b": b}, root)
+
+    monkeypatch.undo()
+    # the committed v1 is intact: still table "a", still 10 rows, and no
+    # leftover staging files
+    assert M.latest_version(root) == 1
+    assert M.read_published(spark, root, "a").count() == 10
+    with _pytest.raises(KeyError):
+        M.read_published(spark, root, "b")
+    leftovers = [
+        f for f in os.listdir(os.path.join(root, "_manifests")) if "staged" in f
+    ]
+    assert leftovers == []
+
+
+def test_manifest_empty_table_roundtrip(spark, tmp_path):
+    """A 0-row table (possibly 0 part files) publishes and reads back as
+    an empty DataFrame with its recorded schema, not a TypeError."""
+    from aws_glue_etl_sample_hist_spark.io.manifest import (
+        publish_tables,
+        read_published,
+    )
+
+    root = str(tmp_path / "lake")
+    empty = (
+        spark.range(10)
+        .withColumnRenamed("id", "k")
+        .withColumn("tag", F.lit("x"))
+        .filter(F.col("k") < 0)
+        .repartition(1)
+    )
+    v = publish_tables({"void": empty}, root)
+    got = read_published(spark, root, "void", version=v)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "tag"]

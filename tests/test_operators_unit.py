@@ -2448,10 +2448,12 @@ def test_topk_recall_counts_hits(spark):
         "query_id long, neighbor_id long",
     )
     got = {
-        r.query_id: (r.k, r.exact_side_full, r.recall_ok)
+        r.query_id: (r.k, r.exact_side_full, r.recall_ok, r.recall)
         for r in topk_recall(approx, exact, k=2, floor=0.5).collect()
     }
-    assert got == {1: (2, True, True), 2: (2, True, True)}
+    # the measured recall value rides along so PERF curves are
+    # reproducible from the operator (contract rows drop it pre-hash)
+    assert got == {1: (2, True, True, 1.0), 2: (2, True, True, 0.5)}
     strict = {
         r.query_id: r.recall_ok
         for r in topk_recall(approx, exact, k=2, floor=0.6).collect()
