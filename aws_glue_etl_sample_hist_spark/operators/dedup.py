@@ -200,6 +200,69 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_pair_recall(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Measured recall of banded-MinHash candidate generation against the
+    exact n-gram-Jaccard >= ``threshold`` truth, per Jaccard bucket --
+    the EMPIRICAL S-curve beside the theoretical 1-(1-j^r)^b that every
+    LSH band config quotes. The ANN paths carry recall@k contract rows;
+    this is the same accounting for the dedup path: which true near-dup
+    pairs does the band join actually surface, stratified by how similar
+    they are (recall SHOULD be poor just above the threshold and ~1.0
+    near jaccard 1.0 -- seeing that shape measured is the point).
+
+    Output: (j_bucket, n_true_pairs, n_candidates, recall), one row per
+    occupied 0.2-wide Jaccard bucket; both sides are deterministic md5
+    arithmetic, so a SQL oracle recomputes recall EXACTLY. Scale shape:
+    the exact side is the inverted-index Jaccard join (max_df-guarded),
+    the candidate side the band equi-join -- the measurement costs one
+    extra broadcast-sized join over the true-pair set, never all-pairs."""
+    exact = ngram_jaccard_pairs(
+        docs,
+        n=shingle_n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        max_df=max_df,
+    ).select("doc_a", "doc_b", "jaccard")
+    cand = minhash_lsh_pairs(
+        docs,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        max_df=max_df,
+    ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
+    j = F.col("jaccard")
+    bucket = (
+        F.when(j < 0.4, "0.2-0.4")
+        .when(j < 0.6, "0.4-0.6")
+        .when(j < 0.8, "0.6-0.8")
+        .otherwise("0.8-1.0")
+    )
+    return (
+        exact.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(bucket.alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_candidates"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -4665,3 +4665,27 @@ ORACLE_SQL["retrieval_ndcg"] = r"""
            ROUND(dcg / idcg, 6) AS ndcg
     FROM dcg, idcg
 """
+
+# empirical LSH S-curve: recall of the banded-MinHash candidate join
+# against exact Jaccard >= 0.2 truth, per 0.2-wide bucket; composes the
+# two existing dedup oracles verbatim, so recall is recomputed EXACTLY
+ORACLE_SQL["dedup_lsh_recall"] = f"""
+    WITH exact AS (
+        SELECT doc_a, doc_b, jaccard
+        FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
+    )
+    SELECT CASE WHEN jaccard < 0.4 THEN '0.2-0.4'
+                WHEN jaccard < 0.6 THEN '0.4-0.6'
+                WHEN jaccard < 0.8 THEN '0.6-0.8'
+                ELSE '0.8-1.0' END AS j_bucket,
+           COUNT(*) AS n_true_pairs,
+           SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_candidates,
+           ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    GROUP BY 1
+"""

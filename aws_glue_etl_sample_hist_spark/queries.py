@@ -605,6 +605,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf, "documents"), num_hashes=12, band_size=3)
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical recall of the MinHash-LSH band join against the exact
+    Jaccard >= 0.2 truth, per 0.2-wide Jaccard bucket
+    (operators.dedup.lsh_pair_recall) -- the measured S-curve for the
+    SAME config as dedup_minhash_lsh (12 hashes, bands of 3). Both sides
+    are deterministic md5 arithmetic, so the DuckDB oracle recomputes the
+    per-bucket recall EXACTLY (not a contract row). PERF.md carries the
+    recall-vs-band-count curve this row anchors."""
+    from .operators.dedup import lsh_pair_recall
+
+    return lsh_pair_recall(
+        load_table(spark, sf, "documents"),
+        num_hashes=12,
+        band_size=3,
+        threshold=0.2,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-32 near-dup pairs (hamming <= 3) via the 4-band pigeonhole
     candidate generation -- exact result without the n^2 pair space."""
@@ -5210,68 +5228,17 @@ def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-7 rotation (VERDICT r6 item 1): slots
-    # 1-22 are the round-6-late additions whose correctness so far rested
-    # only on local oracle runs (first-ever driver rows, incl. the
-    # now-contract-oracled converged PageRank), slots 23-50 the 28 stalest
-    # round-3-era rows. Past slot 50, blocks stay ordered
-    # oldest-evidence-first (rest of r3, then r4, r5, and the reference
-    # spine re-verified in r6) so future rotations keep pointing at the
+    # the FIRST 50 entries. Round-8 rotation (VERDICT r7 item 1): slots
+    # 1-23 are the round-7-late additions whose correctness so far rested
+    # only on local oracle runs (first-ever driver rows), slots 24-41 the
+    # 18 r3-stale rows the r6 freshness bar flagged, slots 42-50 the
+    # oldest r4 rows. Past slot 50, blocks stay ordered
+    # oldest-evidence-first so future rotations keep pointing at the
     # stalest rows. Everything past slot 50 stays oracle-checked every
     # round via tests/test_oracle_parity.py.
-    # --- block 1: round-6-late, first driver rows (22) ---
-    "nations_pagerank_converged": q_nations_pagerank_converged,
-    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
-    "corpus_dsir_select": q_corpus_dsir_select,
-    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
-    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
-    "embedding_pca": q_embedding_pca,
-    "embedding_hard_negatives": q_embedding_hard_negatives,
-    "embedding_pca_incremental": q_embedding_pca_incremental,
-    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
-    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
-    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
-    "multimodal_audio_segments": q_multimodal_audio_segments,
-    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
-    "multimodal_image_dedup": q_multimodal_image_dedup,
-    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
-    "stream_embedding_pca": q_stream_embedding_pca,
-    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
-    "orders_target_encoding": q_orders_target_encoding,
-    "multimodal_video_dedup": q_multimodal_video_dedup,
-    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
-    "customer_k_anonymity": q_customer_k_anonymity,
-    "stream_events_session_native": q_stream_events_session_native,
-    # --- block 2: stalest r3-era driver evidence (28) ---
-    "text_gopher_quality": q_text_gopher_quality,
-    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
-    "embedding_semantic_dedup": q_embedding_semantic_dedup,
-    "embedding_pq_topk": q_embedding_pq_topk,
-    "dedup_incremental": q_dedup_incremental,
-    "events_incident_windows": q_events_incident_windows,
-    "customer_rolling_revenue": q_customer_rolling_revenue,
-    "events_daily_gapfill": q_events_daily_gapfill,
-    "events_user_state_scd2": q_events_user_state_scd2,
-    "events_funnel": q_events_funnel,
-    "customer_cohort_retention": q_customer_cohort_retention,
-    "customer_rfm": q_customer_rfm,
-    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
-    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-    "text_pii_redact": q_text_pii_redact,
-    "corpus_chunk": q_corpus_chunk,
-    "text_token_dedup": q_text_token_dedup,
-    "text_perplexity": q_text_perplexity,
-    "corpus_shuffle": q_corpus_shuffle,
-    "corpus_mixture": q_corpus_mixture,
-    "embedding_cell_stats": q_embedding_cell_stats,
-    "stream_events_cdc_lake": q_stream_events_cdc_lake,
-    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
-    "training_corpus": q_training_corpus,
-    "corpus_decontamination": q_corpus_decontamination,
-    "events_asof_last_order": q_events_asof_last_order,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_purchase_follow": q_stream_events_purchase_follow,
-    # --- block 2b: round-7 additions past the window (rotate in r8) ---
+    # --- block 0: round-8 additions, first-ever driver rows ---
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    # --- block 1: round-7-late additions, first-ever driver rows (23) ---
     "multimodal_image_near_dup": q_multimodal_image_near_dup,
     "embedding_ivf_recall": q_embedding_ivf_recall,
     "embedding_pq_recall": q_embedding_pq_recall,
@@ -5295,7 +5262,7 @@ QUERIES = {
     "customer_survival_logrank": q_customer_survival_logrank,
     "events_ab_test": q_events_ab_test,
     "retrieval_ndcg": q_retrieval_ndcg,
-    # --- block 3: remaining r3-era (18) ---
+    # --- block 2: r3-stale rows, refreshed (18) ---
     "corpus_sample": q_corpus_sample,
     "corpus_sample_stratified": q_corpus_sample_stratified,
     "corpus_shard_pack": q_corpus_shard_pack,
@@ -5314,7 +5281,7 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- block 4: latest driver evidence r4 (33) ---
+    # --- block 3: oldest r4 rows filling the window to 50 (9) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -5323,6 +5290,8 @@ QUERIES = {
     "corpus_source_budget": q_corpus_source_budget,
     "dq_audit": q_dq_audit,
     "dq_profile_orders": q_dq_profile_orders,
+    # --- --- past slot 50: oldest-evidence-first ---
+    # block 4: remaining r4-era rows (25) ---
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_centroid_outliers": q_embedding_centroid_outliers,
     "orders_with_returns": q_orders_with_returns,
@@ -5348,7 +5317,7 @@ QUERIES = {
     "part_entity_resolution": q_part_entity_resolution,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
-    # --- block 5: latest driver evidence r5 (50) ---
+    # --- block 5: r5-era rows (50) ---
     "text_repetition": q_text_repetition,
     "orders_median_mode": q_orders_median_mode,
     "corpus_winsorized_length": q_corpus_winsorized_length,
@@ -5399,7 +5368,7 @@ QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
     "events_user_trend_pandas": q_events_user_trend_pandas,
-    # --- block 6: reference spine, re-verified r6 (50) ---
+    # --- block 6: r6-era reference spine (50) ---
     "corpus_substring_dedup": q_corpus_substring_dedup,
     "pricing_summary": q_pricing_summary,
     "silver_denorm": q_silver_denorm,
@@ -5450,5 +5419,57 @@ QUERIES = {
     "events_cube": q_events_cube,
     "events_type_stats_salted": q_events_type_stats_salted,
     "product_category_revenue_salted": q_product_category_revenue_salted,
+    # --- block 7: freshest driver evidence, r7 (50) ---
+    "nations_pagerank_converged": q_nations_pagerank_converged,
+    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
+    "corpus_dsir_select": q_corpus_dsir_select,
+    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
+    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
+    "embedding_pca": q_embedding_pca,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
+    "embedding_pca_incremental": q_embedding_pca_incremental,
+    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
+    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
+    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
+    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
+    "multimodal_image_dedup": q_multimodal_image_dedup,
+    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
+    "stream_embedding_pca": q_stream_embedding_pca,
+    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
+    "orders_target_encoding": q_orders_target_encoding,
+    "multimodal_video_dedup": q_multimodal_video_dedup,
+    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
+    "customer_k_anonymity": q_customer_k_anonymity,
+    "stream_events_session_native": q_stream_events_session_native,
+    "text_gopher_quality": q_text_gopher_quality,
+    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "embedding_pq_topk": q_embedding_pq_topk,
+    "dedup_incremental": q_dedup_incremental,
+    "events_incident_windows": q_events_incident_windows,
+    "customer_rolling_revenue": q_customer_rolling_revenue,
+    "events_daily_gapfill": q_events_daily_gapfill,
+    "events_user_state_scd2": q_events_user_state_scd2,
+    "events_funnel": q_events_funnel,
+    "customer_cohort_retention": q_customer_cohort_retention,
+    "customer_rfm": q_customer_rfm,
+    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
+    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+    "text_pii_redact": q_text_pii_redact,
+    "corpus_chunk": q_corpus_chunk,
+    "text_token_dedup": q_text_token_dedup,
+    "text_perplexity": q_text_perplexity,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_mixture": q_corpus_mixture,
+    "embedding_cell_stats": q_embedding_cell_stats,
+    "stream_events_cdc_lake": q_stream_events_cdc_lake,
+    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+    "training_corpus": q_training_corpus,
+    "corpus_decontamination": q_corpus_decontamination,
+    "events_asof_last_order": q_events_asof_last_order,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_purchase_follow": q_stream_events_purchase_follow,
 }
+
 

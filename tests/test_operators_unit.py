@@ -2930,3 +2930,34 @@ def test_mg_merge_preserves_superset_guarantee(spark):
         )
     assert len(state) <= k
     assert 7 in state  # the 20% key survives every merge+compress
+
+
+def test_lsh_pair_recall_buckets_and_counts(spark):
+    """Empirical S-curve accounting: identical docs land in the 0.8-1.0
+    bucket with recall 1.0 (every band matches); a pair just above the
+    Jaccard threshold is counted as a true pair whether or not the band
+    join surfaces it, and n_candidates <= n_true_pairs per bucket."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        lsh_pair_recall,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base),
+        (1, base),  # identical to 0 -> jaccard 1.0, all bands equal
+        (2, base + " extra1 extra2 extra3 extra4 extra5 extra6"),
+        (3, "totally different words nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.j_bucket: (r.n_true_pairs, r.n_candidates, r.recall)
+        for r in lsh_pair_recall(docs, threshold=0.2).collect()
+    }
+    # pair (0,1): jaccard 1.0 -> top bucket, necessarily a candidate
+    assert got["0.8-1.0"] == (1, 1, 1.0)
+    # pair (0,2)/(1,2): 6 shared of 18 union 3-gram shingles -> ~0.2-0.4
+    # bucket; LSH may or may not surface them, but accounting must hold
+    for n_true, n_cand, recall in got.values():
+        assert 0 <= n_cand <= n_true
+        assert recall == round(n_cand / n_true, 4)
+    assert sum(v[0] for v in got.values()) >= 3
