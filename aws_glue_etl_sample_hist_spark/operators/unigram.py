@@ -76,6 +76,53 @@ def seed_pieces(
     return top.unionByName(chars).select("piece", "n")
 
 
+def _word_lattice_into(
+    word: str,
+    freq,
+    logp: dict[str, float],
+    max_piece_len: int,
+    agg: dict[str, float],
+) -> float:
+    """Forward-backward over one word type's segmentation lattice under
+    ``logp``: accumulates freq-weighted expected piece counts into
+    ``agg`` and returns the word's freq-weighted log-likelihood
+    contribution (0.0 if unsegmentable -- cannot happen with char
+    coverage). Shared by the distributed Arrow path and the driver-local
+    fast path so the two are the same math by construction."""
+    n = len(word)
+    NEG = float("-inf")
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    edges = []  # (start, end, piece, lp)
+    for i in range(n):
+        if alpha[i] == NEG:
+            continue
+        for j in range(i + 1, min(n, i + max_piece_len) + 1):
+            p = word[i:j]
+            lp = logp.get(p)
+            if lp is None:
+                continue
+            edges.append((i, j, p, lp))
+            v = alpha[i] + lp
+            alpha[j] = v if alpha[j] == NEG else _logadd(alpha[j], v)
+    if alpha[n] == NEG:
+        return 0.0
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i, j, p, lp in sorted(edges, key=lambda e: -e[0]):
+        if beta[j] == NEG:
+            continue
+        v = lp + beta[j]
+        beta[i] = v if beta[i] == NEG else _logadd(beta[i], v)
+    z = alpha[n]
+    for i, j, p, lp in edges:
+        if beta[j] == NEG:
+            continue
+        gamma = math.exp(alpha[i] + lp + beta[j] - z)
+        agg[p] = agg.get(p, 0.0) + freq * gamma
+    return freq * z
+
+
 def _estep_counts(
     words: DataFrame, logp: dict[str, float], max_piece_len: int
 ):
@@ -90,38 +137,7 @@ def _estep_counts(
             agg: dict[str, float] = {}
             ll = 0.0
             for word, freq in zip(pdf["word"], pdf["freq"]):
-                n = len(word)
-                NEG = float("-inf")
-                alpha = [NEG] * (n + 1)
-                alpha[0] = 0.0
-                edges = []  # (start, end, piece, lp)
-                for i in range(n):
-                    if alpha[i] == NEG:
-                        continue
-                    for j in range(i + 1, min(n, i + max_piece_len) + 1):
-                        p = word[i:j]
-                        lp = logp.get(p)
-                        if lp is None:
-                            continue
-                        edges.append((i, j, p, lp))
-                        v = alpha[i] + lp
-                        alpha[j] = v if alpha[j] == NEG else _logadd(alpha[j], v)
-                if alpha[n] == NEG:
-                    continue  # unsegmentable (cannot happen with char coverage)
-                beta = [NEG] * (n + 1)
-                beta[n] = 0.0
-                for i, j, p, lp in sorted(edges, key=lambda e: -e[0]):
-                    if beta[j] == NEG:
-                        continue
-                    v = lp + beta[j]
-                    beta[i] = v if beta[i] == NEG else _logadd(beta[i], v)
-                z = alpha[n]
-                ll += freq * z
-                for i, j, p, lp in edges:
-                    if beta[j] == NEG:
-                        continue
-                    gamma = math.exp(alpha[i] + lp + beta[j] - z)
-                    agg[p] = agg.get(p, 0.0) + freq * gamma
+                ll += _word_lattice_into(word, freq, logp, max_piece_len, agg)
             yield pd.DataFrame(
                 {
                     "piece": list(agg.keys()) + ["\x00ll"],
@@ -139,6 +155,22 @@ def _estep_counts(
     return counts, ll
 
 
+def _estep_counts_local(
+    rows: list[tuple[str, int]], logp: dict[str, float], max_piece_len: int
+):
+    """Driver-local E-step over an already-collected word-type list --
+    the SAME lattice math as _estep_counts without a Spark job per EM
+    round. unigram_train dispatches here when the type table is tiny
+    (see local_em_max_types): at sf0.1 the corpus has ~31 word types, so
+    the distributed path's wall was 15 rounds x ~1.2 s of pure
+    job-scheduling overhead over a 31-row frame."""
+    agg: dict[str, float] = {}
+    ll = 0.0
+    for word, freq in rows:
+        ll += _word_lattice_into(word, freq, logp, max_piece_len, agg)
+    return agg, ll
+
+
 def _logadd(a: float, b: float) -> float:
     if a < b:
         a, b = b, a
@@ -154,12 +186,32 @@ def unigram_train(
     em_iters: int = 2,
     prune_frac: float = 0.25,
     text_col: str = "text",
+    local_em_max_types: int = 100_000,
 ):
     """Train a unigram-LM tokenizer vocab. Returns (vocab list of (piece,
     prob) sorted by prob desc then piece asc, diagnostics dict with the
-    per-round corpus log-likelihoods -- the contract witnesses)."""
+    per-round corpus log-likelihoods -- the contract witnesses).
+
+    Adaptive E-step dispatch: the corpus is always touched exactly once
+    (the word-type table); when that table holds <= ``local_em_max_types``
+    rows it is collected ONCE (a bounded-calibration collect -- 100k
+    short words is a few MB) and every EM round runs driver-local,
+    instead of paying one Spark job of scheduling overhead per round
+    over a tiny frame. Past the threshold -- the honest 100 TB shape,
+    where Heaps' law makes the type table millions of rows -- the
+    distributed Arrow lattice path runs unchanged. Both paths share
+    _word_lattice_into, so the math is identical by construction."""
     words = word_vocab(docs, text_col=text_col).select("word", "freq")
     words = words.persist()
+    local_rows: list[tuple[str, int]] | None = None
+    if words.count() <= local_em_max_types:
+        local_rows = [(r.word, r.freq) for r in words.collect()]
+
+    def estep(lp: dict[str, float]):
+        if local_rows is not None:
+            return _estep_counts_local(local_rows, lp, seed_max_len)
+        return _estep_counts(words, lp, seed_max_len)
+
     seed = seed_pieces(words, seed_size, seed_max_len=seed_max_len).collect()
     total = sum(r.n for r in seed) or 1
     logp = {r.piece: math.log(r.n / total) for r in seed}
@@ -177,7 +229,7 @@ def unigram_train(
         block: list[float] = []
         ll_blocks.append(block)
         for _ in range(em_iters):
-            counts, ll = _estep_counts(words, logp, seed_max_len)
+            counts, ll = estep(logp)
             block.append(ll)
             tot = sum(counts.values()) or 1.0
             logp = {
@@ -201,7 +253,7 @@ def unigram_train(
         for p in drop:
             del logp[p]
     # final renormalize + one scoring pass for the last witness point
-    counts, ll = _estep_counts(words, logp, seed_max_len)
+    counts, ll = estep(logp)
     ll_blocks[-1].append(ll)
     tot = sum(counts.values()) or 1.0
     final = {p: (counts.get(p, 0.0) / tot) for p in logp}

@@ -2961,3 +2961,32 @@ def test_lsh_pair_recall_buckets_and_counts(spark):
         assert 0 <= n_cand <= n_true
         assert recall == round(n_cand / n_true, 4)
     assert sum(v[0] for v in got.values()) >= 3
+
+
+def test_unigram_local_and_distributed_estep_agree(spark):
+    """unigram_train's adaptive E-step dispatch: the driver-local fast
+    path (type table under the bounded threshold) and the distributed
+    Arrow path share _word_lattice_into, so vocab, probs, and the
+    LL-witness blocks must agree to float noise."""
+    from aws_glue_etl_sample_hist_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abab abba baba bbbb aaaa abab" if i % 2 else "abba baab")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    v_loc, d_loc = unigram_train(docs, vocab_size=8, seed_size=16)
+    v_dist, d_dist = unigram_train(
+        docs, vocab_size=8, seed_size=16, local_em_max_types=0
+    )
+    assert [p for p, _ in v_loc] == [p for p, _ in v_dist]
+    assert all(
+        abs(a - b) < 1e-9 for (_, a), (_, b) in zip(v_loc, v_dist)
+    )
+    assert all(
+        abs(a - b) < 1e-6
+        for ba, bb in zip(d_loc["ll_blocks"], d_dist["ll_blocks"])
+        for a, b in zip(ba, bb)
+    )

@@ -95,6 +95,22 @@ PROBE = [
     "corpus_kn_perplexity",
     "dedup_clusters_incremental",
     "customer_survival_km",
+    # round 8 (VERDICT r7 items 2+6): the engine's slowest query, the
+    # remaining r7-late families, and the new LSH recall row -- every
+    # registered family now has two 10x-step data points
+    "corpus_unigram_train",
+    "customer_survival_logrank",
+    "nations_communities",
+    "customer_l_diversity",
+    "stream_events_heavy_hitters",
+    "stream_quality_drift",
+    "stream_dedup_clusters",
+    "embedding_matryoshka_recall",
+    "embedding_pq_trained",
+    "corpus_balanced_sample",
+    "events_ab_test",
+    "retrieval_ndcg",
+    "dedup_lsh_recall",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
