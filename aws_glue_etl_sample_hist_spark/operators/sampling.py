@@ -333,6 +333,8 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    doc_bucket: DataFrame | None = None,
+    t_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR -- Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169): pick the ``k`` pool documents whose hashed-ngram
@@ -358,25 +360,33 @@ def dsir_select(
     (doc_id, bucket) pairs.
 
     Returns (doc_id, log_weight, score) for the selected k, score
-    descending. Floats rounded to 6 dp for engine parity."""
+    descending. Floats rounded to 6 dp for engine parity.
+
+    ``doc_bucket`` / ``t_counts``: optional precomputed tables (the pool's
+    per-(doc, bucket) gram counts and the target's bucket counts with a
+    ``t_n`` column) -- the fusion hook for callers like dsir_quality that
+    need the SAME tables again downstream, so each corpus is exploded
+    exactly once end to end."""
     from ._cache import tracked_persist
 
-    t_counts = (
-        _hashed_grams(target, text_col, None)
-        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t_n"))
-    )
+    if t_counts is None:
+        t_counts = (
+            _hashed_grams(target, text_col, None)
+            .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("t_n"))
+        )
     # the pool corpus is tokenized ONCE: the per-(doc, bucket) counts are
     # persisted and both the bucket totals (for the ratio map) and the
     # per-doc weights derive from them -- at 100 TB the pool explode is the
     # dominant cost and must not run twice
-    doc_bucket = tracked_persist(
-        _hashed_grams(pool, text_col, id_col)
-        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if doc_bucket is None:
+        doc_bucket = tracked_persist(
+            _hashed_grams(pool, text_col, id_col)
+            .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     p_counts = doc_bucket.groupBy("bucket").agg(F.sum("n").alias("p_n"))
     t_total = t_counts.agg(F.sum("t_n")).collect()[0][0] or 0
     p_total = p_counts.agg(F.sum("p_n")).collect()[0][0] or 0
@@ -466,10 +476,32 @@ def dsir_quality(
 
     n_pool = pool.count()  # bounded scalar: sets the selection size
     k = int(math.ceil(fraction * n_pool))
-    sel_ids = dsir_select(
-        pool, target, k, n_buckets=n_buckets,
-        text_col=text_col, id_col=id_col, salt=salt,
-    ).select(id_col)
+    # each corpus is exploded exactly ONCE end to end: the pool's
+    # (doc, bucket) counts and the target's bucket counts are computed
+    # here, fed INTO dsir_select via its fusion hook, and reused below
+    # for the three distribution estimates (formerly both explodes ran
+    # twice -- once inside dsir_select, once here)
+    doc_bucket = tracked_persist(
+        _hashed_grams(pool, text_col, id_col)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t_counts_n = tracked_persist(
+        _hashed_grams(target, text_col, None)
+        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_n"))
+    )
+    # persisted: sel_ids feeds both the semi-join and the size witness,
+    # and without a persist each action re-runs the whole selection
+    sel_ids = tracked_persist(
+        dsir_select(
+            pool, target, k, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col, salt=salt,
+            doc_bucket=doc_bucket, t_counts=t_counts_n,
+        ).select(id_col)
+    )
     rand_ids = (
         pool.select(id_col)
         .orderBy(
@@ -478,18 +510,7 @@ def dsir_quality(
         )
         .limit(k)
     )
-    doc_bucket = tracked_persist(
-        _hashed_grams(pool, text_col, id_col)
-        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    t_counts = (
-        _hashed_grams(target, text_col, None)
-        .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
+    t_counts = t_counts_n.select("bucket", F.col("t_n").alias("t"))
     s_counts = (
         doc_bucket.join(sel_ids, id_col, "left_semi")
         .groupBy("bucket")
