@@ -450,3 +450,249 @@ def survival_logrank(
             > 3.841
         ).alias("reject_at_05"),
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label via the
+    Mann-Whitney rank-sum identity (AUC = P(score+ > score-) with ties
+    counted half), plus the tie-corrected normal z statistic -- the
+    quality-filter evaluation every curation pipeline runs before
+    trusting a cheap scorer: does the model rank rule-passing documents
+    above failing ones?
+
+      avg_rank   = min_rank + (ties - 1) / 2   (ascending score)
+      U          = sum_{positives} avg_rank - n_pos (n_pos + 1) / 2
+      AUC        = U / (n_pos * n_neg)
+      sigma_U    = sqrt(n_pos n_neg / 12 * ((N + 1)
+                   - sum_t (t^3 - t) / (N (N - 1))))   (tie correction)
+      z          = (U - n_pos n_neg / 2) / sigma_U
+
+    Scale shape: one global rank over scores. A single total ordering is
+    the textbook 100 TB bottleneck, so the rank is computed as a
+    per-score-value aggregate first (scores are heavily tied model
+    outputs: the distinct-value table is classifier-resolution-bounded,
+    not corpus-bounded) -- min_rank(v) = 1 + running count of rows below
+    v via a window over the VALUE table, then broadcast-joined back.
+    Everything is closed-form arithmetic: the oracle recomputes AUC and
+    z exactly. Returns one row (n_pos, n_neg, auc, u, z, significant)."""
+    rows = scored.select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")
+    )
+    # per-distinct-score tie groups: (value, n rows, n positives)
+    vals = rows.groupBy("s").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("y").alias("tp")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "s",
+        "t",
+        "tp",
+        (F.coalesce(F.sum("t").over(w), F.lit(0)) + 1).alias("min_rank"),
+    ).withColumn("avg_rank", F.col("min_rank") + (F.col("t") - 1) / 2.0)
+    agg = ranked.agg(
+        F.sum(F.col("tp") * F.col("avg_rank")).alias("rank_sum_pos"),
+        F.sum("tp").alias("n_pos"),
+        F.sum(F.col("t") - F.col("tp")).alias("n_neg"),
+        F.sum("t").alias("n"),
+        F.sum(F.pow(F.col("t"), 3) - F.col("t")).alias("tie_term"),
+    )
+    n1 = F.col("n_pos")
+    n0 = F.col("n_neg")
+    n = F.col("n")
+    u = F.col("rank_sum_pos") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n0 / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
+    )
+    z = (u - n1 * n0 / 2.0) / F.greatest(sigma, F.lit(1e-300))
+    return agg.select(
+        n1.cast("long").alias("n_pos"),
+        n0.cast("long").alias("n_neg"),
+        F.round(u / (n1 * n0), 6).alias("auc"),
+        F.round(u, 4).alias("u"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+def cohen_kappa(
+    rated: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two boolean "raters" -- chance-corrected
+    agreement (kappa = (po - pe) / (1 - pe)), the standard answer to
+    "my rule filter and my model filter agree 85% -- is that good?"
+    (85% raw agreement is meaningless when both raters pass ~everything;
+    kappa subtracts exactly that). One aggregate over the joined
+    decisions; closed-form, exact oracle. Returns one row
+    (n_docs, po, pe, kappa)."""
+    a = F.col(rater_a).cast("int")
+    b = F.col(rater_b).cast("int")
+    agg = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((a == b).cast("int")).alias("po"),
+        F.avg(a).alias("pa"),
+        F.avg(b).alias("pb"),
+    )
+    pe = F.col("pa") * F.col("pb") + (1 - F.col("pa")) * (1 - F.col("pb"))
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.round("po", 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((F.col("po") - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration table of a probabilistic score against outcomes: per
+    equal-width score bin, the mean predicted probability vs the observed
+    positive rate, plus the bin's Brier contribution -- the reliability
+    diagram as data (a curation team reads this before using a quality
+    score as a sampling WEIGHT rather than a threshold; an uncalibrated
+    score ruins weighted mixing even when its AUC is high).
+
+    Bin edges are halves-open [i/n, (i+1)/n) with the top edge closed
+    (score 1.0 joins the last bin). One groupBy over bin index -- map-side
+    combined, n_bins rows out; exact oracle. Returns (bin, lo, n_docs,
+    mean_score, frac_pos, brier)."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    y = F.col(label_col).cast("int")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(score_col), 6).alias("mean_score"),
+            F.round(F.avg(y), 6).alias("frac_pos"),
+            F.round(
+                F.avg(F.pow(F.col(score_col) - y, 2)), 6
+            ).alias("brier"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / n_bins, 2).alias("lo"),
+            "n_docs",
+            "mean_score",
+            "frac_pos",
+            "brier",
+        )
+    )
+
+
+def _phi_upper_2sided(z: Column) -> Column:
+    """Two-sided normal p-value 2 * (1 - Phi(|z|)) via the Zelen & Severo
+    polynomial (Abramowitz & Stegun 26.2.17, |err| < 7.5e-8) -- the same
+    elementary exp/polynomial arithmetic in Spark and DuckDB, so p-values
+    are engine-identical without a special function."""
+    x = F.abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * x)
+    poly = (
+        0.319381530 * t
+        - 0.356563782 * F.pow(t, 2)
+        + 1.781477937 * F.pow(t, 3)
+        - 1.821255978 * F.pow(t, 4)
+        + 1.330274429 * F.pow(t, 5)
+    )
+    pdf = F.exp(-x * x / 2.0) / 2.5066282746310002  # sqrt(2*pi)
+    return 2.0 * pdf * poly
+
+
+def ab_tests_fdr(
+    events: DataFrame,
+    *,
+    q_level: float = 0.10,
+    value_threshold: float = 150.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    salt: str = "abtest",
+) -> DataFrame:
+    """The multiple-comparisons A/B readout: one two-proportion z-test per
+    event type (metric: user had an event of that type with value >
+    ``value_threshold``; variant: md5 user bucket), p-values via the
+    normal polynomial, then Benjamini-Hochberg FDR correction across the
+    m tests -- q_i = min_{j >= i} p_(j) * m / j, discovery iff q <=
+    ``q_level``. Running m uncorrected tests at alpha = 0.05 "discovers"
+    ~m/20 false effects on pure A/A splits; BH is the standard fix, and
+    on this corpus's deterministic null split the correct readout IS
+    zero discoveries.
+
+    Scale shape: one (type, user) agg over events, one m-row test table,
+    two m-row windows for the BH running min -- everything after the
+    first agg is test-count-bounded. Exact oracle (closed-form z, the
+    same A&S polynomial, the same running min). Returns per type:
+    (event_type, n1, x1, n0, x0, z, p_value, p_rank, q_value,
+    discovery)."""
+    from .sampling import SAMPLE_MOD, sample_hash
+
+    per_user = (
+        events.groupBy(type_col, user_col)
+        .agg(
+            F.max((F.col(value_col) > value_threshold).cast("int")).alias(
+                "converted"
+            )
+        )
+        .withColumn(
+            "variant",
+            (sample_hash(F.col(user_col), salt) < SAMPLE_MOD // 2).cast("int"),
+        )
+    )
+    g = per_user.groupBy(type_col).agg(
+        F.sum("variant").alias("n1"),
+        F.sum(F.col("variant") * F.col("converted")).alias("x1"),
+        F.sum(1 - F.col("variant")).alias("n0"),
+        F.sum((1 - F.col("variant")) * F.col("converted")).alias("x0"),
+    )
+    p1 = F.col("x1") / F.col("n1")
+    p0 = F.col("x0") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")) / (F.col("n1") + F.col("n0"))
+    se = F.sqrt(
+        F.greatest(
+            pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
+            F.lit(1e-300),
+        )
+    )
+    tests = g.withColumn("z", F.round((p1 - p0) / se, 6)).withColumn(
+        "p_value", F.round(_phi_upper_2sided(F.col("z")), 6)
+    )
+    m = F.count(F.lit(1)).over(Window.partitionBy())
+    rk = F.row_number().over(
+        Window.orderBy(F.col("p_value").asc(), F.col(type_col).asc())
+    )
+    stepped = tests.withColumn("m", m).withColumn("p_rank", rk).withColumn(
+        "bh_step", F.col("p_value") * F.col("m") / F.col("p_rank")
+    )
+    wmin = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        stepped.withColumn(
+            "q_value", F.round(F.least(F.min("bh_step").over(wmin), F.lit(1.0)), 6)
+        )
+        .withColumn("discovery", F.col("q_value") <= q_level)
+        .select(
+            type_col,
+            "n1",
+            "x1",
+            "n0",
+            "x0",
+            "z",
+            "p_value",
+            F.col("p_rank").cast("long").alias("p_rank"),
+            "q_value",
+            "discovery",
+        )
+    )

@@ -4689,3 +4689,154 @@ ORACLE_SQL["dedup_lsh_recall"] = f"""
     LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
     GROUP BY 1
 """
+
+
+def _auc_sql(scored_rel: str) -> str:
+    """Exact Mann-Whitney AUC + tie-corrected z over a relation with
+    columns (s, y) -- mirrors operators.analytics.roc_auc's value-grouped
+    rank construction term for term."""
+    return f"""
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               ROUND(u / (n_pos * n_neg), 6) AS auc,
+               ROUND(u, 4) AS u,
+               ROUND((u - n_pos * n_neg / 2.0)
+                     / GREATEST(SQRT(n_pos * n_neg / 12.0
+                         * ((n + 1) - tie_term / (n * (n - 1)))), 1e-300),
+                     6) AS z,
+               ABS((u - n_pos * n_neg / 2.0)
+                   / GREATEST(SQRT(n_pos * n_neg / 12.0
+                       * ((n + 1) - tie_term / (n * (n - 1)))), 1e-300))
+                   > 1.96 AS significant
+        FROM (
+            SELECT SUM(tp * avg_rank) - SUM(tp) * (SUM(tp) + 1) / 2.0 AS u,
+                   SUM(tp) AS n_pos,
+                   SUM(t - tp) AS n_neg,
+                   SUM(t) AS n,
+                   SUM(POW(t, 3) - t) AS tie_term
+            FROM (
+                SELECT t, tp,
+                       COALESCE(SUM(t) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + 1 + (t - 1) / 2.0
+                           AS avg_rank
+                FROM (
+                    SELECT s, COUNT(*) AS t, SUM(y) AS tp
+                    FROM {scored_rel} GROUP BY s
+                )
+            )
+        )
+    """
+
+
+ORACLE_SQL["text_quality_auc"] = f"""
+    WITH g AS ({ORACLE_SQL["text_gopher_quality"]}),
+    cls AS ({ORACLE_SQL["text_quality_classifier"]}),
+    scored_model AS (
+        SELECT cls.score AS s, CAST(g.keep AS INT) AS y
+        FROM cls JOIN g USING (doc_id)
+    ),
+    scored_dens AS (
+        SELECT ROUND(stopword_hits / n_tokens, 6) AS s,
+               CAST(keep AS INT) AS y
+        FROM g
+    )
+    SELECT *, 'model' AS scorer FROM ({_auc_sql("scored_model")})
+    UNION ALL
+    SELECT *, 'stopword_density' AS scorer FROM ({_auc_sql("scored_dens")})
+"""
+
+ORACLE_SQL["quality_rater_agreement"] = f"""
+    WITH g AS ({ORACLE_SQL["text_gopher_quality"]}),
+    cls AS ({ORACLE_SQL["text_quality_classifier"]}),
+    j AS (
+        SELECT CAST(g.keep AS INT) AS a, CAST(cls.keep AS INT) AS b
+        FROM g JOIN cls USING (doc_id)
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               AVG(CASE WHEN a = b THEN 1 ELSE 0 END) AS po,
+               AVG(a) AS pa, AVG(b) AS pb
+        FROM j
+    )
+    SELECT n AS n_docs,
+           ROUND(po, 6) AS po,
+           ROUND(pa * pb + (1 - pa) * (1 - pb), 6) AS pe,
+           ROUND((po - (pa * pb + (1 - pa) * (1 - pb)))
+                 / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa
+    FROM agg
+"""
+
+ORACLE_SQL["quality_calibration"] = f"""
+    WITH g AS ({ORACLE_SQL["text_gopher_quality"]}),
+    cls AS ({ORACLE_SQL["text_quality_classifier"]}),
+    scored AS (
+        SELECT cls.score AS score, CAST(g.keep AS INT) AS y
+        FROM cls JOIN g USING (doc_id)
+    )
+    SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+           ROUND(LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) / 10, 2) AS lo,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(y), 6) AS frac_pos,
+           ROUND(AVG(POW(score - y, 2)), 6) AS brier
+    FROM scored
+    GROUP BY 1
+"""
+
+# per-type A/B z-tests + Benjamini-Hochberg: same md5 variant split and
+# pooled-variance z as events_ab_test, the same Abramowitz-Stegun 26.2.17
+# normal polynomial as the Spark side, the same running-min q-values
+ORACLE_SQL["events_ab_fdr"] = """
+    WITH pu AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN CAST(('0x' || substr(md5('abtest:' ||
+                        CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000 < 500000
+                    THEN 1 ELSE 0 END AS variant
+        FROM events GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type,
+               CAST(SUM(variant) AS BIGINT) AS n1,
+               CAST(SUM(variant * conv) AS BIGINT) AS x1,
+               CAST(SUM(1 - variant) AS BIGINT) AS n0,
+               CAST(SUM((1 - variant) * conv) AS BIGINT) AS x0
+        FROM pu GROUP BY 1
+    ), tests AS (
+        SELECT *,
+               ROUND((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+                   / SQRT(GREATEST(
+                       ((x1 + x0) / CAST(n1 + n0 AS DOUBLE))
+                       * (1 - (x1 + x0) / CAST(n1 + n0 AS DOUBLE))
+                       * (1.0 / n1 + 1.0 / n0), 1e-300)), 6) AS z
+        FROM g
+    ), pvals AS (
+        SELECT *,
+               ROUND(2.0 * (EXP(-ABS(z) * ABS(z) / 2.0) / 2.5066282746310002)
+                   * (0.319381530 * (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                      - 0.356563782 * POW(1.0 / (1.0 + 0.2316419 * ABS(z)), 2)
+                      + 1.781477937 * POW(1.0 / (1.0 + 0.2316419 * ABS(z)), 3)
+                      - 1.821255978 * POW(1.0 / (1.0 + 0.2316419 * ABS(z)), 4)
+                      + 1.330274429 * POW(1.0 / (1.0 + 0.2316419 * ABS(z)), 5)),
+                   6) AS p_value
+        FROM tests
+    ), stepped AS (
+        SELECT *,
+               COUNT(*) OVER () AS m,
+               ROW_NUMBER() OVER (ORDER BY p_value ASC, event_type ASC)
+                   AS p_rank
+        FROM pvals
+    )
+    SELECT event_type, n1, x1, n0, x0, z, p_value,
+           CAST(p_rank AS BIGINT) AS p_rank,
+           ROUND(LEAST(MIN(p_value * m / p_rank) OVER (
+               ORDER BY p_rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
+               AS q_value,
+           ROUND(LEAST(MIN(p_value * m / p_rank) OVER (
+               ORDER BY p_rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6)
+               <= 0.10 AS discovery
+    FROM stepped
+"""

@@ -5224,6 +5224,95 @@ def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     return topk_recall(approx, exact, k=10, floor=0.2).drop("recall")
 
 
+
+def q_text_quality_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-scorer evaluation (operators.analytics.roc_auc): exact
+    Mann-Whitney ROC-AUC + tie-corrected z of TWO scorers against the
+    Gopher rule-filter labels -- the stopword-density heuristic (a real
+    signal: the r_stopwords rule is part of the label, so AUC must land
+    well above 0.5) beside the md5-stand-in linear model (uncorrelated
+    with the rules BY CONSTRUCTION, so its honest readout is AUC ~ 0.5,
+    not significant -- the null case every eval harness must get right).
+    Closed-form rank arithmetic; the oracle recomputes both rows
+    exactly."""
+    from .operators.analytics import roc_auc
+    from .operators.text import gopher_quality, hashed_linear_score
+
+    docs = load_table(spark, sf, "documents")
+    g = gopher_quality(docs).select(
+        "doc_id",
+        F.col("keep").alias("label"),
+        F.round(F.col("stopword_hits") / F.col("n_tokens"), 6).alias("dens"),
+    )
+    model = (
+        hashed_linear_score(docs)
+        .select("doc_id", "score")
+        .join(g.select("doc_id", "label"), "doc_id")
+    )
+    out_m = roc_auc(model).withColumn("scorer", F.lit("model"))
+    out_d = roc_auc(
+        g.select(F.col("dens").alias("score"), "label")
+    ).withColumn("scorer", F.lit("stopword_density"))
+    return out_m.unionByName(out_d)
+
+
+def q_quality_rater_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Chance-corrected agreement between the two quality filters the
+    engine ships -- the Gopher rule filter and the hashing-trick model
+    filter (operators.analytics.cohen_kappa): po is raw agreement, kappa
+    subtracts the agreement two independent raters with these marginals
+    get for free. With md5 stand-in weights the honest readout is kappa
+    ~ 0 at high-ish po -- exactly the "85% agreement is meaningless"
+    lesson the operator docstring states. Exact oracle."""
+    from .operators.analytics import cohen_kappa
+    from .operators.text import gopher_quality, hashed_linear_score
+
+    docs = load_table(spark, sf, "documents")
+    rule = gopher_quality(docs).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    model = hashed_linear_score(docs).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    return cohen_kappa(rule.join(model, "doc_id"), "rule_keep", "model_keep")
+
+
+def q_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram as data (operators.analytics.calibration_bins):
+    the model quality score binned into deciles vs the observed Gopher
+    pass rate, with per-bin Brier contributions -- the check run before a
+    score is used as a sampling WEIGHT (mixture building) rather than a
+    threshold. Exact oracle; bin edges are closed-form."""
+    from .operators.analytics import calibration_bins
+    from .operators.text import gopher_quality, hashed_linear_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = (
+        hashed_linear_score(docs)
+        .select("doc_id", "score")
+        .join(
+            gopher_quality(docs).select(
+                "doc_id", F.col("keep").alias("label")
+            ),
+            "doc_id",
+        )
+    )
+    return calibration_bins(scored)
+
+
+def q_events_ab_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple-comparisons A/B readout (operators.analytics.ab_tests_fdr):
+    one two-proportion z-test per event type, normal p-values via the
+    Abramowitz-Stegun polynomial, Benjamini-Hochberg q-values across the
+    m tests. The variant split is a deterministic md5 A/A null, so the
+    CORRECT readout is zero discoveries at q <= 0.10 -- the row exists
+    because m uncorrected tests at 0.05 would "discover" ~m/20 false
+    effects. Exact oracle (same z, same polynomial, same running min)."""
+    from .operators.analytics import ab_tests_fdr
+
+    return ab_tests_fdr(load_table(spark, sf, "events"))
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5238,6 +5327,10 @@ QUERIES = {
     # round via tests/test_oracle_parity.py.
     # --- block 0: round-8 additions, first-ever driver rows ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
+    "text_quality_auc": q_text_quality_auc,
+    "quality_rater_agreement": q_quality_rater_agreement,
+    "quality_calibration": q_quality_calibration,
+    "events_ab_fdr": q_events_ab_fdr,
     # --- block 1: round-7-late additions, first-ever driver rows (23) ---
     "multimodal_image_near_dup": q_multimodal_image_near_dup,
     "embedding_ivf_recall": q_embedding_ivf_recall,
@@ -5281,17 +5374,17 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- block 3: oldest r4 rows filling the window to 50 (9) ---
+    # --- block 3: oldest r4 rows filling the window to 50 (4) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
     "events_value_trend": q_events_value_trend,
+    # --- past slot 50: oldest-evidence-first ---
+    # --- block 4: remaining r4-era rows (29) ---
     "corpus_zipf": q_corpus_zipf,
     "corpus_source_budget": q_corpus_source_budget,
     "dq_audit": q_dq_audit,
     "dq_profile_orders": q_dq_profile_orders,
-    # --- --- past slot 50: oldest-evidence-first ---
-    # block 4: remaining r4-era rows (25) ---
     "embedding_random_projection": q_embedding_random_projection,
     "embedding_centroid_outliers": q_embedding_centroid_outliers,
     "orders_with_returns": q_orders_with_returns,

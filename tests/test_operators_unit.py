@@ -2990,3 +2990,79 @@ def test_unigram_local_and_distributed_estep_agree(spark):
         for ba, bb in zip(d_loc["ll_blocks"], d_dist["ll_blocks"])
         for a, b in zip(ba, bb)
     )
+
+
+def test_roc_auc_hand_computed_with_ties(spark):
+    """AUC by hand: scores (0.1-, 0.2-, 0.3+, 0.3-, 0.4+) -> pairwise
+    wins (2 + 0.5 tie + 3)/6 = 5.5/6; U = 5.5, avg-rank machinery must
+    reproduce it through the tie at 0.3."""
+    from aws_glue_etl_sample_hist_spark.operators.analytics import roc_auc
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.3, 1), (0.3, 0), (0.4, 1)],
+        "score double, label int",
+    )
+    r = roc_auc(df).collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 3)
+    assert r.u == 5.5
+    assert r.auc == round(5.5 / 6, 6)
+
+
+def test_cohen_kappa_bounds(spark):
+    """kappa = 0 at chance agreement (independent 50/50 raters), 1 at
+    perfect agreement."""
+    from aws_glue_etl_sample_hist_spark.operators.analytics import (
+        cohen_kappa,
+    )
+
+    chance = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)],
+        "a boolean, b boolean",
+    )
+    r = cohen_kappa(chance, "a", "b").collect()[0]
+    assert (r.po, r.pe, r.kappa) == (0.5, 0.5, 0.0)
+    perfect = spark.createDataFrame(
+        [(True, True), (False, False), (True, True), (False, False)],
+        "a boolean, b boolean",
+    )
+    assert cohen_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+
+
+def test_calibration_bins_top_edge_closed(spark):
+    """score = 1.0 joins the last bin (not a phantom bin 10); per-bin
+    brier is the mean squared gap."""
+    from aws_glue_etl_sample_hist_spark.operators.analytics import (
+        calibration_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.95, 0), (0.05, 0), (0.05, 1)],
+        "score double, label int",
+    )
+    got = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(got) == {0, 9}
+    assert got[9].n_docs == 2 and got[9].lo == 0.9
+    assert got[0].frac_pos == 0.5
+    assert got[0].brier == round((0.05**2 + 0.95**2) / 2, 6)
+
+
+def test_normal_polynomial_matches_erfc(spark):
+    """The Abramowitz-Stegun two-sided p polynomial tracks the exact
+    2*(1-Phi(|z|)) = erfc(|z|/sqrt(2)) within its documented 7.5e-8."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.analytics import (
+        _phi_upper_2sided,
+    )
+
+    zs = [0.0, 0.5, 1.0, 1.96, 2.5, -1.3, 3.2]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        round(r.z, 2): r.p
+        for r in df.select("z", _phi_upper_2sided(F.col("z")).alias("p")).collect()
+    }
+    for z in zs:
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[round(z, 2)] - exact) < 2e-7, (z, got[round(z, 2)], exact)
