@@ -165,3 +165,80 @@ def bigram_pmi(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "w1", "w2", "c_xy", "pmi")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick ``k`` of the candidate docs maximizing
+
+        lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    -- the standard diversification pass between retrieval and a RAG
+    context window (ten near-identical top hits waste the prompt budget;
+    MMR trades a little relevance for coverage). rel is the candidate
+    score min-max'd by the max (rounded 6 dp), sim is embedding cosine
+    between candidates (rounded 6 dp); the first pick sees an empty
+    selected set (penalty 0). All ties break by id ascending, so the
+    greedy trajectory is fully deterministic and engine-portable -- the
+    oracle replays it as k unrolled SQL stages.
+
+    Scale shape: the candidate set is top-n-bounded BY CONSTRUCTION
+    (retrieval already cut it); only candidate rows fetch vectors (one
+    semi-join into the corpus-scale embedding table), the pairwise-cosine
+    frame is n_cand^2 <= ~400 rows, and the greedy itself runs on a
+    driver collect of that bounded frame (the bounded-calibration
+    pattern -- never corpus-scale). Returns (doc_id, mmr_rank,
+    mmr_score)."""
+    from .similarity import cosine
+
+    spark = candidates.sparkSession
+    rel_w = F.max(score_col).over(Window.partitionBy())
+    cand = candidates.select(
+        F.col(id_col).alias("_id"),
+        F.round(F.col(score_col) / rel_w, 6).alias("_rel"),
+    )
+    vecs = emb.join(
+        cand.select(F.col("_id").alias(vec_id_col)), vec_id_col, "left_semi"
+    ).select(F.col(vec_id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    a = vecs.select(F.col("_vid").alias("_da"), F.col("_v").alias("_va"))
+    b = vecs.select(F.col("_vid").alias("_db"), F.col("_v").alias("_vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("_da") != F.col("_db"))
+        .select(
+            "_da",
+            "_db",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_sim"),
+        )
+    )
+    rels = {r._id: r._rel for r in cand.collect()}
+    sim = {(r._da, r._db): r._sim for r in sims.collect()}
+    selected: list[tuple] = []  # (doc_id, rank, mmr_score)
+    chosen: list = []
+    while rels and len(selected) < k:
+        best = None
+        for d, rel in rels.items():
+            if chosen:
+                pen = max(sim.get((d, s), 0.0) for s in chosen)
+            else:
+                pen = 0.0
+            score = round(lam * rel - (1.0 - lam) * pen, 6)
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        _, d, score = best
+        chosen.append(d)
+        selected.append((d, len(selected) + 1, score))
+        del rels[d]
+    return spark.createDataFrame(
+        selected, f"{id_col} long, mmr_rank long, mmr_score double"
+    )

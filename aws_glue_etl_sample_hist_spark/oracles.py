@@ -4840,3 +4840,98 @@ ORACLE_SQL["events_ab_fdr"] = """
                <= 0.10 AS discovery
     FROM stepped
 """
+
+
+def _mmr_sql(k: int = 10, lam: float = 0.7, n_cand: int = 20) -> str:
+    """Unrolled-greedy MMR oracle: stage i picks the argmax of
+    lam*rel - (1-lam)*max(sim to already-selected), rounded 6 dp, id
+    tie-break -- the literal trajectory mmr_rerank walks. Coefficients
+    are emitted with full repr so the SQL doubles equal the Python
+    doubles (1 - 0.7 is 0.30000000000000004, not 0.3)."""
+    l_ = repr(float(lam))
+    oml = repr(1.0 - float(lam))
+    stages = [
+        f"""sel1 AS MATERIALIZED (
+        SELECT doc_id, CAST(1 AS BIGINT) AS mmr_rank,
+               ROUND({l_} * rel, 6) AS mmr_score
+        FROM cand ORDER BY ROUND({l_} * rel, 6) DESC, doc_id ASC LIMIT 1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT doc_id FROM sel{j}" for j in range(1, i)
+        )
+        stages.append(
+            f"""sel{i} AS MATERIALIZED (
+        SELECT doc_id, CAST({i} AS BIGINT) AS mmr_rank,
+               ROUND({l_} * rel - {oml} * pen, 6) AS mmr_score
+        FROM (
+            SELECT c.doc_id, c.rel, MAX(s._sim) AS pen
+            FROM cand c
+            JOIN sims s ON s._da = c.doc_id AND s._db IN ({prev})
+            WHERE c.doc_id NOT IN ({prev})
+            GROUP BY c.doc_id, c.rel
+        )
+        ORDER BY mmr_score DESC, doc_id ASC LIMIT 1
+    )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, k + 1)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(len(regexp_split_to_array(trim(text), '\\s+'))) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    bm25 AS MATERIALIZED (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS score
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC LIMIT {n_cand}
+    ),
+    cand AS MATERIALIZED (
+        SELECT doc_id, ROUND(score / MAX(score) OVER (), 6) AS rel
+        FROM bm25
+    ),
+    cvecs AS MATERIALIZED (
+        SELECT e.vec_id AS _vid, e.embedding::DOUBLE[] AS _v
+        FROM embeddings e JOIN cand ON e.vec_id = cand.doc_id
+    ),
+    sims AS MATERIALIZED (
+        SELECT a._vid AS _da, b._vid AS _db,
+               ROUND(list_dot_product(a._v, b._v)
+                     / (sqrt(list_dot_product(a._v, a._v))
+                        * sqrt(list_dot_product(b._v, b._v))), 6) AS _sim
+        FROM cvecs a JOIN cvecs b ON a._vid != b._vid
+    ),
+    {", ".join(stages)}
+    SELECT * FROM ({final})
+"""
+
+
+ORACLE_SQL["retrieval_mmr"] = _mmr_sql(k=10, lam=0.7, n_cand=20)

@@ -5313,6 +5313,23 @@ def q_events_ab_fdr(spark: SparkSession, sf: str) -> DataFrame:
     return ab_tests_fdr(load_table(spark, sf, "events"))
 
 
+
+def q_retrieval_mmr(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversified retrieval serving (operators.ranking.mmr_rerank):
+    BM25 top-20 candidates re-ranked to a top-10 by Maximal Marginal
+    Relevance (lambda = 0.7, embedding-cosine redundancy penalty) -- the
+    pass between retrieval and a RAG context window. The greedy
+    trajectory is deterministic (6-dp rounding, id tie-breaks), so the
+    DuckDB oracle replays all ten selection stages as unrolled SQL and
+    the row is hash-checked EXACTLY, not a contract."""
+    from .operators.ranking import bm25_topk, mmr_rerank
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    cand = bm25_topk(docs, ["spark", "window", "merge"], k=20)
+    return mmr_rerank(cand, emb, k=10, lam=0.7)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5331,6 +5348,7 @@ QUERIES = {
     "quality_rater_agreement": q_quality_rater_agreement,
     "quality_calibration": q_quality_calibration,
     "events_ab_fdr": q_events_ab_fdr,
+    "retrieval_mmr": q_retrieval_mmr,
     # --- block 1: round-7-late additions, first-ever driver rows (23) ---
     "multimodal_image_near_dup": q_multimodal_image_near_dup,
     "embedding_ivf_recall": q_embedding_ivf_recall,
@@ -5374,13 +5392,13 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- block 3: oldest r4 rows filling the window to 50 (4) ---
+    # --- block 3: oldest r4 rows filling the window to 50 (3) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
-    "events_value_trend": q_events_value_trend,
     # --- past slot 50: oldest-evidence-first ---
-    # --- block 4: remaining r4-era rows (29) ---
+    # --- block 4: remaining r4-era rows (30) ---
+    "events_value_trend": q_events_value_trend,
     "corpus_zipf": q_corpus_zipf,
     "corpus_source_budget": q_corpus_source_budget,
     "dq_audit": q_dq_audit,

@@ -3066,3 +3066,32 @@ def test_normal_polynomial_matches_erfc(spark):
     for z in zs:
         exact = math.erfc(abs(z) / math.sqrt(2.0))
         assert abs(got[round(z, 2)] - exact) < 2e-7, (z, got[round(z, 2)], exact)
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """MMR fixture: three candidates where #2 is nearly identical to #1
+    and #3 is orthogonal with slightly lower relevance -- greedy must
+    pick 1 then 3 (the redundancy penalty beats #2's higher relevance),
+    then 2. First pick's score is lam * rel (empty-set penalty 0)."""
+    from aws_glue_etl_sample_hist_spark.operators.ranking import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 10.0), (2, 9.0), (3, 6.0)], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.0447]),  # cos(1,2) ~ 0.999
+            (3, [0.0, 1.0]),       # cos(1,3) = 0, cos(2,3) ~ 0.045
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r.doc_id, r.mmr_rank, r.mmr_score)
+        for r in mmr_rerank(cand, emb, k=3, lam=0.5).collect()
+    ]
+    got.sort(key=lambda x: x[1])
+    assert [g[0] for g in got] == [1, 3, 2]
+    assert got[0][2] == 0.5  # lam * rel(1) = 0.5 * 1.0
+    # pick 2: rel 0.6 orthogonal beats rel 0.9 with 0.999 redundancy
+    assert got[1][2] == round(0.5 * 0.6 - 0.5 * 0.0, 6)
