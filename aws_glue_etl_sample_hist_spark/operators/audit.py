@@ -341,3 +341,121 @@ def psi_drift(
         )
         .withColumn("drifted", F.col("psi") > alert_threshold)
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    *,
+    epsilon: float = 1.0,
+    salt: str = "dplap",
+) -> DataFrame:
+    """Differentially-private release of per-group counts via the Laplace
+    mechanism (Dwork et al. 2006): noisy = count + Lap(1/epsilon), the
+    shape every aggregate-release pipeline needs before publishing
+    per-segment statistics (sensitivity of a count under add/remove-one
+    is 1, so scale b = 1/epsilon gives epsilon-DP).
+
+    The Laplace draw is DETERMINISTIC here -- inverse-CDF applied to the
+    md5 uniform u in (0,1): noise = -b * sign(u - 0.5) * ln(1 - 2|u -
+    0.5|) -- which makes the row testable and oracle-exact. A production
+    release MUST swap the md5 draw for a real RNG (a per-group
+    deterministic draw is NOT private: re-running reveals the noise);
+    the plan shape -- one map-side-combined count agg, noise applied to
+    the group-bounded result -- is identical either way, which is what
+    this operator pins. Returns (group, n_true, noise_b, n_noisy) --
+    n_true rides along for the test/oracle; a real release publishes
+    only n_noisy."""
+    b = 1.0 / float(epsilon)
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("grp").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (F.pmod(h, F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    d = u - 0.5
+    noise = -b * F.signum(d) * F.log(1.0 - 2.0 * F.abs(d))
+    return counts.select(
+        F.col("grp").alias(group_col),
+        "n_true",
+        F.lit(round(b, 6)).alias("noise_b"),
+        F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+    )
+
+
+def conformal_threshold(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    alpha: float = 0.1,
+    calib_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split conformal prediction for a binary quality screen: on a
+    deterministic md5 calibration split, take the finite-sample-corrected
+    quantile of the POSITIVE docs' nonconformity scores (1 - score), so
+    that "accept if score >= 1 - q_hat" covers at least (1 - alpha) of
+    true positives on exchangeable data (Vovk et al.; the modern
+    distribution-free guarantee every ML-filter deployment should state
+    instead of a hand-picked threshold).
+
+      q_hat = the ceil((n_cal + 1) (1 - alpha)) / n_cal empirical
+              quantile of calibration nonconformity (exact order
+              statistic, rank = ceil((n_cal + 1) (1 - alpha)))
+
+    Scale shape: one filter + one global sort of the CALIBRATION
+    POSITIVES only (split-bounded; use approx_percentile past ~1e8
+    calibration rows -- the knob is one expression), then a broadcast
+    scalar threshold evaluated over the held-out half. Exact oracle:
+    order statistics and coverage counts are closed-form. Returns one
+    row (n_cal, rank, q_hat, threshold, n_eval_pos, n_covered,
+    coverage, coverage_ok)."""
+    import math
+
+    from .sampling import SAMPLE_MOD, sample_hash
+
+    is_cal = sample_hash(F.col(id_col), salt) < int(calib_frac * SAMPLE_MOD)
+    pos = scored.filter(F.col(label_col).cast("int") == 1).select(
+        F.col(id_col), (1.0 - F.col(score_col)).alias("nonconf")
+    )
+    cal = pos.filter(is_cal)
+    n_cal = cal.count()  # bounded scalar: sets the order-statistic rank
+    rank = min(max(int(math.ceil((n_cal + 1) * (1.0 - alpha))), 1), n_cal)
+    q_hat = (
+        cal.orderBy(F.col("nonconf").asc(), F.col(id_col).asc())
+        .limit(rank)
+        .agg(F.round(F.max("nonconf"), 6).alias("q"))
+        .collect()[0][0]
+    )
+    ev = pos.filter(~is_cal).agg(
+        F.count(F.lit(1)).alias("n_eval_pos"),
+        F.sum(
+            (F.round(F.col("nonconf"), 6) <= q_hat).cast("int")
+        ).alias("n_covered"),
+    )
+    spark = scored.sparkSession
+    meta = spark.createDataFrame(
+        [(int(n_cal), int(rank), float(q_hat), round(1.0 - q_hat, 6))],
+        "n_cal long, rank long, q_hat double, threshold double",
+    )
+    return meta.crossJoin(ev).select(
+        "n_cal",
+        "rank",
+        "q_hat",
+        "threshold",
+        "n_eval_pos",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_eval_pos"), 6).alias("coverage"),
+        (
+            F.col("n_covered") / F.col("n_eval_pos") >= (1.0 - alpha) - 0.05
+        ).alias("coverage_ok"),
+    )

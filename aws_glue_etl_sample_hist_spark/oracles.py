@@ -4935,3 +4935,69 @@ def _mmr_sql(k: int = 10, lam: float = 0.7, n_cand: int = 20) -> str:
 
 
 ORACLE_SQL["retrieval_mmr"] = _mmr_sql(k=10, lam=0.7, n_cand=20)
+
+
+# Laplace-mechanism DP counts: same md5 inverse-CDF draw, same rounding
+ORACLE_SQL["events_dp_counts"] = """
+    WITH c AS (
+        SELECT event_type AS grp, COUNT(*) AS n_true
+        FROM events GROUP BY 1
+    ), u AS (
+        SELECT grp, n_true,
+               (CAST(('0x' || substr(md5('dplap:' || grp), 1, 8)) AS BIGINT)
+                % 1000000 + 0.5) / 1000000.0 AS uu
+        FROM c
+    )
+    SELECT grp AS event_type,
+           n_true,
+           1.0 AS noise_b,
+           ROUND(n_true + (-1.0 * SIGN(uu - 0.5)
+                 * LN(1.0 - 2.0 * ABS(uu - 0.5))), 4) AS n_noisy
+    FROM u
+"""
+
+# split conformal: exact order statistic on the md5 calibration split of
+# gopher-positive docs, coverage on the held-out positives
+ORACLE_SQL["quality_conformal"] = f"""
+    WITH g AS ({ORACLE_SQL["text_gopher_quality"]}),
+    cls AS ({ORACLE_SQL["text_quality_classifier"]}),
+    pos AS (
+        SELECT cls.doc_id, 1.0 - cls.score AS nonconf,
+               CAST(('0x' || substr(md5('conformal:' ||
+                    CAST(cls.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000 < 500000 AS is_cal
+        FROM cls JOIN g USING (doc_id)
+        WHERE g.keep
+    ),
+    meta AS (
+        SELECT COUNT(*) AS n_cal,
+               LEAST(GREATEST(CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT),
+                              1), COUNT(*)) AS rank
+        FROM pos WHERE is_cal
+    ),
+    qh AS (
+        SELECT ROUND(MAX(nonconf), 6) AS q_hat
+        FROM (
+            SELECT nonconf,
+                   ROW_NUMBER() OVER (ORDER BY nonconf ASC, doc_id ASC)
+                       AS rn
+            FROM pos WHERE is_cal
+        ), meta
+        WHERE rn <= meta.rank
+    ),
+    ev AS (
+        SELECT COUNT(*) AS n_eval_pos,
+               SUM(CASE WHEN ROUND(nonconf, 6) <= q_hat
+                        THEN 1 ELSE 0 END) AS n_covered
+        FROM pos, qh WHERE NOT is_cal
+    )
+    SELECT CAST(meta.n_cal AS BIGINT) AS n_cal,
+           CAST(meta.rank AS BIGINT) AS rank,
+           qh.q_hat AS q_hat,
+           ROUND(1.0 - qh.q_hat, 6) AS threshold,
+           CAST(ev.n_eval_pos AS BIGINT) AS n_eval_pos,
+           CAST(ev.n_covered AS BIGINT) AS n_covered,
+           ROUND(ev.n_covered * 1.0 / ev.n_eval_pos, 6) AS coverage,
+           ev.n_covered * 1.0 / ev.n_eval_pos >= 0.85 AS coverage_ok
+    FROM meta, qh, ev
+"""

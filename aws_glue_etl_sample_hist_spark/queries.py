@@ -5330,6 +5330,46 @@ def q_retrieval_mmr(spark: SparkSession, sf: str) -> DataFrame:
     return mmr_rerank(cand, emb, k=10, lam=0.7)
 
 
+
+def q_events_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism DP release of per-event-type counts
+    (operators.audit.dp_noisy_counts, epsilon = 1): the
+    aggregate-publication shape, with the md5-deterministic inverse-CDF
+    draw that makes the row exact-oracle-checkable (the docstring states
+    the production swap to a real RNG). One count agg; noise applied to
+    the type-bounded result."""
+    from .operators.audit import dp_noisy_counts
+
+    return dp_noisy_counts(
+        load_table(spark, sf, "events"), "event_type", epsilon=1.0
+    )
+
+
+def q_quality_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split conformal threshold for the model quality screen
+    (operators.audit.conformal_threshold, alpha = 0.1): the
+    finite-sample quantile of calibration positives' nonconformity plus
+    the held-out coverage check -- the distribution-free guarantee is
+    score-quality-independent (it must hold even for the md5 stand-in
+    model, which is exactly what the coverage_ok witness verifies).
+    Exact oracle (order statistics + coverage counts are closed-form)."""
+    from .operators.audit import conformal_threshold
+    from .operators.text import gopher_quality, hashed_linear_score
+
+    docs = load_table(spark, sf, "documents")
+    scored = (
+        hashed_linear_score(docs)
+        .select("doc_id", "score")
+        .join(
+            gopher_quality(docs).select(
+                "doc_id", F.col("keep").alias("label")
+            ),
+            "doc_id",
+        )
+    )
+    return conformal_threshold(scored, alpha=0.1)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5349,6 +5389,8 @@ QUERIES = {
     "quality_calibration": q_quality_calibration,
     "events_ab_fdr": q_events_ab_fdr,
     "retrieval_mmr": q_retrieval_mmr,
+    "events_dp_counts": q_events_dp_counts,
+    "quality_conformal": q_quality_conformal,
     # --- block 1: round-7-late additions, first-ever driver rows (23) ---
     "multimodal_image_near_dup": q_multimodal_image_near_dup,
     "embedding_ivf_recall": q_embedding_ivf_recall,
@@ -5392,12 +5434,12 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- block 3: oldest r4 rows filling the window to 50 (3) ---
+    # --- block 3: oldest r4 rows filling the window to 50 (1) ---
     "customer_spend_deciles": q_customer_spend_deciles,
+    # --- past slot 50: oldest-evidence-first ---
+    # --- block 4: remaining r4-era rows (32) ---
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
-    # --- past slot 50: oldest-evidence-first ---
-    # --- block 4: remaining r4-era rows (30) ---
     "events_value_trend": q_events_value_trend,
     "corpus_zipf": q_corpus_zipf,
     "corpus_source_budget": q_corpus_source_budget,

@@ -3095,3 +3095,44 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert got[0][2] == 0.5  # lam * rel(1) = 0.5 * 1.0
     # pick 2: rel 0.6 orthogonal beats rel 0.9 with 0.999 redundancy
     assert got[1][2] == round(0.5 * 0.6 - 0.5 * 0.0, 6)
+
+
+def test_dp_noisy_counts_shape(spark):
+    """Laplace DP release: noise is bounded by the inverse CDF of the
+    md5 uniform (|noise| = b * |ln(1 - 2|u-.5|)| with u in (0,1)), the
+    true count rides along for auditing, and noise is deterministic per
+    group (same group -> same noise across calls)."""
+    from aws_glue_etl_sample_hist_spark.operators.audit import (
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(30)], "id long, g string"
+    )
+    one = {r.g: r for r in dp_noisy_counts(df, "g", epsilon=2.0).collect()}
+    two = {r.g: r for r in dp_noisy_counts(df, "g", epsilon=2.0).collect()}
+    assert one["a"].n_true == 20 and one["b"].n_true == 10
+    for g in ("a", "b"):
+        assert one[g].noise_b == 0.5
+        assert one[g].n_noisy == two[g].n_noisy  # deterministic draw
+        assert one[g].n_noisy != one[g].n_true  # noise actually applied
+
+
+def test_conformal_threshold_order_statistic(spark):
+    """Split conformal: q_hat is the ceil((n+1)(1-alpha))/n order
+    statistic of CALIBRATION positives' nonconformity; negatives never
+    enter. With alpha=0.1 and n_cal calibration rows the rank clamps to
+    n_cal when ceil((n+1)*0.9) exceeds it."""
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.audit import (
+        conformal_threshold,
+    )
+
+    rows = [(i, 1.0 - i / 100.0, 1 if i < 40 else 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    r = conformal_threshold(df, alpha=0.1).collect()[0]
+    assert r.rank == min(math.ceil((r.n_cal + 1) * 0.9), r.n_cal)
+    assert r.n_cal + r.n_eval_pos == 40  # only positives, both splits
+    assert 0.0 <= r.q_hat <= 1.0 and abs(r.threshold - (1 - r.q_hat)) < 1e-9
+    assert r.n_covered <= r.n_eval_pos
