@@ -117,6 +117,11 @@ HEADLINE = [
     "stream_quality_drift",
     "stream_dedup_clusters",
     "dedup_lsh_recall",
+    # round-8 quality-evaluation + serving family
+    "text_quality_auc",
+    "events_ab_fdr",
+    "retrieval_mmr",
+    "quality_conformal",
 ]
 
 
