@@ -59,6 +59,16 @@ HEAVY = [
     "corpus_context_pack",
     "dedup_clusters_incremental",
     "stream_dedup_clusters",
+    # r8 additions: banded-candidate recall accounting (both join
+    # families), global-rank statistics (AUC's value-grouped ranks,
+    # conformal's order statistic) -- rank logic is exactly what shifts
+    # when groups span partitions; MMR's greedy over a broadcast-bounded
+    # candidate set rides the BM25 global top-20 cut
+    "dedup_lsh_recall",
+    "text_quality_auc",
+    "quality_conformal",
+    "retrieval_mmr",
+    "events_ab_fdr",
 ]
 
 

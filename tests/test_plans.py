@@ -134,6 +134,15 @@ NESTED_LOOP_WHITELIST = {
                                    # lifetimes (scalar join)
     "customer_survival_logrank",   # same horizon scalar join
     "events_ab_test",              # 1-row treatment arm x 1-row control arm
+    "text_quality_auc",            # roc_auc's global max-score scalar (1-row
+                                   # window) feeds rel; the rank runs over the
+                                   # distinct-score table -- bounded
+    "quality_calibration",         # same classifier-score scalar shape
+    "quality_conformal",           # 1-row (n_cal, rank, q_hat) meta x 1-row
+                                   # coverage agg (scalar join)
+    "retrieval_mmr",               # candidate-bounded: 20 vectors self-pair
+                                   # (<=400 rows) + greedy over a collect;
+                                   # bm25's 1-row stats join underneath
 }
 
 
