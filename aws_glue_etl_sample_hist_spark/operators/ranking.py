@@ -187,8 +187,12 @@ def mmr_rerank(
     context window (ten near-identical top hits waste the prompt budget;
     MMR trades a little relevance for coverage). rel is the candidate
     score min-max'd by the max (rounded 6 dp), sim is embedding cosine
-    between candidates (rounded 6 dp); the first pick sees an empty
-    selected set (penalty 0). All ties break by id ascending, so the
+    between candidates (rounded 6 dp); mmr_score rounds at 7 dp (see
+    _round7 -- 6 dp sits exactly on decimal ties). The first pick sees an
+    empty selected set (penalty 0); a candidate with no embedding pairs
+    to the selected set pays penalty 0 and competes on relevance alone
+    (the missing-embedding contract, mirrored by the oracle's LEFT
+    JOIN). All ties break by id ascending, so the
     greedy trajectory is fully deterministic and engine-portable -- the
     oracle replays it as k unrolled SQL stages.
 
@@ -220,6 +224,20 @@ def mmr_rerank(
             F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_sim"),
         )
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round7(x: float) -> float:
+        # HALF_UP on the exact decimal expansion, at SEVEN dp: lam times a
+        # 6-dp rel is an exact 7-digit decimal, so rounding at 6 dp sits
+        # EXACTLY on .xxxxxx5 ties (systematic, observed at sf0.1 --
+        # engines break such ties differently: BigDecimal/Decimal round
+        # the binary expansion, DuckDB nearbyint()s a scaled double),
+        # while at 7 dp the value is ~1e-16 from the grid point and every
+        # engine agrees
+        return float(
+            Decimal(x).quantize(Decimal("0.0000001"), rounding=ROUND_HALF_UP)
+        )
+
     rels = {r._id: r._rel for r in cand.collect()}
     sim = {(r._da, r._db): r._sim for r in sims.collect()}
     selected: list[tuple] = []  # (doc_id, rank, mmr_score)
@@ -227,11 +245,14 @@ def mmr_rerank(
     while rels and len(selected) < k:
         best = None
         for d, rel in rels.items():
-            if chosen:
-                pen = max(sim.get((d, s), 0.0) for s in chosen)
-            else:
-                pen = 0.0
-            score = round(lam * rel - (1.0 - lam) * pen, 6)
+            # redundancy is measured only against picks this candidate is
+            # comparably embedded with; a candidate with no vector (or no
+            # embedded pick yet) pays penalty 0 and competes on relevance
+            # alone -- the explicit missing-embedding contract, mirrored
+            # by the oracle's LEFT JOIN + COALESCE
+            pairs = [sim[(d, s)] for s in chosen if (d, s) in sim]
+            pen = max(pairs) if pairs else 0.0
+            score = _round7(lam * rel - (1.0 - lam) * pen)
             key = (-score, d)
             if best is None or key < best[0]:
                 best = (key, d, score)

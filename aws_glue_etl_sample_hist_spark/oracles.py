@@ -4853,8 +4853,8 @@ def _mmr_sql(k: int = 10, lam: float = 0.7, n_cand: int = 20) -> str:
     stages = [
         f"""sel1 AS MATERIALIZED (
         SELECT doc_id, CAST(1 AS BIGINT) AS mmr_rank,
-               ROUND({l_} * rel, 6) AS mmr_score
-        FROM cand ORDER BY ROUND({l_} * rel, 6) DESC, doc_id ASC LIMIT 1
+               ROUND({l_} * rel, 7) AS mmr_score
+        FROM cand ORDER BY ROUND({l_} * rel, 7) DESC, doc_id ASC LIMIT 1
     )"""
     ]
     for i in range(2, k + 1):
@@ -4864,11 +4864,14 @@ def _mmr_sql(k: int = 10, lam: float = 0.7, n_cand: int = 20) -> str:
         stages.append(
             f"""sel{i} AS MATERIALIZED (
         SELECT doc_id, CAST({i} AS BIGINT) AS mmr_rank,
-               ROUND({l_} * rel - {oml} * pen, 6) AS mmr_score
+               ROUND({l_} * rel - {oml} * pen, 7) AS mmr_score
         FROM (
-            SELECT c.doc_id, c.rel, MAX(s._sim) AS pen
+            -- LEFT JOIN + COALESCE: a candidate with no embedding pair
+            -- to the selected set pays penalty 0 (the operator's
+            -- documented missing-embedding contract), not a drop
+            SELECT c.doc_id, c.rel, COALESCE(MAX(s._sim), 0.0) AS pen
             FROM cand c
-            JOIN sims s ON s._da = c.doc_id AND s._db IN ({prev})
+            LEFT JOIN sims s ON s._da = c.doc_id AND s._db IN ({prev})
             WHERE c.doc_id NOT IN ({prev})
             GROUP BY c.doc_id, c.rel
         )
