@@ -210,6 +210,7 @@ def lsh_pair_recall(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Measured recall of banded-MinHash candidate generation against the
     exact n-gram-Jaccard >= ``threshold`` truth, per Jaccard bucket --
@@ -225,7 +226,18 @@ def lsh_pair_recall(
     arithmetic, so a SQL oracle recomputes recall EXACTLY. Scale shape:
     the exact side is the inverted-index Jaccard join (max_df-guarded),
     the candidate side the band equi-join -- the measurement costs one
-    extra broadcast-sized join over the true-pair set, never all-pairs."""
+    extra broadcast-sized join over the true-pair set, never all-pairs.
+    NOTE the exact-TRUTH side is output-pair-bound by definition (the
+    same ~n^2 growth as the ssjoin family on a scale-invariant-dup
+    corpus, 43x per 10x measured at sf1 -- SCALING.md): this is a
+    measurement harness, not a production path. At scale set
+    ``sample_frac`` -- both sides restrict to the SAME deterministic md5
+    document sample first, giving an unbiased recall estimate over
+    sampled-doc pairs at sample_frac^2 of the pair cost."""
+    if sample_frac is not None:
+        from .sampling import hash_sample
+
+        docs = hash_sample(docs, sample_frac, key_col=id_col, salt="lshrecall")
     exact = ngram_jaccard_pairs(
         docs,
         n=shingle_n,

@@ -3136,3 +3136,27 @@ def test_conformal_threshold_order_statistic(spark):
     assert r.n_cal + r.n_eval_pos == 40  # only positives, both splits
     assert 0.0 <= r.q_hat <= 1.0 and abs(r.threshold - (1 - r.q_hat)) < 1e-9
     assert r.n_covered <= r.n_eval_pos
+
+
+def test_lsh_pair_recall_sample_frac_restricts_both_sides(spark):
+    """The scale path: sample_frac restricts truth AND candidates to the
+    same md5 doc sample, so the accounting invariants hold on the
+    subpopulation and true-pair counts can only shrink."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        lsh_pair_recall,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(12)], "doc_id long, text string"
+    )
+    full = {r.j_bucket: r for r in lsh_pair_recall(docs, threshold=0.2).collect()}
+    samp = {
+        r.j_bucket: r
+        for r in lsh_pair_recall(docs, threshold=0.2, sample_frac=0.5).collect()
+    }
+    assert full["0.8-1.0"].n_true_pairs == 66  # C(12,2) identical docs
+    assert 0 < samp["0.8-1.0"].n_true_pairs < 66
+    for r in samp.values():
+        assert 0 <= r.n_candidates <= r.n_true_pairs
+        assert r.recall == round(r.n_candidates / r.n_true_pairs, 4)

@@ -282,6 +282,35 @@ def main() -> None:
         "- **corpus_substring_dedup 7.3x**: shingle rows scale with corpus",
         "  tokens; the duplicated-shingle join and per-doc windows carry",
         "  md5 hashes + integer positions only, never document text.",
+        "- **corpus_unigram_train (r8)**: formerly the engine's slowest",
+        "  query (19.8 s at sf0.1, judge-measured r7) because 15 EM rounds",
+        "  each paid a Spark job launch over a 31-row word-type frame; the",
+        "  r8 adaptive driver-local E-step (types <= 100k collected once,",
+        "  same lattice code) cut sf0.1 to ~2.8 s. Remaining wall = the",
+        "  corpus passes (word-vocab build + Viterbi encode), row-linear;",
+        "  the sf1 step tracks the type table (~10x under make_sf1's",
+        "  per-replica vocab permutation).",
+        "- **corpus_kn_perplexity ~9x at sf1**: occurrence passes are",
+        "  row-linear, but the bigram TYPE table grows ~vocab^2 under the",
+        "  sf1 set's 10x vocab permutation (real corpora grow types",
+        "  Heaps-sublinearly); the r8 fusion removed the two duplicate",
+        "  corpus-scale distinct shuffles (one persisted type-table job",
+        "  feeds both calibration scalars and the continuation counts).",
+        "- **dedup_lsh_recall 43x**: the recall AUDIT includes the",
+        "  exact-Jaccard TRUTH side by definition -- the same output-pair",
+        "  family as ssjoin on this scale-invariant-dup corpus. It is a",
+        "  measurement harness, not a production path; at scale run it",
+        "  with sample_frac (both sides restrict to the same md5 doc",
+        "  sample; unbiased over sampled-doc pairs at sample_frac^2 of",
+        "  the pair cost).",
+        "- **stream_dedup_clusters ~9.5x**: per-batch candidate pairs",
+        "  against the accumulated shingle index scale with EDGES",
+        "  (~n^2 on this corpus, the curation_pipeline effect one level",
+        "  down); real-corpus edge counts are doc-linear.",
+        "- **survival/logrank/l-diversity/communities/AB/NDCG/balanced_",
+        "  sample rows**: flat-to-2x -- windows over bounded lifetime",
+        "  histograms, dimension-sized graphs, test-count-bounded stats;",
+        "  the per-row scans amortize exactly like the scan/agg family.",
         "- **pipelines**: restartable parquet tiers; sf1 walls include all",
         "  tier writes to a tempdir.",
     ]
