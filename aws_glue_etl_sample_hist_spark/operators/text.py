@@ -635,7 +635,7 @@ def skipgram_pairs(
     )
 
 
-def kn_bigram_perplexity(
+def _kn_scored_bigrams(
     docs,
     *,
     discount: float = 0.75,
@@ -644,28 +644,14 @@ def kn_bigram_perplexity(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     salt: str = "knsplit",
+    eval_only: bool = True,
 ):
-    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the formula
-    as in Chen & Goodman 1999 eq. 4.24) trained on a deterministic
-    hash-split of the corpus and evaluated as held-out perplexity per
-    language, beside an add-one (Laplace) baseline -- the classic "is
-    this smoothing worth it" experiment, run at corpus scale:
-
-      P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1)
-                    + D * N1+(w1,.) / c(w1) * Pcont(w2)
-      Pcont(w2)   = (N1+(., w2) + 1) / (N1+(., .) + V + 1)
-
-    (continuation probability add-one smoothed so held-out OOV words
-    stay finite; unseen w1 backs off to Pcont alone). Every count table
-    is vocab-bounded and broadcast; the two corpus-wide scalars (bigram
-    type count N1+(.,.), train vocab V) are bounded calibration collects.
-    The whole computation is deterministic closed-form arithmetic, so the
-    DuckDB oracle recomputes it EXACTLY -- including the per-language
-    perplexities and the kn-beats-laplace verdicts.
-
-    Returns (lang, n_eval_bigrams, ppl_kn, ppl_laplace,
-    kn_beats_laplace), ppl = exp(-avg ln p) over eval bigram
-    occurrences."""
+    """Shared KN machinery: the per-bigram-occurrence frame scored under
+    the train-split LM -- (doc_id, lang, _train, p_kn, p_lap). The LM is
+    ALWAYS fit on the train split; ``eval_only`` controls whether only
+    held-out bigrams are scored (the perplexity experiment) or every
+    doc's (the CCNet-style per-document filter). Count tables and
+    calibration scalars as documented on kn_bigram_perplexity."""
     from .sampling import SAMPLE_MOD, sample_hash
 
     is_train = sample_hash(F.col(id_col), salt) < int(train_frac * SAMPLE_MOD)
@@ -673,10 +659,12 @@ def kn_bigram_perplexity(
         F.col(id_col), F.col(lang_col).alias("lang"), F.col(text_col)
     ).withColumn("_train", is_train)
     bg = base.select(
+        id_col,
         "lang",
         "_train",
         F.explode(word_shingles(tokens(F.col(text_col)), 2)).alias("bigram"),
     ).select(
+        id_col,
         "lang",
         "_train",
         "bigram",
@@ -720,7 +708,7 @@ def kn_bigram_perplexity(
         .collect()[0]
     )
     t_types, v_train = scal.t, scal.v
-    ev = bg.filter(~F.col("_train"))
+    ev = bg.filter(~F.col("_train")) if eval_only else bg
     joined = (
         ev.join(F.broadcast(c_bg), "bigram", "left")
         .join(F.broadcast(w1_stats), "w1", "left")
@@ -741,14 +729,124 @@ def kn_bigram_perplexity(
         F.col("c1").isNotNull(),
         (F.coalesce("c", F.lit(0)) + 1) / (F.col("c1") + v_train + 1),
     ).otherwise(F.lit(1.0 / (v_train + 1)))
+    return joined.select(
+        id_col, "lang", "_train", p_kn.alias("p_kn"), p_lap.alias("p_lap")
+    )
+
+
+def kn_bigram_perplexity(
+    docs,
+    *,
+    discount: float = 0.75,
+    train_frac: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    salt: str = "knsplit",
+):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the formula
+    as in Chen & Goodman 1999 eq. 4.24) trained on a deterministic
+    hash-split of the corpus and evaluated as held-out perplexity per
+    language, beside an add-one (Laplace) baseline -- the classic "is
+    this smoothing worth it" experiment, run at corpus scale:
+
+      P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1)
+                    + D * N1+(w1,.) / c(w1) * Pcont(w2)
+      Pcont(w2)   = (N1+(., w2) + 1) / (N1+(., .) + V + 1)
+
+    (continuation probability add-one smoothed so held-out OOV words
+    stay finite; unseen w1 backs off to Pcont alone). Every count table
+    is vocab-bounded and broadcast; the two corpus-wide scalars (bigram
+    type count N1+(.,.), train vocab V) arrive in ONE bounded job over
+    the persisted bigram-TYPE table. Deterministic closed-form
+    arithmetic end to end, so the DuckDB oracle recomputes it EXACTLY --
+    including the per-language perplexities and verdicts.
+
+    Returns (lang, n_eval_bigrams, ppl_kn, ppl_laplace,
+    kn_beats_laplace), ppl = exp(-avg ln p) over eval bigram
+    occurrences."""
+    scored = _kn_scored_bigrams(
+        docs,
+        discount=discount,
+        train_frac=train_frac,
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        salt=salt,
+        eval_only=True,
+    )
     return (
-        joined.groupBy("lang")
+        scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_eval_bigrams"),
-            F.round(F.exp(-F.avg(F.log(p_kn))), 4).alias("ppl_kn"),
-            F.round(F.exp(-F.avg(F.log(p_lap))), 4).alias("ppl_laplace"),
+            F.round(F.exp(-F.avg(F.log("p_kn"))), 4).alias("ppl_kn"),
+            F.round(F.exp(-F.avg(F.log("p_lap"))), 4).alias("ppl_laplace"),
         )
         .withColumn(
             "kn_beats_laplace", F.col("ppl_kn") < F.col("ppl_laplace")
         )
+    )
+
+
+def kn_doc_perplexity_buckets(
+    docs,
+    *,
+    n_buckets: int = 3,
+    discount: float = 0.75,
+    train_frac: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    salt: str = "knsplit",
+):
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020, LREC --
+    CCNet sec. 3.3): score EVERY document's perplexity under the
+    train-split Kneser-Ney bigram LM, then split each language into
+    ``n_buckets`` equal-count buckets by perplexity rank -- head (most
+    fluent), middle, tail. The canonical "keep head+middle, drop or
+    re-weight tail" curation gate, with a counting LM standing in for
+    CCNet's KenLM 5-gram (same statistics family, same plan shape).
+
+    Bucketing is NTILE over (ppl, doc_id) per language -- rank-based, so
+    it needs no cross-engine percentile semantics and the oracle
+    recomputes it EXACTLY. The per-language sort is bounded by that
+    language's doc count; at 100 TB swap NTILE for approx_percentile
+    cuts (one expression) if a single language dominates. Documents with
+    fewer than two tokens contribute one degenerate shingle (the full
+    text, w2 = '' -- word_shingles' documented collapse, shared with
+    kn_bigram_perplexity), so they are scored, not dropped.
+
+    Returns (doc_id, lang, n_bigrams, ppl_kn, bucket, bucket_label)."""
+    scored = _kn_scored_bigrams(
+        docs,
+        discount=discount,
+        train_frac=train_frac,
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        salt=salt,
+        eval_only=False,
+    )
+    per_doc = scored.groupBy(id_col, "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg(F.log("p_kn"))), 4).alias("ppl_kn"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl_kn").asc(), F.col(id_col).asc()
+    )
+    b = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(b == 1, "head")
+        .when(b == n_buckets, "tail")
+        .otherwise("middle")
+    )
+    return per_doc.select(
+        id_col,
+        "lang",
+        "n_bigrams",
+        "ppl_kn",
+        b.cast("long").alias("bucket"),
+        label.alias("bucket_label"),
     )

@@ -5004,3 +5004,63 @@ ORACLE_SQL["quality_conformal"] = f"""
            ev.n_covered * 1.0 / ev.n_eval_pos >= 0.85 AS coverage_ok
     FROM meta, qh, ev
 """
+
+
+# CCNet-style per-doc LM quality buckets: same trained-on-split KN tables
+# as corpus_kn_perplexity, scored over EVERY doc's bigrams, NTILE(3) per
+# language by (ppl, doc_id) rank -- exact
+ORACLE_SQL["corpus_ccnet_buckets"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('knsplit:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 < 800000 AS tr,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, tr,
+               array_to_string(toks[i:i+1], ' ') AS bigram,
+               split_part(array_to_string(toks[i:i+1], ' '), ' ', 1) AS w1,
+               split_part(array_to_string(toks[i:i+1], ' '), ' ', 2) AS w2
+        FROM d, LATERAL unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS t(i)
+    ), c_bg AS (
+        SELECT bigram, COUNT(*) AS c FROM bg WHERE tr GROUP BY 1
+    ), w1s AS (
+        SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1fw
+        FROM bg WHERE tr GROUP BY 1
+    ), w2c AS (
+        SELECT w2, COUNT(*) AS n1l
+        FROM (SELECT DISTINCT w1, w2 FROM bg WHERE tr) GROUP BY 1
+    ), scal AS (
+        SELECT (SELECT COUNT(DISTINCT bigram) FROM bg WHERE tr) AS t_types,
+               (SELECT COUNT(*) FROM (
+                   SELECT w1 AS w FROM bg WHERE tr
+                   UNION SELECT w2 FROM bg WHERE tr)) AS v
+    ), ev AS (
+        SELECT e.doc_id, e.lang,
+               CASE WHEN c_bg.c IS NOT NULL
+                    THEN greatest(c_bg.c - 0.75, 0) / w1s.c1
+                    ELSE 0.0 END
+             + CASE WHEN w1s.c1 IS NOT NULL
+                    THEN 0.75 * w1s.n1fw / w1s.c1 ELSE 1.0 END
+               * ((COALESCE(w2c.n1l, 0) + 1) / (scal.t_types + scal.v + 1.0))
+               AS p_kn
+        FROM bg e
+        LEFT JOIN c_bg USING (bigram)
+        LEFT JOIN w1s USING (w1)
+        LEFT JOIN w2c USING (w2)
+        CROSS JOIN scal
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(EXP(-AVG(LN(p_kn))), 4) AS ppl_kn
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams, ppl_kn,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                ORDER BY ppl_kn ASC, doc_id ASC) AS BIGINT) AS bucket,
+           CASE NTILE(3) OVER (PARTITION BY lang
+                ORDER BY ppl_kn ASC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_label
+    FROM per_doc
+"""

@@ -5370,6 +5370,20 @@ def q_quality_conformal(spark: SparkSession, sf: str) -> DataFrame:
     return conformal_threshold(scored, alpha=0.1)
 
 
+
+def q_corpus_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style per-document LM quality bucketing
+    (operators.text.kn_doc_perplexity_buckets, Wenzek et al. 2020): every
+    doc scored by perplexity under the train-split Kneser-Ney bigram LM,
+    then per-language head/middle/tail terciles by perplexity rank -- the
+    classic "keep the fluent slice of the crawl" gate. Rank-based NTILE
+    bucketing, so the oracle recomputes rows EXACTLY (no cross-engine
+    percentile semantics)."""
+    from .operators.text import kn_doc_perplexity_buckets
+
+    return kn_doc_perplexity_buckets(load_table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5391,6 +5405,7 @@ QUERIES = {
     "retrieval_mmr": q_retrieval_mmr,
     "events_dp_counts": q_events_dp_counts,
     "quality_conformal": q_quality_conformal,
+    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
     # --- block 1: round-7-late additions, first-ever driver rows (23) ---
     "multimodal_image_near_dup": q_multimodal_image_near_dup,
     "embedding_ivf_recall": q_embedding_ivf_recall,
@@ -5434,10 +5449,9 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- block 3: oldest r4 rows filling the window to 50 (1) ---
-    "customer_spend_deciles": q_customer_spend_deciles,
     # --- past slot 50: oldest-evidence-first ---
-    # --- block 4: remaining r4-era rows (32) ---
+    # --- block 4: remaining r4-era rows (33) ---
+    "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
     "events_value_trend": q_events_value_trend,

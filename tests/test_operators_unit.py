@@ -3160,3 +3160,29 @@ def test_lsh_pair_recall_sample_frac_restricts_both_sides(spark):
     for r in samp.values():
         assert 0 <= r.n_candidates <= r.n_true_pairs
         assert r.recall == round(r.n_candidates / r.n_true_pairs, 4)
+
+
+def test_kn_doc_perplexity_buckets_rank_semantics(spark):
+    """CCNet bucketing: per-language NTILE by perplexity rank -- more
+    repetitive/predictable docs (trained bigrams) land in the head,
+    out-of-distribution word salad in the tail; a single-token doc is
+    scored through its degenerate one-shingle collapse (word_shingles'
+    documented behavior); every language's bucket sizes differ by at
+    most 1 (NTILE invariant)."""
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        kn_doc_perplexity_buckets,
+    )
+
+    rows = []
+    for i in range(9):  # ids 0..8 hash mostly into the 80% train split
+        rows.append((i, "en", "the cat sat on the mat and the cat sat"))
+    rows.append((20, "en", "zqx wvu tpo nml kji hgf"))  # OOV word salad
+    rows.append((21, "en", "one"))  # single token -> dropped
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in kn_doc_perplexity_buckets(docs).collect()}
+    assert got[21].n_bigrams == 1  # degenerate one-shingle collapse
+    assert got[20].bucket_label == "tail"  # OOV doc is the least fluent
+    sizes = {}
+    for r in got.values():
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
