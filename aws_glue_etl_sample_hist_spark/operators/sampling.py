@@ -663,3 +663,51 @@ def balanced_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= cap)
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    token_budget: int,
+    temperature: float = 2.0,
+    *,
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual up-sampling
+    rule of mBERT / XLM-R, Conneau & Lample 2019 sec. 3.1: q_i ∝
+    p_i^(1/T)): target shares are DERIVED from the corpus itself --
+    p_i = stratum_tokens / total, flattened by the exponent -- instead of
+    hand-specified like mixture_sample's dial. T = 1 reproduces natural
+    proportions; T -> inf approaches uniform across strata; the standard
+    fix for head languages drowning the tail at pretraining time.
+
+    Same scale shape as mixture_sample: one strata-bounded aggregate, the
+    share normalization is a window over the STRATA frame (bounded by
+    distinct strata, never data-scale), thresholds broadcast back, keep
+    decision a deterministic md5 draw -- lazy end to end, exact oracle.
+    Returns the kept rows with the derived q_share attached (rounded 6
+    dp) so the mixture is auditable from the output itself."""
+    totals = df.groupBy(strata_col).agg(
+        F.sum(weight_col).alias("_stratum_tokens")
+    )
+    pw = F.pow(F.col("_stratum_tokens").cast("double"), 1.0 / float(temperature))
+    shares = totals.withColumn(
+        "_q",
+        pw / F.sum(pw).over(Window.partitionBy()),
+    ).withColumn("q_share", F.round(F.col("_q"), 6))
+    thr = F.least(
+        F.lit(SAMPLE_MOD),
+        F.floor(
+            F.lit(float(token_budget))
+            * F.col("_q")
+            / F.col("_stratum_tokens")
+            * SAMPLE_MOD
+        ),
+    )
+    return (
+        df.join(F.broadcast(shares), strata_col)
+        .filter(sample_hash(F.col(key_col), salt) < thr)
+        .drop("_stratum_tokens", "_q")
+    )

@@ -5064,3 +5064,27 @@ ORACLE_SQL["corpus_ccnet_buckets"] = r"""
                 ELSE 'middle' END AS bucket_label
     FROM per_doc
 """
+
+
+# temperature-scaled mixture: derived shares q_i = p_i^(1/T) / sum, same
+# md5 keep-draw arithmetic as corpus_mixture
+ORACLE_SQL["corpus_mixture_temperature"] = r"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), totals AS (
+        SELECT lang, SUM(n_tokens) AS st FROM d GROUP BY 1
+    ), shares AS (
+        SELECT lang, st,
+               POW(CAST(st AS DOUBLE), 1.0 / 2.0)
+                   / SUM(POW(CAST(st AS DOUBLE), 1.0 / 2.0)) OVER () AS q
+        FROM totals
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens, ROUND(s.q, 6) AS q_share
+    FROM d JOIN shares s USING (lang)
+    WHERE CAST(('0x' || substr(md5('tempmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000
+          < LEAST(1000000, FLOOR(10000.0 * s.q / s.st * 1000000))
+"""

@@ -5384,6 +5384,26 @@ def q_corpus_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return kn_doc_perplexity_buckets(load_table(spark, sf, "documents"))
 
 
+
+def q_corpus_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture sampling
+    (operators.sampling.temperature_mixture_sample, T = 2, 10k-token
+    budget): target shares derived from the corpus itself as
+    p_i^(1/T) / sum -- the multilingual up-sampling rule (XLM-R) that
+    flattens head-language dominance without a hand-specified dial.
+    Derived q_share rides along per row so the mixture is auditable from
+    the output. Exact oracle (md5 draws + closed-form thresholds)."""
+    from .operators.sampling import temperature_mixture_sample
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return temperature_mixture_sample(docs, 10_000, temperature=2.0).select(
+        "doc_id", "lang", "n_tokens", "q_share"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5450,6 +5470,8 @@ QUERIES = {
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
     # --- past slot 50: oldest-evidence-first ---
+    # r8-late additions (rotate into the r9 window, the block-2b pattern)
+    "corpus_mixture_temperature": q_corpus_mixture_temperature,
     # --- block 4: remaining r4-era rows (33) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,

@@ -3186,3 +3186,24 @@ def test_kn_doc_perplexity_buckets_rank_semantics(spark):
     for r in got.values():
         sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    """T=1 reproduces natural proportions; higher T moves the derived
+    shares toward uniform -- the scarce stratum's q_share strictly rises
+    with T while the dominant one's falls."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+
+    def shares(t):
+        out = temperature_mixture_sample(df, 5_000, temperature=t)
+        return {r.lang: r.q_share for r in out.select("lang", "q_share").distinct().collect()}
+
+    s1, s4 = shares(1.0), shares(4.0)
+    assert abs(s1["big"] - 0.9) < 1e-6 and abs(s1["small"] - 0.1) < 1e-6
+    assert s4["small"] > s1["small"] and s4["big"] < s1["big"]
+    assert abs(s4["small"] + s4["big"] - 1.0) < 1e-5
