@@ -275,6 +275,65 @@ def lsh_pair_recall(
     )
 
 
+def lsh_pair_precision(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    sample_frac: float | None = None,
+) -> DataFrame:
+    """Precision counterpart of lsh_pair_recall: of the candidate pairs
+    the band join surfaces, how many are TRUE near-dups (exact Jaccard >=
+    ``threshold``), stratified by n_shared_bands -- the confidence axis a
+    100 TB dedup run tunes against, because every false candidate pays a
+    full exact-verify downstream. More shared bands should mean higher
+    precision (each extra agreeing band multiplies the collision odds of
+    a dissimilar pair by ~(j^r)); seeing that measured tells you whether
+    requiring >= 2 shared bands is a cheap precision win on YOUR corpus.
+
+    Output: (n_shared_bands, n_candidates, n_true, precision); exact
+    oracle (both sides deterministic md5 arithmetic). Same scale notes as
+    lsh_pair_recall: the truth side is output-pair-bound -- measurement
+    harness, sample via ``sample_frac`` at scale."""
+    if sample_frac is not None:
+        from .sampling import hash_sample
+
+        docs = hash_sample(docs, sample_frac, key_col=id_col, salt="lshprec")
+    truth = ngram_jaccard_pairs(
+        docs,
+        n=shingle_n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        max_df=max_df,
+    ).select("doc_a", "doc_b", F.lit(1).alias("_true"))
+    cand = minhash_lsh_pairs(
+        docs,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        max_df=max_df,
+    )
+    return (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("n_shared_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce("_true", F.lit(0))).alias("n_true"),
+            F.round(
+                F.sum(F.coalesce("_true", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("precision"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

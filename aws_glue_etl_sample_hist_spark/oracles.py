@@ -5088,3 +5088,24 @@ ORACLE_SQL["corpus_mixture_temperature"] = r"""
                AS BIGINT) % 1000000
           < LEAST(1000000, FLOOR(10000.0 * s.q / s.st * 1000000))
 """
+
+
+# LSH candidate precision by shared-band count: the same two composed
+# oracles as dedup_lsh_recall, flipped to the candidate side
+ORACLE_SQL["dedup_lsh_precision"] = f"""
+    WITH truth AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})
+    ),
+    cand AS (
+        SELECT doc_a, doc_b, n_shared_bands
+        FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
+    )
+    SELECT c.n_shared_bands,
+           COUNT(*) AS n_candidates,
+           SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_true,
+           ROUND(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS precision
+    FROM cand c
+    LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY 1
+"""

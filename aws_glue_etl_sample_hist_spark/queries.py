@@ -5404,6 +5404,24 @@ def q_corpus_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_dedup_lsh_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-pair precision of the MinHash-LSH band join, stratified
+    by n_shared_bands (operators.dedup.lsh_pair_precision) -- the
+    companion to dedup_lsh_recall: recall says which true pairs the bands
+    miss, precision says what fraction of surfaced candidates will
+    survive the exact verify (the cost every false candidate incurs at
+    100 TB). Exact oracle composing the same two dedup oracles."""
+    from .operators.dedup import lsh_pair_precision
+
+    return lsh_pair_precision(
+        load_table(spark, sf, "documents"),
+        num_hashes=12,
+        band_size=3,
+        threshold=0.2,
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5472,6 +5490,7 @@ QUERIES = {
     # --- past slot 50: oldest-evidence-first ---
     # r8-late additions (rotate into the r9 window, the block-2b pattern)
     "corpus_mixture_temperature": q_corpus_mixture_temperature,
+    "dedup_lsh_precision": q_dedup_lsh_precision,
     # --- block 4: remaining r4-era rows (33) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,

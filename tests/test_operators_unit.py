@@ -3207,3 +3207,23 @@ def test_temperature_mixture_flattens_shares(spark):
     assert abs(s1["big"] - 0.9) < 1e-6 and abs(s1["small"] - 0.1) < 1e-6
     assert s4["small"] > s1["small"] and s4["big"] < s1["big"]
     assert abs(s4["small"] + s4["big"] - 1.0) < 1e-5
+
+
+def test_lsh_pair_precision_accounting(spark):
+    """Precision accounting: identical docs share ALL bands and are true
+    pairs (precision 1.0 in the top stratum); per stratum n_true <=
+    n_candidates and precision = n_true/n_candidates."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        lsh_pair_precision,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, "unrelated words entirely here okay")],
+        "doc_id long, text string",
+    )
+    got = {r.n_shared_bands: r for r in lsh_pair_precision(docs).collect()}
+    assert got[4].n_candidates == 1 and got[4].precision == 1.0
+    for r in got.values():
+        assert 0 <= r.n_true <= r.n_candidates
+        assert r.precision == round(r.n_true / r.n_candidates, 4)
