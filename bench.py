@@ -122,6 +122,9 @@ HEADLINE = [
     "events_ab_fdr",
     "retrieval_mmr",
     "quality_conformal",
+    "corpus_ccnet_buckets",
+    "corpus_mixture_temperature",
+    "dedup_lsh_precision",
 ]
 
 

@@ -111,6 +111,11 @@ PROBE = [
     "events_ab_test",
     "retrieval_ndcg",
     "dedup_lsh_recall",
+    # round 8 (late): CCNet buckets (kn family), temperature mixture,
+    # LSH precision (pair-family audit twin of dedup_lsh_recall)
+    "corpus_ccnet_buckets",
+    "corpus_mixture_temperature",
+    "dedup_lsh_precision",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
