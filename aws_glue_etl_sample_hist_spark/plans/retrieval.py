@@ -8,7 +8,10 @@ medallion/curation pipelines.
         lengths        per-doc token counts + 1-row corpus stats
         ivf            cell-partitioned IVF vector index   (operators.ann_index)
         pq             codebook + codes PQ index           (operators.ann_index)
-    r2  serve          hybrid BM25+vector RRF top-k, READING ONLY r1 artifacts
+    r2  (parallel)
+        serve          hybrid BM25+vector RRF top-k, READING ONLY r1 artifacts
+        serve_mmr      MMR-diversified top-k over the hybrid top-20 (vectors
+                       fetched from the IVF artifact) -- the RAG-context stage
 
 The serving claims this layout buys at 100 TB:
   - a lexical query reads ONLY its terms' posting partitions
@@ -152,6 +155,29 @@ def serve_hybrid(
     )
 
 
+def serve_mmr(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    query_vec: tuple[int, list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """Diversified serving: MMR re-rank (operators.ranking.mmr_rerank)
+    over the hybrid top-20, with candidate vectors fetched from the
+    PERSISTED IVF artifact (vec at rest, semi-join by id) -- serving
+    still never touches raw documents. The stage between retrieval and a
+    RAG context window, run entirely from r1 artifacts."""
+    from ..operators.ranking import mmr_rerank
+
+    fused = serve_hybrid(spark, index_dir, terms, query_vec, k=20).select(
+        "doc_id", F.col("rrf_score").alias("score")
+    )
+    vecs = spark.read.parquet(os.path.join(index_dir, "ivf", "vectors")).select(
+        "vec_id", "embedding"
+    )
+    return mmr_rerank(fused, vecs, k=k, lam=0.7)
+
+
 def run_retrieval(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, float]:
     """Run the full DAG; returns per-task wall seconds ('stage.task')."""
     p = os.path.join
@@ -192,12 +218,21 @@ def run_retrieval(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, f
             serve_hybrid(spark, out_dir, QUERY_TERMS, qvec), p(out_dir, "serve")
         )
 
+    def r2_serve_mmr() -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+        qvec = (0, [float(x) for x in qrow.embedding])
+        write_partitioned(
+            serve_mmr(spark, out_dir, QUERY_TERMS, qvec),
+            p(out_dir, "serve_mmr"),
+        )
+
     return (
         Pipeline()
         .add_stage("r0", cleaned=r0_cleaned)
         .add_stage(
             "r1", postings=r1_postings, lengths=r1_lengths, ivf=r1_ivf, pq=r1_pq
         )
-        .add_stage("r2", serve=r2_serve)
+        .add_stage("r2", serve=r2_serve, serve_mmr=r2_serve_mmr)
         .run()
     )

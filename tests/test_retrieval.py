@@ -52,3 +52,28 @@ def test_retrieval_pipeline_end_to_end(spark, sf_small, tmp_path):
         .collect()
     )
     assert one and all("/term=spark/" in r.f for r in one)
+
+
+def test_serve_mmr_from_artifacts(spark, sf_small, tmp_path):
+    """The diversified serving stage: valid top-10 over the hybrid
+    top-20, candidate vectors read from the persisted IVF artifact, and
+    re-serving from the same artifacts is deterministic."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.plans.retrieval import (
+        QUERY_TERMS,
+        run_retrieval,
+        serve_mmr,
+    )
+
+    out = str(tmp_path / "ret")
+    run_retrieval(spark, sf_small, out)
+    served = spark.read.parquet(f"{out}/serve_mmr")
+    rows = sorted(served.collect(), key=lambda r: r.mmr_rank)
+    assert [r.mmr_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == min(10, served.count())
+    emb = load_table(spark, sf_small, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    again = serve_mmr(spark, out, QUERY_TERMS, (0, [float(x) for x in qrow.embedding]))
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in served.collect()}
