@@ -301,13 +301,14 @@ def main() -> None:
         "  Heaps-sublinearly); the r8 fusion removed the two duplicate",
         "  corpus-scale distinct shuffles (one persisted type-table job",
         "  feeds both calibration scalars and the continuation counts).",
-        "- **dedup_lsh_recall 43x**: the recall AUDIT includes the",
-        "  exact-Jaccard TRUTH side by definition -- the same output-pair",
-        "  family as ssjoin on this scale-invariant-dup corpus. It is a",
-        "  measurement harness, not a production path; at scale run it",
-        "  with sample_frac (both sides restrict to the same md5 doc",
-        "  sample; unbiased over sampled-doc pairs at sample_frac^2 of",
-        "  the pair cost).",
+        "- **dedup_lsh_recall / dedup_lsh_precision ~37-39x**: both audits",
+        "  include the exact-Jaccard TRUTH side by definition -- the same",
+        "  output-pair family as ssjoin on this scale-invariant-dup",
+        "  corpus. They are measurement harnesses, not production paths;",
+        "  at scale run them with sample_frac (both sides restrict to the",
+        "  same md5 doc sample; unbiased over sampled-doc pairs at",
+        "  sample_frac^2 of the pair cost). corpus_ccnet_buckets rides the",
+        "  kn family (same type-table vocab^2 effect, 7.8x).",
         "- **stream_dedup_clusters ~9.5x**: per-batch candidate pairs",
         "  against the accumulated shingle index scale with EDGES",
         "  (~n^2 on this corpus, the curation_pipeline effect one level",
