@@ -696,3 +696,56 @@ def ab_tests_fdr(
             "discovery",
         )
     )
+
+
+def ab_ztest_readout(
+    per_user: DataFrame,
+    *,
+    user_col: str = "user_id",
+    converted_col: str = "converted",
+    salt: str = "abtest",
+) -> DataFrame:
+    """The two-proportion z-test readout over a per-user conversion frame
+    (user, converted 0/1): md5 variant bucketing, pooled-variance z,
+    two-sided rejection at 1.96 -- extracted so the batch A/B query and
+    the streaming monitor (stream_events_ab, which accumulates the same
+    per-user sufficient statistics across micro-batches) share the math
+    term for term and therefore one exact oracle."""
+    from .sampling import SAMPLE_MOD, sample_hash
+
+    g = (
+        per_user.withColumn(
+            "variant",
+            (sample_hash(F.col(user_col), salt) < SAMPLE_MOD // 2).cast("int"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(converted_col).alias("x"),
+        )
+    )
+    a = g.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = g.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("x").alias("x0")
+    )
+    j = a.crossJoin(b)
+    p1 = F.col("x1") / F.col("n1")
+    p0 = F.col("x0") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")) / (F.col("n1") + F.col("n0"))
+    se = F.sqrt(
+        F.greatest(
+            pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
+            F.lit(1e-300),
+        )
+    )
+    z = (p1 - p0) / se
+    return j.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.round(p1, 6).alias("cr_treat"),
+        F.round(p0, 6).alias("cr_control"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_at_05"),
+    )

@@ -5109,3 +5109,7 @@ ORACLE_SQL["dedup_lsh_precision"] = f"""
     LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
     GROUP BY 1
 """
+
+
+# stream-maintained A/B sufficient statistics must equal the batch test
+ORACLE_SQL["stream_events_ab"] = ORACLE_SQL["events_ab_test"]

@@ -4818,12 +4818,13 @@ def q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     (never user_id parity: sequential ids correlate with signup time),
     metric = did the user make a HIGH-VALUE purchase (value > 150 --
     plain "any purchase" saturates at 100% on this corpus and the test
-    degenerates). Closed-form pooled-variance z,
-    two-sided rejection at |z| > 1.96. One per-user agg + one 2-row
-    group agg; exact oracle recomputes z and the verdict."""
-    ev = load_table(spark, sf, "events")
-    from .operators.sampling import SAMPLE_MOD, sample_hash
+    degenerates). Readout math lives in
+    operators.analytics.ab_ztest_readout (shared with the streaming
+    monitor). One per-user agg + one 2-row group agg; exact oracle
+    recomputes z and the verdict."""
+    from .operators.analytics import ab_ztest_readout
 
+    ev = load_table(spark, sf, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(
             (
@@ -4831,42 +4832,8 @@ def q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
                 & (F.col("value") > 150)
             ).cast("int")
         ).alias("converted")
-    ).withColumn(
-        "variant",
-        (sample_hash(F.col("user_id"), "abtest") < SAMPLE_MOD // 2).cast(
-            "int"
-        ),
     )
-    g = per_user.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("converted").alias("x"),
-    )
-    a = g.filter(F.col("variant") == 1).select(
-        F.col("n").alias("n1"), F.col("x").alias("x1")
-    )
-    b = g.filter(F.col("variant") == 0).select(
-        F.col("n").alias("n0"), F.col("x").alias("x0")
-    )
-    j = a.crossJoin(b)
-    p1 = F.col("x1") / F.col("n1")
-    p0 = F.col("x0") / F.col("n0")
-    pp = (F.col("x1") + F.col("x0")) / (F.col("n1") + F.col("n0"))
-    se = F.sqrt(
-        F.greatest(
-            pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0")),
-            F.lit(1e-300),
-        )
-    )
-    z = (p1 - p0) / se
-    return j.select(
-        F.col("n1").cast("long").alias("n_treat"),
-        F.col("n0").cast("long").alias("n_control"),
-        F.round(p1, 6).alias("cr_treat"),
-        F.round(p0, 6).alias("cr_control"),
-        F.round(z, 6).alias("z"),
-        (F.abs(z) > 1.96).alias("reject_at_05"),
-    )
-
+    return ab_ztest_readout(per_user)
 
 def q_customer_survival_logrank(spark: SparkSession, sf: str) -> DataFrame:
     """Log-rank test between BUILDING-segment customers and the rest
@@ -5422,6 +5389,19 @@ def q_dedup_lsh_precision(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_stream_events_ab(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming A/B monitor (streaming.jobs.stream_events_ab): per-batch
+    per-user conversion partials accumulate in a parquet state dir (MAX
+    fold -- associative, idempotent, replay-safe), final readout through
+    the SAME ab_ztest_readout as the batch query. Oracle = events_ab_test
+    verbatim: stream-maintained sufficient statistics must reproduce the
+    batch answer row-for-row."""
+    from .streaming.jobs import stream_events_ab
+
+    return stream_events_ab(spark, sf)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5491,6 +5471,7 @@ QUERIES = {
     # r8-late additions (rotate into the r9 window, the block-2b pattern)
     "corpus_mixture_temperature": q_corpus_mixture_temperature,
     "dedup_lsh_precision": q_dedup_lsh_precision,
+    "stream_events_ab": q_stream_events_ab,
     # --- block 4: remaining r4-era rows (33) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,

@@ -904,3 +904,61 @@ def stream_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") >= F.ceil(F.col("_n") * phi))
         .select("user_id", F.col("freq").cast("long").alias("freq"))
     )
+
+
+def stream_events_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B monitor -- the fifth stream-maintained-state
+    exemplar (beside PCA moments, PSI histograms, CC labels, MG
+    counters): a user's conversion is a MAX over their events, which can
+    arrive in ANY micro-batch, so per-batch (user, converted) partials
+    accumulate in a parquet state dir (state at rest, never driver
+    memory -- user cardinality is unbounded) and the readout folds them
+    with one more per-user MAX before the shared z-test math
+    (operators.analytics.ab_ztest_readout). MAX is associative and
+    idempotent, so the fold is batch-order-invariant and replay-safe,
+    and the final readout EQUALS the batch events_ab_test answer -- the
+    shared exact oracle's claim."""
+    from ..operators.analytics import ab_ztest_readout
+
+    ev = spark.read.parquet(table_path(sf_dir, "events"))
+    src_dir = tempfile.mkdtemp(prefix="ab_stream_src_")
+    for s in range(3):
+        ev.filter(F.col("event_id") % 3 == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"s{s}"))
+    state_dir = tempfile.mkdtemp(prefix="ab_stream_state_")
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.groupBy("user_id")
+            .agg(
+                F.max(
+                    (
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > 150)
+                    ).cast("int")
+                ).alias("converted")
+            )
+            .write.mode("append")
+            .parquet(os.path.join(state_dir, "per_user"))
+        )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ab_stream_ckpt_"), "ckpt")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/s*")
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_user = (
+        spark.read.parquet(os.path.join(state_dir, "per_user"))
+        .groupBy("user_id")
+        .agg(F.max("converted").alias("converted"))
+    )
+    return ab_ztest_readout(per_user)
