@@ -125,6 +125,7 @@ HEADLINE = [
     "corpus_ccnet_buckets",
     "corpus_mixture_temperature",
     "dedup_lsh_precision",
+    "stream_events_ab",
 ]
 
 

@@ -116,6 +116,7 @@ PROBE = [
     "corpus_ccnet_buckets",
     "corpus_mixture_temperature",
     "dedup_lsh_precision",
+    "stream_events_ab",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
