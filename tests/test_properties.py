@@ -441,3 +441,84 @@ def test_jpeg_roundtrip_bounded_error_on_random_images(dims):
     err = np.abs(dec.astype(int) - img.astype(int))
     assert err.mean() < 12, err.mean()
     assert err.max() <= 80, err.max()
+
+
+# ---- round 8: rank statistics vs brute-force references ----
+
+# scores drawn from a COARSE grid so ties actually occur (the tie-handling
+# code is where rank-statistic bugs live)
+_scored_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([0.1, 0.2, 0.3, 0.5, 0.9]),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=4,
+    max_size=24,
+).filter(lambda rows: len({y for _, y in rows}) == 2)  # both classes present
+
+
+def _brute_auc(rows):
+    """Ground truth: P(score+ > score-) + 0.5 * P(tie), all pairs."""
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_scored_strategy)
+def test_roc_auc_matches_pairwise_brute_force(spark, rows):
+    from aws_glue_etl_sample_hist_spark.operators.analytics import roc_auc
+
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = roc_auc(df).collect()[0]
+    assert abs(got.auc - round(_brute_auc(rows), 6)) <= 1e-6
+    assert got.n_pos == sum(y for _, y in rows)
+    assert got.n_neg == len(rows) - got.n_pos
+
+
+def _brute_bh(pvals, m):
+    """Ground truth BH q-values: q_(i) = min_{j>=i} p_(j) * m / j over the
+    sorted p-values."""
+    order = sorted(range(len(pvals)), key=lambda i: pvals[i])
+    q = [0.0] * len(pvals)
+    running = float("inf")
+    for rank_from_end, idx in enumerate(reversed(order)):
+        j = len(pvals) - rank_from_end
+        running = min(running, pvals[idx] * m / j)
+        q[idx] = min(running, 1.0)
+    return q
+
+
+def test_bh_running_min_matches_reference(spark):
+    """The BH window (running min of p*m/rank from the worst rank down)
+    equals the textbook sorted-scan reference on a fixed awkward p-value
+    set (duplicates, an exact 1.0, a non-monotone step)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pvals = [0.01, 0.04, 0.04, 0.3, 1.0, 0.02, 0.9]
+    m = len(pvals)
+    df = spark.createDataFrame(
+        [(f"t{i}", p) for i, p in enumerate(pvals)], "t string, p_value double"
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("p_value").asc(), F.col("t").asc()))
+    wmin = Window.orderBy(F.col("p_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = {
+        r.t: r.q
+        for r in df.withColumn("p_rank", rk)
+        .withColumn(
+            "q",
+            F.round(F.least(F.min(F.col("p_value") * m / F.col("p_rank")).over(wmin), F.lit(1.0)), 9),
+        )
+        .collect()
+    }
+    ref = _brute_bh(pvals, m)
+    for i, p in enumerate(pvals):
+        assert abs(got[f"t{i}"] - round(ref[i], 9)) <= 1e-9, (i, got[f"t{i}"], ref[i])
