@@ -522,3 +522,78 @@ def test_bh_running_min_matches_reference(spark):
     ref = _brute_bh(pvals, m)
     for i, p in enumerate(pvals):
         assert abs(got[f"t{i}"] - round(ref[i], 9)) <= 1e-9, (i, got[f"t{i}"], ref[i])
+
+
+_mmr_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([1.0, 2.0, 3.0, 5.0]),  # coarse scores -> rel ties
+        st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0]),  # 1-d "embedding"
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _brute_mmr(cands, k, lam):
+    """Reference greedy on (id, rel, x) with 1-d cosine = sign(x_a * x_b)
+    when both nonzero, skipping zero-norm pairs like the operator's
+    missing-pair contract does NOT (zero vectors still have pairs here --
+    keep all vectors nonzero-normable by construction below)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(v):
+        return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def r7(v):
+        return float(Decimal(v).quantize(Decimal("0.0000001"), ROUND_HALF_UP))
+
+    max_s = max(rel for _, rel, _ in cands)
+    rels = {i: r6(rel / max_s) for i, rel, _ in cands}
+    vec = {i: x for i, _, x in cands}
+
+    def sim(a, b):
+        na, nb = abs(vec[a]), abs(vec[b])
+        return r6((vec[a] * vec[b]) / (na * nb))
+
+    chosen, out = [], []
+    remaining = dict(rels)
+    while remaining and len(out) < k:
+        best = None
+        for d, rel in remaining.items():
+            pairs = [sim(d, s) for s in chosen if vec[d] != 0 and vec[s] != 0]
+            pen = max(pairs) if pairs else 0.0
+            score = r7(lam * rel - (1.0 - lam) * pen)
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        _, d, score = best
+        chosen.append(d)
+        out.append((d, len(out) + 1, score))
+        del remaining[d]
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_mmr_strategy)
+def test_mmr_matches_reference_greedy(spark, rows):
+    from aws_glue_etl_sample_hist_spark.operators.ranking import mmr_rerank
+
+    # nonzero 1-d vectors only: cosine(a, b) = sign agreement, and the
+    # operator's norm floor never kicks in
+    rows = [(i, s, x if x != 0.0 else 1.0) for i, (s, x) in enumerate(rows)]
+    cand = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(i, [x]) for i, _, x in rows], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        ((r.doc_id, r.mmr_rank, r.mmr_score) for r in mmr_rerank(cand, emb, k=4, lam=0.7).collect()),
+        key=lambda t: t[1],
+    )
+    assert got == _brute_mmr(rows, 4, 0.7)
