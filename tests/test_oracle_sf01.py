@@ -69,6 +69,12 @@ HEAVY = [
     "quality_conformal",
     "retrieval_mmr",
     "events_ab_fdr",
+    # r8-late: per-lang NTILE over KN perplexities (rank-sensitive),
+    # banded-candidate precision strata, stream-maintained A/B state
+    # folded across micro-batches
+    "corpus_ccnet_buckets",
+    "dedup_lsh_precision",
+    "stream_events_ab",
 ]
 
 
