@@ -850,3 +850,76 @@ def kn_doc_perplexity_buckets(
         b.cast("long").alias("bucket"),
         label.alias("bucket_label"),
     )
+
+
+def kn_doc_perplexity_bucket_cuts(
+    docs,
+    *,
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+    discount: float = 0.75,
+    train_frac: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    salt: str = "knsplit",
+):
+    """Scale twin of kn_doc_perplexity_buckets (the CCNet head/middle/tail
+    gate, Wenzek et al. 2020) with the per-language single-task sort
+    designed OUT.
+
+    Why the NTILE twin dies at 100 TB: ``NTILE(3) OVER (PARTITION BY lang
+    ORDER BY ppl)`` sorts each language inside ONE task, and on a real
+    crawl one language is ~half the corpus -- a single-task sort of
+    ~50 TB of scores. Here the per-language cut points come from
+    ``percentile_approx`` -- a mergeable Greenwald-Khanna sketch computed
+    by ordinary partial aggregation (map-side combine, one shuffle of
+    SKETCH OBJECTS, never of rows) -- and bucket assignment is a
+    broadcast join of the tiny (n_langs x (n_buckets-1)) cut table plus
+    n_buckets-1 comparisons per row. Nothing in this plan sorts a
+    language on one task (plan-asserted in tests/test_plans.py).
+
+    Tie rule: ppl_kn == cut stays in the LOWER bucket. With ``accuracy``
+    >= the largest language's doc count the sketch is sample-exact, so
+    bucket counts match the rank buckets up to ties at the cut values;
+    at crawl scale the guarantee degrades gracefully to rank error
+    <= n/accuracy per cut -- the contract `corpus_ccnet_buckets_cuts`
+    row checks balance within that tolerance, not exact membership.
+
+    Returns the SAME schema as the exact twin:
+    (doc_id, lang, n_bigrams, ppl_kn, bucket, bucket_label)."""
+    scored = _kn_scored_bigrams(
+        docs,
+        discount=discount,
+        train_frac=train_frac,
+        text_col=text_col,
+        id_col=id_col,
+        lang_col=lang_col,
+        salt=salt,
+        eval_only=False,
+    )
+    per_doc = scored.groupBy(id_col, "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg(F.log("p_kn"))), 4).alias("ppl_kn"),
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = per_doc.groupBy("lang").agg(
+        F.percentile_approx("ppl_kn", probs, accuracy).alias("_cuts")
+    )
+    joined = per_doc.join(F.broadcast(cuts), "lang")
+    b = F.lit(1)
+    for i in range(n_buckets - 1):
+        b = b + F.when(F.col("ppl_kn") > F.col("_cuts")[i], 1).otherwise(0)
+    label = (
+        F.when(b == 1, "head")
+        .when(b == n_buckets, "tail")
+        .otherwise("middle")
+    )
+    return joined.select(
+        id_col,
+        "lang",
+        "n_bigrams",
+        "ppl_kn",
+        b.cast("long").alias("bucket"),
+        label.alias("bucket_label"),
+    )

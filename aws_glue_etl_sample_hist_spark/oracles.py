@@ -4682,7 +4682,39 @@ ORACLE_SQL["dedup_lsh_recall"] = f"""
                 WHEN jaccard < 0.8 THEN '0.6-0.8'
                 ELSE '0.8-1.0' END AS j_bucket,
            COUNT(*) AS n_true_pairs,
-           SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_candidates,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_candidates,
+           ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    GROUP BY 1
+"""
+
+# sampled production mode of the recall audit: a CTE named `documents`
+# SHADOWS the base view (main.documents) with the deterministic md5
+# half-sample, so the two composed oracles below recompute over exactly
+# the docs Spark's hash_sample(0.5, salt='lshrecall') keeps
+ORACLE_SQL["dedup_lsh_recall_sampled"] = f"""
+    WITH documents AS (
+        SELECT * FROM main.documents
+        WHERE CAST(('0x' || substr(md5('lshrecall:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 1000000 < 500000
+    ),
+    exact AS (
+        SELECT doc_a, doc_b, jaccard
+        FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_minhash_lsh"]})
+    )
+    SELECT CASE WHEN jaccard < 0.4 THEN '0.2-0.4'
+                WHEN jaccard < 0.6 THEN '0.4-0.6'
+                WHEN jaccard < 0.8 THEN '0.6-0.8'
+                ELSE '0.8-1.0' END AS j_bucket,
+           COUNT(*) AS n_true_pairs,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_candidates,
            ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS recall
     FROM exact e
@@ -5066,6 +5098,23 @@ ORACLE_SQL["corpus_ccnet_buckets"] = r"""
 """
 
 
+# contract oracle for the percentile-cut scale twin: the per-language doc
+# count is exact (every doc scores, degenerate single-token docs included);
+# balance/order/coverage are invariants of the cut construction, checked
+# Spark-side and pinned TRUE here (the sketch cut VALUES are engine-specific,
+# so they are not part of the compared row -- same pattern as the ANN
+# recall contracts)
+ORACLE_SQL["corpus_ccnet_buckets_cuts"] = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           TRUE AS counts_balanced,
+           TRUE AS buckets_ppl_ordered,
+           TRUE AS all_assigned
+    FROM documents
+    GROUP BY lang
+"""
+
+
 # temperature-scaled mixture: derived shares q_i = p_i^(1/T) / sum, same
 # md5 keep-draw arithmetic as corpus_mixture
 ORACLE_SQL["corpus_mixture_temperature"] = r"""
@@ -5102,7 +5151,8 @@ ORACLE_SQL["dedup_lsh_precision"] = f"""
     )
     SELECT c.n_shared_bands,
            COUNT(*) AS n_candidates,
-           SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_true,
+           CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
            ROUND(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS precision
     FROM cand c

@@ -623,6 +623,27 @@ def q_dedup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION mode of the LSH recall audit (VERDICT r8 item 4):
+    the same S-curve measurement as dedup_lsh_recall, but both the truth
+    and candidate sides restricted FIRST to the same deterministic md5
+    half-sample of documents (sample_frac=0.5, salt 'lshrecall' --
+    operators.dedup.lsh_pair_recall + sampling.hash_sample). Pair cost
+    drops to sample_frac^2 = 25% while per-bucket recall stays an
+    unbiased estimate over sampled-doc pairs; PERF.md carries the
+    measured estimate-vs-full-audit delta. Exact oracle: the sample
+    threshold is md5 arithmetic DuckDB recomputes verbatim."""
+    from .operators.dedup import lsh_pair_recall
+
+    return lsh_pair_recall(
+        load_table(spark, sf, "documents"),
+        num_hashes=12,
+        band_size=3,
+        threshold=0.2,
+        sample_frac=0.5,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-32 near-dup pairs (hamming <= 3) via the 4-band pigeonhole
     candidate generation -- exact result without the n^2 pair space."""
@@ -5351,6 +5372,53 @@ def q_corpus_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return kn_doc_perplexity_buckets(load_table(spark, sf, "documents"))
 
 
+def q_corpus_ccnet_buckets_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale twin of corpus_ccnet_buckets (VERDICT r8 item 3): the SAME
+    CCNet head/middle/tail gate, but bucketed by per-language
+    percentile_approx cut points (mergeable GK sketch, partial
+    aggregation) + a broadcast join of the tiny cut table -- NO
+    per-language single-task NTILE sort, so the plan survives a crawl
+    where one language is half the corpus
+    (operators.text.kn_doc_perplexity_bucket_cuts; plan contrast
+    asserted in tests/test_plans.py). Contract row per language: exact
+    doc count (oracle-checked) + three invariants -- buckets balanced
+    within the sketch/tie tolerance, bucket perplexity ranges ordered
+    (max head ppl <= min middle ppl <= ... ), every scored doc
+    assigned."""
+    from .operators.text import kn_doc_perplexity_bucket_cuts
+
+    pd_ = kn_doc_perplexity_bucket_cuts(load_table(spark, sf, "documents"))
+    per_lang = pd_.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("bucket") == 1).cast("long")).alias("_nh"),
+        F.sum((F.col("bucket") == 2).cast("long")).alias("_nm"),
+        F.sum((F.col("bucket") == 3).cast("long")).alias("_nt"),
+        F.max(F.when(F.col("bucket") == 1, F.col("ppl_kn"))).alias("_maxh"),
+        F.min(F.when(F.col("bucket") == 2, F.col("ppl_kn"))).alias("_minm"),
+        F.max(F.when(F.col("bucket") == 2, F.col("ppl_kn"))).alias("_maxm"),
+        F.min(F.when(F.col("bucket") == 3, F.col("ppl_kn"))).alias("_mint"),
+    )
+    third = F.col("n_docs") / 3.0
+    # slack: sample-exact sketch leaves only cut-value ties; 2 docs or 2%
+    tol = F.greatest(F.lit(2.0), F.col("n_docs") * 0.02)
+    balanced = (
+        (F.abs(F.col("_nh") - third) <= tol)
+        & (F.abs(F.col("_nm") - third) <= tol)
+        & (F.abs(F.col("_nt") - third) <= tol)
+    )
+    ordered = F.coalesce(
+        F.col("_maxh") <= F.col("_minm"), F.lit(True)
+    ) & F.coalesce(F.col("_maxm") <= F.col("_mint"), F.lit(True))
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        balanced.alias("counts_balanced"),
+        ordered.alias("buckets_ppl_ordered"),
+        (
+            (F.col("_nh") + F.col("_nm") + F.col("_nt")) == F.col("n_docs")
+        ).alias("all_assigned"),
+    )
+
 
 def q_corpus_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled mixture sampling
@@ -5406,73 +5474,24 @@ def q_stream_events_ab(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-8 rotation (VERDICT r7 item 1): slots
-    # 1-23 are the round-7-late additions whose correctness so far rested
-    # only on local oracle runs (first-ever driver rows), slots 24-41 the
-    # 18 r3-stale rows the r6 freshness bar flagged, slots 42-50 the
-    # oldest r4 rows. Past slot 50, blocks stay ordered
-    # oldest-evidence-first so future rotations keep pointing at the
-    # stalest rows. Everything past slot 50 stays oracle-checked every
+    # the FIRST 50 entries. Round-9 rotation (VERDICT r8 items 1-4): slot 1
+    # re-runs dedup_lsh_recall (r8 red on the now-fixed oracle dtype),
+    # slots 2-4 the three r8-late queries with no driver row yet, slots
+    # 5-6 the two round-9 additions (percentile-cut CCNet twin, sampled
+    # LSH audit), slots 7-39 the 33 r4-stale rows the r8 freshness
+    # histogram flagged, slots 40-50 the 11 oldest r5 rows. Past slot 50,
+    # blocks stay ordered oldest-evidence-first (r5 remainder, r6 spine,
+    # r7, then the r8-fresh blocks) so future rotations keep pointing at
+    # the stalest rows. Everything past slot 50 stays oracle-checked every
     # round via tests/test_oracle_parity.py.
-    # --- block 0: round-8 additions, first-ever driver rows ---
+    # --- block A: r8-red re-run + never-windowed + round-9 additions (6) ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
-    "text_quality_auc": q_text_quality_auc,
-    "quality_rater_agreement": q_quality_rater_agreement,
-    "quality_calibration": q_quality_calibration,
-    "events_ab_fdr": q_events_ab_fdr,
-    "retrieval_mmr": q_retrieval_mmr,
-    "events_dp_counts": q_events_dp_counts,
-    "quality_conformal": q_quality_conformal,
-    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
-    # --- block 1: round-7-late additions, first-ever driver rows (23) ---
-    "multimodal_image_near_dup": q_multimodal_image_near_dup,
-    "embedding_ivf_recall": q_embedding_ivf_recall,
-    "embedding_pq_recall": q_embedding_pq_recall,
-    "corpus_dsir_quality": q_corpus_dsir_quality,
-    "dedup_containment": q_dedup_containment,
-    "corpus_context_pack": q_corpus_context_pack,
-    "corpus_psi_drift": q_corpus_psi_drift,
-    "stream_quality_drift": q_stream_quality_drift,
-    "corpus_token_cms": q_corpus_token_cms,
-    "corpus_unigram_train": q_corpus_unigram_train,
-    "corpus_kn_perplexity": q_corpus_kn_perplexity,
-    "corpus_balanced_sample": q_corpus_balanced_sample,
-    "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
-    "dedup_clusters_incremental": q_dedup_clusters_incremental,
-    "stream_dedup_clusters": q_stream_dedup_clusters,
-    "customer_survival_km": q_customer_survival_km,
-    "embedding_pq_trained": q_embedding_pq_trained,
-    "nations_communities": q_nations_communities,
-    "customer_l_diversity": q_customer_l_diversity,
-    "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
-    "customer_survival_logrank": q_customer_survival_logrank,
-    "events_ab_test": q_events_ab_test,
-    "retrieval_ndcg": q_retrieval_ndcg,
-    # --- block 2: r3-stale rows, refreshed (18) ---
-    "corpus_sample": q_corpus_sample,
-    "corpus_sample_stratified": q_corpus_sample_stratified,
-    "corpus_shard_pack": q_corpus_shard_pack,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_bigram_lm": q_text_bigram_lm,
-    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
-    "multimodal_byte_features": q_multimodal_byte_features,
-    "multimodal_thumbnail": q_multimodal_thumbnail,
-    "embedding_quantize_int8": q_embedding_quantize_int8,
-    "sql_monthly_revenue": q_sql_monthly_revenue,
-    "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
-    "sql_region_revenue": q_sql_region_revenue,
-    "sql_customer_base_stats": q_sql_customer_base_stats,
-    "sql_product_category_revenue": q_sql_product_category_revenue,
-    "sql_segment_category_revenue": q_sql_segment_category_revenue,
-    "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
-    "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
-    "local_supplier_volume": q_local_supplier_volume,
-    # --- past slot 50: oldest-evidence-first ---
-    # r8-late additions (rotate into the r9 window, the block-2b pattern)
     "corpus_mixture_temperature": q_corpus_mixture_temperature,
     "dedup_lsh_precision": q_dedup_lsh_precision,
     "stream_events_ab": q_stream_events_ab,
-    # --- block 4: remaining r4-era rows (33) ---
+    "corpus_ccnet_buckets_cuts": q_corpus_ccnet_buckets_cuts,
+    "dedup_lsh_recall_sampled": q_dedup_lsh_recall_sampled,
+    # --- block B: r4-stale rows, refreshed (33) ---
     "customer_spend_deciles": q_customer_spend_deciles,
     "events_grouping_sets": q_events_grouping_sets,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -5506,7 +5525,7 @@ QUERIES = {
     "part_entity_resolution": q_part_entity_resolution,
     "multimodal_bmp_decode": q_multimodal_bmp_decode,
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
-    # --- block 5: r5-era rows (50) ---
+    # --- block C: 11 oldest r5 rows (slots 40-50) ---
     "text_repetition": q_text_repetition,
     "orders_median_mode": q_orders_median_mode,
     "corpus_winsorized_length": q_corpus_winsorized_length,
@@ -5518,6 +5537,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
+    # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,
     "join_key_skew_audit": q_join_key_skew_audit,
@@ -5659,6 +5679,56 @@ QUERIES = {
     "events_asof_last_order": q_events_asof_last_order,
     "stream_events_dedup": q_stream_events_dedup,
     "stream_events_purchase_follow": q_stream_events_purchase_follow,
+    # --- r8-fresh blocks (newest driver evidence, rotate last) ---
+    "text_quality_auc": q_text_quality_auc,
+    "quality_rater_agreement": q_quality_rater_agreement,
+    "quality_calibration": q_quality_calibration,
+    "events_ab_fdr": q_events_ab_fdr,
+    "retrieval_mmr": q_retrieval_mmr,
+    "events_dp_counts": q_events_dp_counts,
+    "quality_conformal": q_quality_conformal,
+    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+    "multimodal_image_near_dup": q_multimodal_image_near_dup,
+    "embedding_ivf_recall": q_embedding_ivf_recall,
+    "embedding_pq_recall": q_embedding_pq_recall,
+    "corpus_dsir_quality": q_corpus_dsir_quality,
+    "dedup_containment": q_dedup_containment,
+    "corpus_context_pack": q_corpus_context_pack,
+    "corpus_psi_drift": q_corpus_psi_drift,
+    "stream_quality_drift": q_stream_quality_drift,
+    "corpus_token_cms": q_corpus_token_cms,
+    "corpus_unigram_train": q_corpus_unigram_train,
+    "corpus_kn_perplexity": q_corpus_kn_perplexity,
+    "corpus_balanced_sample": q_corpus_balanced_sample,
+    "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
+    "stream_dedup_clusters": q_stream_dedup_clusters,
+    "customer_survival_km": q_customer_survival_km,
+    "embedding_pq_trained": q_embedding_pq_trained,
+    "nations_communities": q_nations_communities,
+    "customer_l_diversity": q_customer_l_diversity,
+    "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
+    "customer_survival_logrank": q_customer_survival_logrank,
+    "events_ab_test": q_events_ab_test,
+    "retrieval_ndcg": q_retrieval_ndcg,
+    "corpus_sample": q_corpus_sample,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_shard_pack": q_corpus_shard_pack,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_bigram_lm": q_text_bigram_lm,
+    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
+    "multimodal_byte_features": q_multimodal_byte_features,
+    "multimodal_thumbnail": q_multimodal_thumbnail,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "sql_monthly_revenue": q_sql_monthly_revenue,
+    "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
+    "sql_region_revenue": q_sql_region_revenue,
+    "sql_customer_base_stats": q_sql_customer_base_stats,
+    "sql_product_category_revenue": q_sql_product_category_revenue,
+    "sql_segment_category_revenue": q_sql_segment_category_revenue,
+    "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
+    "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 

@@ -62,3 +62,37 @@ def test_canon_replica_accepts_scalar_cells():
     pdf = pd.DataFrame({"id": [2, 1], "codes": ["1-2", "3-4"], "x": [0.5, None]})
     out = driver_canon(pdf)
     assert list(out["id"]) == [1, 2]
+
+
+def test_uncast_hugeint_sum_fails_locally(spark):
+    """Regression for the CORRECTNESS_r08 `dedup_lsh_recall` red row: a bare
+    DuckDB ``SUM(CASE ...)`` over integers is HUGEINT, which pandas fetches
+    as float64; the driver then hash-mismatches Spark's int64 column even
+    though every value is equal (23.0 vs 23). The driver-faithful harness
+    (tests/oracle_compare.py, pandas fetch on both sides) must reproduce
+    that failure LOCALLY -- and the CAST(... AS BIGINT) repair must pass."""
+    import duckdb
+
+    from tests.oracle_compare import compare
+
+    sdf = spark.createDataFrame([(23,)], "n_candidates long")
+    con = duckdb.connect()
+    try:
+        # equal VALUES on both sides (23) -- only the numeric class differs
+        uncast = """SELECT SUM(CASE WHEN x >= 1 THEN 1 ELSE 0 END) * 0 + 23
+                    AS n_candidates FROM (VALUES (1)) t(x)"""
+        rep = compare(sdf, con, uncast)
+        assert rep["rowcount_match"] and rep["schema_match"]
+        assert not rep["values_match"], (
+            "uncast HUGEINT SUM fetched as float64 must NOT value-match an "
+            f"int64 Spark column under driver semantics: {rep}"
+        )
+        assert rep["first_diff"]["spark"] == (("i", 23),)
+        assert rep["first_diff"]["duckdb"] == (("f", 23.0),)
+
+        cast = """SELECT CAST(SUM(CASE WHEN x >= 1 THEN 1 ELSE 0 END) * 0 + 23
+                  AS BIGINT) AS n_candidates FROM (VALUES (1)) t(x)"""
+        rep2 = compare(sdf, con, cast)
+        assert rep2["values_match"], rep2
+    finally:
+        con.close()

@@ -301,3 +301,52 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ccnet_cuts_has_no_per_language_window_sort(spark, sf_oracle):
+    """VERDICT r8 item 3: the percentile-cut CCNet twin must not sort a
+    whole language on one task. The exact twin's plan carries a Window
+    node (NTILE over PARTITION BY lang ORDER BY ppl -- one task per
+    language); the cuts twin's plan must carry NO Window at all: the cut
+    points come from percentile_approx partial aggregation (sketches
+    shuffle, never rows) and assignment is a broadcast join of the
+    n_langs x 2 cut table."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        kn_doc_perplexity_bucket_cuts,
+        kn_doc_perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    cuts_plan = _plan(kn_doc_perplexity_bucket_cuts(docs))
+    assert "Window" not in cuts_plan, cuts_plan
+    assert "percentile_approx" in cuts_plan
+    assert "BroadcastExchange" in cuts_plan
+    # contrast: the exact NTILE twin IS the single-task-per-language shape
+    ntile_plan = _plan(kn_doc_perplexity_buckets(docs))
+    assert "Window" in ntile_plan
+
+
+def test_ccnet_cuts_matches_ntile_buckets_up_to_ties(spark, sf_oracle):
+    """At sketch accuracy >= n the GK sketch is sample-exact, so the cut
+    buckets must agree with the NTILE rank buckets on every document
+    whose ppl is NOT tied at a cut value; per-language bucket sizes stay
+    within 1 + (#cut ties) of the rank terciles. On this corpus the
+    agreement is total except possibly at cut boundaries."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        kn_doc_perplexity_bucket_cuts,
+        kn_doc_perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {
+        (r["doc_id"]): r["bucket"]
+        for r in kn_doc_perplexity_buckets(docs).collect()
+    }
+    rows = kn_doc_perplexity_bucket_cuts(docs).collect()
+    assert len(rows) == len(exact)
+    n_diff = sum(1 for r in rows if exact[r["doc_id"]] != r["bucket"])
+    # ties at cut values may flip bucket membership for tied docs only;
+    # anything beyond a tiny fraction means the cut construction is wrong
+    assert n_diff <= max(2, len(rows) // 50), f"{n_diff}/{len(rows)} differ"
