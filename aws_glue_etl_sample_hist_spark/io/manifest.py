@@ -64,17 +64,23 @@ def publish_tables(tables: dict[str, DataFrame], root: str) -> int:
     committed version. If ANY table write fails, no manifest is written
     and readers keep seeing the previous version untouched.
 
-    Concurrency: the staged manifest name is unique per publisher (uuid,
-    never shared), and the commit is ``os.link(tmp, final)`` -- an
+    Concurrency: BOTH phases are publisher-private until the commit.
+    Data stages under data/v<version>-<run_id>/ -- a uuid-unique
+    directory per publisher, so two racers computing the same next
+    version never share a data directory (Spark's mode('error')
+    existence check is TOCTOU; with a shared directory the loser's part
+    files could interleave into the winner's os.listdir and be committed
+    into its manifest). The staged manifest name is also unique per
+    publisher, and the commit is ``os.link(tmp, final)`` -- an
     EXCLUSIVE-create primitive that fails with EEXIST instead of
-    replacing an already-committed manifest. Two racing publishers that
-    both computed the same next version therefore cannot clobber each
-    other: exactly one wins, the loser raises and its staged data stays
-    orphaned (invisible -- it is in no manifest)."""
+    replacing an already-committed manifest. Exactly one racer wins; the
+    loser raises and its staged data stays orphaned (invisible -- it is
+    in no manifest, and in nobody else's data directory)."""
     version = latest_version(root) + 1
+    run_id = uuid.uuid4().hex
     entries: dict[str, dict] = {}
     for name, df in tables.items():
-        out_dir = os.path.join(root, "data", f"v{version}", name)
+        out_dir = os.path.join(root, "data", f"v{version}-{run_id}", name)
         df.write.mode("error").parquet(out_dir)
         files = sorted(
             os.path.join(out_dir, f)

@@ -429,6 +429,13 @@ def conformal_threshold(
     )
     cal = pos.filter(is_cal)
     n_cal = cal.count()  # bounded scalar: sets the order-statistic rank
+    if n_cal == 0:
+        raise ValueError(
+            "conformal_threshold: calibration split contains zero positive "
+            f"documents (calib_frac={calib_frac}, salt={salt!r}) -- the "
+            "quantile q_hat is undefined; raise calib_frac or check the "
+            f"{label_col!r} labels"
+        )
     rank = min(max(int(math.ceil((n_cal + 1) * (1.0 - alpha))), 1), n_cal)
     q_hat = (
         cal.orderBy(F.col("nonconf").asc(), F.col(id_col).asc())

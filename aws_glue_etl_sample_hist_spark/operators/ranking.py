@@ -260,6 +260,15 @@ def mmr_rerank(
         chosen.append(d)
         selected.append((d, len(selected) + 1, score))
         del rels[d]
-    return spark.createDataFrame(
-        selected, f"{id_col} long, mmr_rank long, mmr_score double"
+    from pyspark.sql import types as T
+
+    # the operator is id-type agnostic: carry the candidates' actual id
+    # type through (string doc ids must not hit a hardcoded `long`)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, candidates.schema[id_col].dataType),
+            T.StructField("mmr_rank", T.LongType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
+    return spark.createDataFrame(selected, out_schema)

@@ -409,26 +409,34 @@ def test_manifest_publish_atomic_and_orphan_proof(spark, tmp_path):
     orphan_file = _glob.glob(orphan_src + "/*.parquet")[0]
     import os as _os
 
-    dst_dir = _os.path.join(root, "data", "v1", "a")
+    # data stages under a publisher-unique v1-<run_id> dir; locate it
+    [dst_dir] = _glob.glob(_os.path.join(root, "data", "v1-*", "a"))
     shutil.copy(orphan_file, _os.path.join(dst_dir, "zz-orphan.parquet"))
     assert read_published(spark, root, "a").count() == 10  # still 10
 
-    # failed publish: second table errors (dest exists) -> NO new manifest
+    # failed publish: second table's write errors mid-publish -> NO new
+    # manifest, previous version untouched
+    from pyspark.sql import functions as _F
+
     pre = latest_version(root)
-    conflict = _os.path.join(root, "data", f"v{pre + 1}", "b")
-    _os.makedirs(conflict)  # make b's mode='error' write fail
+    b_fail = spark.range(1).select(_F.assert_true(_F.col("id") < 0).alias("k"))
     with _pytest.raises(Exception):
-        publish_tables({"a": a1, "b": b1}, root)
+        publish_tables({"a": a1, "b": b_fail}, root)
     assert latest_version(root) == pre  # previous version untouched
     assert read_published(spark, root, "a").count() == 10
 
-    # successful v_next after cleanup; old version stays pinnable
-    shutil.rmtree(_os.path.join(root, "data", f"v{pre + 1}"))
+    # successful v_next WITHOUT any cleanup: the failed publisher's staged
+    # data sits in its own uuid-unique directory, so the retry never
+    # collides with it (the ADVICE r8 shared-data-dir race fix)
     a2 = spark.range(20).withColumnRenamed("id", "k")
     v2 = publish_tables({"a": a2, "b": b1}, root)
     assert read_published(spark, root, "a").count() == 20
     assert read_published(spark, root, "a", version=1).count() == 10
     assert v2 == pre + 1
+
+    # and the two publishes of "a" live in DISJOINT data directories
+    dirs_a = _glob.glob(_os.path.join(root, "data", "v*", "a"))
+    assert len(dirs_a) >= 3  # v1 winner, failed v2 stage, v2 winner
 
 
 def test_manifest_concurrent_publish_never_clobbers(spark, tmp_path, monkeypatch):

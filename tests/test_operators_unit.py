@@ -3227,3 +3227,44 @@ def test_lsh_pair_precision_accounting(spark):
     for r in got.values():
         assert 0 <= r.n_true <= r.n_candidates
         assert r.precision == round(r.n_true / r.n_candidates, 4)
+
+
+def test_mmr_rerank_string_ids(spark):
+    """ADVICE r8: the output schema must carry the candidates' actual id
+    type -- string doc ids went through a hardcoded 'long' and crashed
+    createDataFrame. Same fixture as the diversity test, string-keyed."""
+    from aws_glue_etl_sample_hist_spark.operators.ranking import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("d1", 10.0), ("d2", 9.0), ("d3", 6.0)], "doc_id string, score double"
+    )
+    emb = spark.createDataFrame(
+        [
+            ("d1", [1.0, 0.0]),
+            ("d2", [0.999, 0.0447]),
+            ("d3", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    out = mmr_rerank(cand, emb, k=3, lam=0.5)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = sorted(
+        ((r.doc_id, r.mmr_rank) for r in out.collect()), key=lambda x: x[1]
+    )
+    assert [g[0] for g in got] == ["d1", "d3", "d2"]
+
+
+def test_conformal_threshold_zero_calibration_positives(spark):
+    """ADVICE r8: zero positives in the calibration split must raise a
+    named ValueError, not an opaque float(None) TypeError."""
+    import pytest
+
+    from aws_glue_etl_sample_hist_spark.operators.audit import (
+        conformal_threshold,
+    )
+
+    # all labels 0 -> positives empty -> calibration split empty
+    rows = [(i, 0.5, 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    with pytest.raises(ValueError, match="zero positive"):
+        conformal_threshold(df, alpha=0.1)
