@@ -735,7 +735,9 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_clusters(
+    spark: SparkSession, sf_dir: str, *, timings: dict | None = None
+) -> DataFrame:
     """Streaming near-dup cluster maintenance: documents arrive in three
     deterministic micro-batches (doc_id % 3, one file each), and every
     batch is merged into the standing labeling INCREMENTALLY
@@ -751,52 +753,88 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replay safety: merging the same batch's edges again is a no-op (CC is
     idempotent) and the shingle index is read through distinct(), so an
     at-least-once re-delivery changes nothing. Per-batch label frames are
-    written to fresh dirs (never read-and-overwrite the same path)."""
+    written to fresh dirs (never read-and-overwrite the same path).
+
+    ``timings`` (optional dict, filled in place) records the cost split
+    the r8 verdict asked for: setup_sec (source staging), per-batch merge
+    walls (batch_0_sec...), stream_sec (availableNow drain incl. merges)
+    -- drain floor = stream_sec - sum(batch walls). PERF.md carries the
+    measured split."""
+    import time as _time
+
     from ..operators.dedup import (
         _distinct_shingles,
         connected_components_incremental,
     )
 
+    _t0 = _time.perf_counter()
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     src_dir = tempfile.mkdtemp(prefix="cc_stream_src_")
     for s in range(3):
         docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(src_dir, f"s{s}"))
-    sh_dir = os.path.join(tempfile.mkdtemp(prefix="cc_stream_state_"), "sh")
+    if timings is not None:
+        timings["setup_sec"] = round(_time.perf_counter() - _t0, 3)
+    _state_root = tempfile.mkdtemp(prefix="cc_stream_state_")
+    sh_dir = os.path.join(_state_root, "sh")
+    sizes_dir = os.path.join(_state_root, "sizes")
     labels_root = tempfile.mkdtemp(prefix="cc_stream_labels_")
     state = {"labels_path": None, "n_batches": 0}
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        _bt0 = _time.perf_counter()
         bsh = _distinct_shingles(batch, 3, "text", "doc_id", None)
+        batch_ids = batch.select("doc_id").distinct()
+        # replay guard WITHOUT a full-index distinct(): a re-delivered (or
+        # partially-appended-then-retried) batch's docs may already sit in
+        # the at-rest index; anti-joining the CURRENT batch's ids removes
+        # exactly those stale copies (completed batches are disjoint by
+        # construction), a broadcast-sized filter instead of the full
+        # index shuffle the old distinct() paid per batch
         if os.path.isdir(sh_dir):
-            seen = spark.read.parquet(sh_dir).distinct()
-            all_sh = seen.unionByName(bsh).distinct()
+            seen = spark.read.parquet(sh_dir).join(
+                F.broadcast(batch_ids), "doc_id", "left_anti"
+            )
+            all_sh = seen.withColumn("_new", F.lit(False)).unionByName(
+                bsh.withColumn("_new", F.lit(True))
+            )
         else:
-            all_sh = bsh
-        sizes = all_sh.groupBy("doc_id").agg(
-            F.count("shingle").alias("n_sh")
-        )
+            all_sh = bsh.withColumn("_new", F.lit(True))
         a = bsh.alias("a")
         b = all_sh.alias("b")
         inter = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
+                & (F.col("a.doc_id") != F.col("b.doc_id"))
+                # batch-batch pairs are seen from both sides of the A
+                # join; keeping only the a<b orientation against _new rows
+                # counts each common shingle ONCE, so a plain count
+                # replaces the heavier count_distinct
+                & (~F.col("b._new") | (F.col("a.doc_id") < F.col("b.doc_id"))),
             )
-            .select(
+            .groupBy(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                F.col("a.shingle").alias("shingle"),
             )
-            .groupBy("doc_a", "doc_b")
-            # countDistinct collapses the doubled batch-batch rows (each
-            # such pair is seen from both sides of the A join)
-            .agg(F.count_distinct("shingle").alias("n_common"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
+        # per-doc shingle-set sizes are STATIC (a doc's size never changes
+        # after its batch): compute over the batch only and accumulate at
+        # rest, replacing the old full-index groupBy per batch; the same
+        # anti-join replay guard applies on read
+        bsizes = bsh.groupBy("doc_id").agg(F.count("shingle").alias("n_sh"))
+        if os.path.isdir(sizes_dir):
+            sizes = (
+                spark.read.parquet(sizes_dir)
+                .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+                .unionByName(bsizes)
+            )
+        else:
+            sizes = bsizes
         sa = sizes.select(
             F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a")
         )
@@ -816,6 +854,15 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_a", "doc_b")
         )
+        if timings is not None:
+            # profiling mode only: materialize the candidate pairs to split
+            # pair-generation wall from the CC merge wall (production path
+            # leaves pairs lazy inside the CC plan)
+            pairs = pairs.persist()
+            pairs.count()
+            timings[f"batch_{batch_id}_pairgen_sec"] = round(
+                _time.perf_counter() - _bt0, 3
+            )
         if state["labels_path"] is None:
             old_labels = spark.createDataFrame(
                 [], "doc_id long, cluster_id long"
@@ -828,10 +875,16 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(labels_root, f"v{batch_id}")
         inc.write.mode("overwrite").parquet(out)
         bsh.write.mode("append").parquet(sh_dir)
+        bsizes.write.mode("append").parquet(sizes_dir)
         state["labels_path"] = out
         state["n_batches"] += 1
+        if timings is not None:
+            timings[f"batch_{batch_id}_sec"] = round(
+                _time.perf_counter() - _bt0, 3
+            )
 
     ckpt = os.path.join(tempfile.mkdtemp(prefix="cc_stream_ckpt_"), "ckpt")
+    _st0 = _time.perf_counter()
     q = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -842,6 +895,8 @@ def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if timings is not None:
+        timings["stream_sec"] = round(_time.perf_counter() - _st0, 3)
     labels = spark.read.parquet(state["labels_path"])
     return labels.select(
         "doc_id",

@@ -117,6 +117,11 @@ PROBE = [
     "corpus_mixture_temperature",
     "dedup_lsh_precision",
     "stream_events_ab",
+    # round 9: retrieval_mmr (last r8 family without an sf1 row), the
+    # percentile-cut CCNet twin, and the sampled LSH audit mode
+    "retrieval_mmr",
+    "corpus_ccnet_buckets_cuts",
+    "dedup_lsh_recall_sampled",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
