@@ -1293,3 +1293,59 @@ def connected_components_incremental(
         node_col, "cluster_id"
     )
     return old_final.unionByName(new_final)
+
+
+def cluster_best_keeper(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cluster CANONICALIZATION: one row per near-dup cluster naming the
+    member to keep -- the longest document, ties to the smallest id (the
+    keep-longest rule most crawl-curation pipelines apply, vs
+    dedup_clusters' structural min-id keeper which discards content
+    quality entirely; RefinedWeb and FineWeb both canonicalize on a
+    content criterion, not an id accident).
+
+    Scale shape: keeper selection is a PURE AGGREGATION -- ``max_by``
+    over a (n_tokens, -id) struct with map-side partial aggregation --
+    never a per-cluster window sort, so a pathological million-member
+    template cluster (the case that WILL exist in a crawl) reduces on
+    many tasks instead of sorting on one. Clustering itself is the
+    shared dedup_clusters path (inverted-index Jaccard -> min-label CC).
+
+    Returns (cluster_id, n_members, keeper_doc_id, keeper_n_tokens,
+    n_dropped)."""
+    from .text import token_count
+
+    labels = dedup_clusters(
+        docs,
+        n=n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        max_df=max_df,
+    ).select(id_col, "cluster_id")
+    toks = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    return (
+        labels.join(toks, id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(
+                F.col(id_col),
+                F.struct(
+                    F.col("n_tokens").alias("_len"),
+                    (-F.col(id_col)).alias("_tie"),
+                ),
+            ).alias("keeper_doc_id"),
+            F.max("n_tokens").alias("keeper_n_tokens"),
+        )
+        .withColumn("n_dropped", F.col("n_members") - F.lit(1))
+    )

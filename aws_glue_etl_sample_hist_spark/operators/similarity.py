@@ -1468,3 +1468,105 @@ def pq_codebook_trained(
                     reseed_i += 1
         out.append([[float(v) for v in row] for row in cent])
     return out
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 4,
+    n_candidates: int = 32,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985) + a DISTRIBUTED coverage audit -- the diversity-first
+    data-selection counterpart of SemDeDup's redundancy pruning: pick k
+    maximally-spread exemplars, then measure how well they cover the
+    corpus (the 2-approximation of the optimal k-center radius).
+
+    Selection is candidate-bounded by construction (the MMR pattern):
+    only ids < ``n_candidates`` seed the traversal, their pairwise
+    cosine-distance frame (n_candidates^2 rows) is computed IN SPARK and
+    is the only thing collected; at scale seed the pool via hash_sample
+    or an IVF pass instead of growing n_candidates. Start = smallest id;
+    each next center maximizes its (6-dp rounded) distance to the
+    nearest chosen center, ties to smallest id -- fully deterministic,
+    so the oracle replays the trajectory as k unrolled SQL stages.
+
+    The coverage pass is the IVF assignment shape: k center vectors
+    broadcast against the corpus, per-vector nearest center via one
+    min(struct) aggregation -- no window over the corpus, no shuffle of
+    vectors beyond the one groupBy(center).
+
+    Returns (center_id, center_rank, n_assigned, radius, mean_dist):
+    radius = max assigned distance (the k-center objective), both
+    distances d = round(1 - cosine, 6)."""
+    cand = emb.filter(F.col(id_col) < n_candidates).select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    dist = F.round(
+        1.0 - cosine(F.col("a._v"), F.col("b._v")), 6
+    )
+    pd_rows = (
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("_ida"),
+            F.col(f"b.{id_col}").alias("_idb"),
+            dist.alias("_d"),
+        )
+        .collect()
+    )
+    d_of = {(r._ida, r._idb): r._d for r in pd_rows}
+    ids = sorted({r._ida for r in pd_rows})
+    centers = [min(ids)]
+    while len(centers) < k:
+        best = None
+        for cid in ids:
+            if cid in centers:
+                continue
+            dmin = min(d_of[(cid, s)] for s in centers)
+            key = (-dmin, cid)
+            if best is None or key < best[0]:
+                best = (key, cid)
+        centers.append(best[1])
+
+    spark = emb.sparkSession
+    rank_map = spark.createDataFrame(
+        [(cid, i + 1) for i, cid in enumerate(centers)],
+        f"{id_col} long, center_rank long",
+    )
+    cvecs = (
+        emb.filter(F.col(id_col).isin(centers))
+        .join(rank_map, id_col)
+        .select(
+            F.col(id_col).alias("_cid"),
+            "center_rank",
+            F.col(vec_col).alias("_cv"),
+        )
+    )
+    ad = F.round(1.0 - cosine(F.col(vec_col), F.col("_cv")), 6)
+    assigned = (
+        emb.crossJoin(F.broadcast(cvecs))
+        .select(
+            F.col(id_col),
+            F.struct(
+                ad.alias("d"), F.col("_cid").alias("c"),
+                F.col("center_rank").alias("r"),
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").alias("_best"))
+    )
+    return (
+        assigned.groupBy(
+            F.col("_best.c").alias("center_id"),
+            F.col("_best.r").alias("center_rank"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.max("_best.d").alias("radius"),
+            F.round(F.avg("_best.d"), 4).alias("mean_dist"),
+        )
+    )

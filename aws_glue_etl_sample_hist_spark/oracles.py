@@ -5163,3 +5163,105 @@ ORACLE_SQL["dedup_lsh_precision"] = f"""
 
 # stream-maintained A/B sufficient statistics must equal the batch test
 ORACLE_SQL["stream_events_ab"] = ORACLE_SQL["events_ab_test"]
+
+
+# cluster canonicalization: the dedup_clusters recursive CTE composed
+# verbatim, then keep-longest (ties to smallest id) per cluster via a
+# window argmax -- exact twin of the max_by aggregation
+ORACLE_SQL["dedup_cluster_keeper"] = rf"""
+    WITH labels AS (
+        SELECT doc_id, cluster_id FROM ({ORACLE_SQL["dedup_clusters"]})
+    ),
+    toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT l.cluster_id, l.doc_id, t.n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY t.n_tokens DESC, l.doc_id ASC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN toks t USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keeper_doc_id,
+           n_tokens AS keeper_n_tokens,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+"""
+
+
+def _kcenter_sql(k: int = 4, n_cand: int = 32) -> str:
+    """Unrolled-greedy k-center oracle (the _mmr_sql pattern): stage i
+    picks the candidate maximizing its min 6-dp cosine distance to the
+    chosen set (ties to smallest id), then every corpus vector assigns
+    to its nearest center and per-center coverage stats are exact."""
+    stages = [
+        """c1 AS MATERIALIZED (
+        SELECT MIN(vec_id) AS vec_id, CAST(1 AS BIGINT) AS center_rank
+        FROM cand
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(1, i)
+        )
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+        SELECT vec_id, CAST({i} AS BIGINT) AS center_rank FROM (
+            SELECT p._ida AS vec_id, MIN(p.d) AS dmin
+            FROM pd p
+            WHERE p._idb IN ({prev}) AND p._ida NOT IN ({prev})
+            GROUP BY p._ida
+        ) ORDER BY dmin DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+    centers_union = " UNION ALL ".join(
+        f"SELECT * FROM c{j}" for j in range(1, k + 1)
+    )
+    joined_stages = ",\n    ".join(stages)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (SELECT vec_id, v FROM e WHERE vec_id < {n_cand}),
+    pd AS MATERIALIZED (
+        SELECT a.vec_id AS _ida, b.vec_id AS _idb,
+               ROUND(1.0 - list_dot_product(a.v, b.v)
+                     / GREATEST(sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v)),
+                                1e-12), 6) AS d
+        FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+    ),
+    {joined_stages},
+    centers AS MATERIALIZED ({centers_union}),
+    cv AS (
+        SELECT c.vec_id AS center_id, c.center_rank, e.v AS cvv
+        FROM centers c JOIN e ON e.vec_id = c.vec_id
+    ),
+    ad0 AS (
+        SELECT e.vec_id, cv.center_id, cv.center_rank,
+               ROUND(1.0 - list_dot_product(e.v, cv.cvv)
+                     / GREATEST(sqrt(list_dot_product(e.v, e.v))
+                                * sqrt(list_dot_product(cv.cvv, cv.cvv)),
+                                1e-12), 6) AS d
+        FROM e CROSS JOIN cv
+    ),
+    ad AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d ASC, center_id ASC) AS rn
+        FROM ad0
+    )
+    SELECT center_id, center_rank,
+           COUNT(*) AS n_assigned,
+           MAX(d) AS radius,
+           ROUND(AVG(d), 4) AS mean_dist
+    FROM ad WHERE rn = 1
+    GROUP BY 1, 2
+"""
+
+
+# greedy k-center coreset + coverage audit: unrolled greedy trajectory,
+# then exact per-center assignment stats
+ORACLE_SQL["embedding_kcenter_coreset"] = _kcenter_sql(k=4, n_cand=32)

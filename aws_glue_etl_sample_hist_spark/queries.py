@@ -664,6 +664,39 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf, "documents"), n=3, threshold=0.2, max_df=100)
 
 
+def q_embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset + distributed coverage audit
+    (operators.similarity.kcenter_coreset, Gonzalez 1985): 4 maximally-
+    spread exemplars from a 32-candidate seed pool (candidate-bounded
+    greedy, the MMR pattern), then every corpus vector assigned to its
+    nearest center via the broadcast assignment pass -- per-center
+    population, coverage radius (the k-center objective), mean distance.
+    EXACT oracle: the greedy trajectory unrolls as 4 SQL stages
+    (oracles._kcenter_sql) and the assignment recomputes value-for-
+    value."""
+    from .operators.similarity import kcenter_coreset
+
+    return kcenter_coreset(
+        load_table(spark, sf, "embeddings"), k=4, n_candidates=32
+    )
+
+
+def q_dedup_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster canonicalization (operators.dedup.cluster_best_keeper):
+    one row per near-dup cluster naming the keep-longest member (ties to
+    smallest id) -- the content-aware keeper rule crawl pipelines
+    actually apply, computed as a pure max_by aggregation (never a
+    per-cluster window sort, so a million-member template cluster
+    reduces on many tasks). Same clustering config as dedup_clusters
+    (n=3, threshold 0.2, max_df=100), so the oracle composes that
+    oracle's recursive CTE verbatim."""
+    from .operators.dedup import cluster_best_keeper
+
+    return cluster_best_keeper(
+        load_table(spark, sf, "documents"), n=3, threshold=0.2, max_df=100
+    )
+
+
 def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data pipeline output: quality-filtered
     (quality_score >= 0.5) AND near-dup-resolved (cluster keepers only)
@@ -5537,6 +5570,9 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
+    # --- r9-late additions (rotate into the r10 window) ---
+    "dedup_cluster_keeper": q_dedup_cluster_keeper,
+    "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

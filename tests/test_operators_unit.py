@@ -3268,3 +3268,72 @@ def test_conformal_threshold_zero_calibration_positives(spark):
     df = spark.createDataFrame(rows, "doc_id long, score double, label int")
     with pytest.raises(ValueError, match="zero positive"):
         conformal_threshold(df, alpha=0.1)
+
+
+def test_cluster_best_keeper_longest_then_smallest_id(spark):
+    """Keep-longest canonicalization: within a near-dup cluster the keeper
+    is the member with the most tokens, ties to the smallest doc_id;
+    singletons keep themselves. The fixture makes doc 2 (longer) beat
+    doc 1 (cluster min id) -- the case where the min-id rule and the
+    content rule disagree."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        cluster_best_keeper,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # cluster {1,2}: near-dups
+            (2, base + " eta theta"),       # longer -> keeper despite id 2
+            (7, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.cluster_id: r for r in cluster_best_keeper(docs).collect()}
+    c = rows[1]  # cluster labeled by min member id
+    assert c.keeper_doc_id == 2 and c.n_members == 2 and c.n_dropped == 1
+    assert c.keeper_n_tokens == 8
+    s = rows[7]
+    assert s.keeper_doc_id == 7 and s.n_members == 1 and s.n_dropped == 0
+
+    # tie on length -> smallest id wins
+    docs2 = spark.createDataFrame(
+        [(5, base), (3, base)], "doc_id long, text string"
+    )
+    r = cluster_best_keeper(docs2).collect()[0]
+    assert r.keeper_doc_id == 3
+
+
+def test_kcenter_coreset_farthest_point_trajectory(spark):
+    """Greedy k-center on a planted geometry: candidates along two
+    orthogonal directions plus their mix. Start = min id (0); center 2
+    must be the farthest candidate from 0 (the orthogonal one), center 3
+    the one maximizing min-distance to both. Coverage: every vector
+    assigned exactly once, radii are 6-dp max distances."""
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.95, 0.05, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal to 0 -> picked 2nd
+        (3, [0.5, 0.5, 0.0]),     # between -> never a center at k=3
+        (4, [0.0, 0.0, 1.0]),     # orthogonal to both -> picked 3rd
+        (5, [0.1, 0.0, 0.9]),     # near 4
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.center_rank: r
+        for r in kcenter_coreset(emb, k=3, n_candidates=6).collect()
+    }
+    assert out[1].center_id == 0
+    assert out[2].center_id in (2, 4)  # both are distance ~1.0 from 0
+    # ties at 6 dp break to the smaller id
+    assert out[2].center_id == 2
+    assert out[3].center_id == 4
+    assert sum(r.n_assigned for r in out.values()) == len(rows)
+    for r in out.values():
+        assert 0.0 <= r.radius <= 2.0 and r.mean_dist <= r.radius

@@ -143,6 +143,9 @@ NESTED_LOOP_WHITELIST = {
     "retrieval_mmr",               # candidate-bounded: 20 vectors self-pair
                                    # (<=400 rows) + greedy over a collect;
                                    # bm25's 1-row stats join underneath
+    "embedding_kcenter_coreset",   # candidate-bounded: 32 seeds self-pair
+                                   # (<=1024 rows) + crossJoin(broadcast(
+                                   # k=4 centers)): the IVF assignment shape
 }
 
 
