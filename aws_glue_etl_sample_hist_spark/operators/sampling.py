@@ -711,3 +711,102 @@ def temperature_mixture_sample(
         .filter(sample_hash(F.col(key_col), salt) < thr)
         .drop("_stratum_tokens", "_q")
     )
+
+
+def epoch_budget_plan(
+    docs: DataFrame,
+    budget_factor: float = 2.0,
+    *,
+    max_extra_epochs: float = 3.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Token-budget EPOCH PLANNER: given a training budget of
+    ``budget_factor`` x the corpus token mass, decide how many epochs of
+    each source to schedule -- the "how many times do we repeat
+    Wikipedia vs CommonCrawl" computation every LLM data plan starts
+    from (cf. the repeat-factor tables in Llama/Gopher papers).
+
+    Per-source epoch CAP is quality-derived: cap_s = 1 +
+    max_extra_epochs * gopher_keep_rate_s, so clean sources may repeat
+    up to 1+max_extra_epochs epochs while junk-heavy ones stay near 1
+    (repeating low-quality text degrades models faster than repeating
+    clean text). The planner then WATERFILLS: epochs_s = min(lambda,
+    cap_s) where lambda solves  sum_s min(lambda, cap_s) * m_s = B  --
+    the unique piecewise-linear fixpoint, found exactly by the sorted
+    prefix scan (sources ascending by cap; the first segment where the
+    implied lambda stops exceeding the next cap). If B exceeds the
+    fully-capped maximum, every source caps and budget_feasible=false.
+
+    Scale shape: one map-side-combined groupBy to source cardinality;
+    every window and the lambda scan run over the ~O(100)-row source
+    table (the bounded-dimension window family); lambda broadcasts back
+    as a 1-row scalar join. Deterministic doubles end to end (integer
+    token masses, 6-dp rounded caps, identical summation order via the
+    same sort), so the oracle recomputes the plan EXACTLY.
+
+    Returns (source, n_tokens, keep_rate, epoch_cap, epochs,
+    planned_tokens, capped, budget_feasible)."""
+    from .text import gopher_quality, token_count
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("_nt"),
+    )
+    keep = gopher_quality(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", "keep"
+    )
+    src = (
+        per_doc.join(keep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("_nt").alias("n_tokens"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias("keep_rate"),
+        )
+        .withColumn(
+            "epoch_cap",
+            F.round(1.0 + max_extra_epochs * F.col("keep_rate"), 6),
+        )
+    )
+    w = Window.orderBy(F.col("epoch_cap").asc(), F.col("source").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = (
+        src.withColumn("_k", F.row_number().over(w))
+        .withColumn(
+            "_cum_capm",
+            F.sum(F.col("epoch_cap") * F.col("n_tokens")).over(wc),
+        )
+        .withColumn("_cum_m", F.sum("n_tokens").over(wc))
+    )
+    tot = o.agg(
+        F.sum("n_tokens").alias("_m"),
+        F.max("epoch_cap").alias("_maxcap"),
+    ).withColumn("_b", F.lit(float(budget_factor)) * F.col("_m"))
+    o = o.crossJoin(F.broadcast(tot))
+    lam_before = (
+        F.col("_b") - F.coalesce(F.lag("_cum_capm").over(w), F.lit(0.0))
+    ) / (F.col("_m") - F.coalesce(F.lag("_cum_m").over(w), F.lit(0)))
+    o = o.withColumn("_lam_before", lam_before)
+    pick = o.agg(
+        F.min(
+            F.when(
+                F.col("_lam_before") <= F.col("epoch_cap"),
+                F.struct(F.col("_k").alias("k"), F.col("_lam_before").alias("l")),
+            )
+        ).alias("_pick")
+    )
+    o = o.crossJoin(F.broadcast(pick))
+    lam = F.coalesce(F.col("_pick.l"), F.col("_maxcap"))
+    epochs = F.round(F.least(lam, F.col("epoch_cap")), 6)
+    return o.select(
+        "source",
+        "n_tokens",
+        "keep_rate",
+        "epoch_cap",
+        epochs.alias("epochs"),
+        F.round(epochs * F.col("n_tokens"), 2).alias("planned_tokens"),
+        (lam >= F.col("epoch_cap")).alias("capped"),
+        F.col("_pick").isNotNull().alias("budget_feasible"),
+    )

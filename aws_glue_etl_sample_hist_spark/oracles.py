@@ -5265,3 +5265,67 @@ def _kcenter_sql(k: int = 4, n_cand: int = 32) -> str:
 # greedy k-center coreset + coverage audit: unrolled greedy trajectory,
 # then exact per-center assignment stats
 ORACLE_SQL["embedding_kcenter_coreset"] = _kcenter_sql(k=4, n_cand=32)
+
+
+# token-budget epoch planner: exact waterfilling replay -- same sorted
+# prefix scan, same 6-dp caps, same summation order (identical sort), so
+# lambda and every per-source epoch count match value-for-value
+ORACLE_SQL["corpus_epoch_plan"] = rf"""
+    WITH g AS ({ORACLE_SQL["text_gopher_quality"]}),
+    d AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS nt
+        FROM documents
+    ),
+    src AS (
+        SELECT d.source,
+               CAST(SUM(d.nt) AS BIGINT) AS n_tokens,
+               ROUND(AVG(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 6)
+                   AS keep_rate
+        FROM d JOIN g USING (doc_id)
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT *, ROUND(1.0 + 3.0 * keep_rate, 6) AS epoch_cap FROM src
+    ),
+    tot AS (
+        SELECT SUM(n_tokens) AS m, MAX(epoch_cap) AS maxcap FROM c
+    ),
+    o AS (
+        SELECT c.*, tot.m, tot.maxcap, 2.0 * tot.m AS b,
+               ROW_NUMBER() OVER
+                   (ORDER BY epoch_cap ASC, source ASC) AS k,
+               SUM(epoch_cap * n_tokens) OVER
+                   (ORDER BY epoch_cap ASC, source ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum_capm,
+               SUM(n_tokens) OVER
+                   (ORDER BY epoch_cap ASC, source ASC
+                    ROWS UNBOUNDED PRECEDING) AS cum_m
+        FROM c, tot
+    ),
+    lam0 AS (
+        SELECT *,
+               (b - COALESCE(LAG(cum_capm) OVER (ORDER BY k), 0.0))
+               / (m - COALESCE(LAG(cum_m) OVER (ORDER BY k), 0))
+                   AS lam_before
+        FROM o
+    ),
+    pick AS (
+        SELECT MIN(k) FILTER (WHERE lam_before <= epoch_cap) AS k_star
+        FROM lam0
+    ),
+    lamv AS (
+        SELECT COALESCE(
+                   (SELECT lam_before FROM lam0, pick
+                    WHERE lam0.k = pick.k_star),
+                   (SELECT maxcap FROM tot)) AS lam_val,
+               (SELECT k_star IS NOT NULL FROM pick) AS feasible
+    )
+    SELECT source, n_tokens, keep_rate, epoch_cap,
+           ROUND(LEAST(lam_val, epoch_cap), 6) AS epochs,
+           ROUND(ROUND(LEAST(lam_val, epoch_cap), 6) * n_tokens, 2)
+               AS planned_tokens,
+           (lam_val >= epoch_cap) AS capped,
+           feasible AS budget_feasible
+    FROM lam0, lamv
+"""

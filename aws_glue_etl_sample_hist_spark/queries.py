@@ -664,6 +664,20 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf, "documents"), n=3, threshold=0.2, max_df=100)
 
 
+def q_corpus_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget epoch planner (operators.sampling.epoch_budget_plan):
+    waterfill a 2x-corpus training budget across sources under quality-
+    derived epoch caps (1 + 3 x gopher keep rate) -- the repeat-factor
+    table an LLM data plan starts from. Exact oracle: the piecewise-
+    linear lambda and every per-source epoch count replay in SQL with
+    the identical sorted prefix scan."""
+    from .operators.sampling import epoch_budget_plan
+
+    return epoch_budget_plan(
+        load_table(spark, sf, "documents"), budget_factor=2.0
+    )
+
+
 def q_embedding_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy k-center coreset + distributed coverage audit
     (operators.similarity.kcenter_coreset, Gonzalez 1985): 4 maximally-
@@ -5573,6 +5587,7 @@ QUERIES = {
     # --- r9-late additions (rotate into the r10 window) ---
     "dedup_cluster_keeper": q_dedup_cluster_keeper,
     "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
+    "corpus_epoch_plan": q_corpus_epoch_plan,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

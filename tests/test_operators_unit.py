@@ -3337,3 +3337,41 @@ def test_kcenter_coreset_farthest_point_trajectory(spark):
     assert sum(r.n_assigned for r in out.values()) == len(rows)
     for r in out.values():
         assert 0.0 <= r.radius <= 2.0 and r.mean_dist <= r.radius
+
+
+def test_epoch_budget_plan_waterfills_exactly(spark):
+    """Waterfilling invariants on a hand-built corpus: capped sources sit
+    exactly at their cap, uncapped sources share one lambda, and the
+    planned token total equals the budget (feasible case). Gopher keep
+    rates are engineered via stopword presence: 'clean' docs pass all
+    rules, 'junk' docs fail the stopword rule."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        epoch_budget_plan,
+    )
+
+    clean = ("the quick brown fox and the lazy dog were that " * 8).strip()
+    junk = ("zxqv wkjh qpzm vbnm xswd " * 12).strip()
+    rows = []
+    did = 0
+    for _ in range(10):  # src_clean: keep_rate 1 -> cap 4
+        rows.append((did, clean, "en", "src_clean")); did += 1
+    for _ in range(10):  # src_junk: keep_rate 0 -> cap 1
+        rows.append((did, junk, "en", "src_junk")); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r for r in epoch_budget_plan(docs, 2.0).collect()}
+    cl, jk = out["src_clean"], out["src_junk"]
+    assert cl.epoch_cap == 4.0 and jk.epoch_cap == 1.0
+    assert jk.capped and jk.epochs == 1.0  # junk pinned to 1 epoch
+    assert not cl.capped and cl.epochs > 1.0  # clean absorbs the slack
+    assert cl.budget_feasible and jk.budget_feasible
+    total = cl.n_tokens + jk.n_tokens
+    planned = cl.planned_tokens + jk.planned_tokens
+    assert abs(planned - 2.0 * total) < 1.0  # budget exhausted (6-dp rounding)
+
+    # infeasible: budget beyond the fully-capped maximum
+    out2 = {r.source: r for r in epoch_budget_plan(docs, 10.0).collect()}
+    assert not out2["src_clean"].budget_feasible
+    assert out2["src_clean"].epochs == out2["src_clean"].epoch_cap
+    assert out2["src_junk"].epochs == out2["src_junk"].epoch_cap

@@ -146,6 +146,8 @@ NESTED_LOOP_WHITELIST = {
     "embedding_kcenter_coreset",   # candidate-bounded: 32 seeds self-pair
                                    # (<=1024 rows) + crossJoin(broadcast(
                                    # k=4 centers)): the IVF assignment shape
+    "corpus_epoch_plan",           # 1-row budget/lambda scalar joins over
+                                   # the sources-cardinality plan table
 }
 
 
