@@ -923,3 +923,85 @@ def kn_doc_perplexity_bucket_cuts(
         b.cast("long").alias("bucket"),
         label.alias("bucket_label"),
     )
+
+
+def winnow_fingerprints(
+    docs,
+    *,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 -- the MOSS local-fingerprinting algorithm): hash every k-token
+    shingle, slide a window of ``w`` consecutive hashes over each
+    document, and in every window select the MINIMUM hash, rightmost
+    position on ties (the paper's rule). The guarantee: any shared run
+    of >= w + k - 1 tokens between two documents shares at least one
+    selected fingerprint, at expected density 2/(w+1) of the grams --
+    position-robust partial-overlap detection where min_shingle (one
+    global min) detects only whole-document similarity.
+
+    Engine-portable selection: each (hash, pos) is packed into ONE
+    BIGINT key ``h * 2^20 - pos`` (positions are 1-based and bounded by
+    2^20 per doc), so the per-window argmin-with-rightmost-tie is a
+    plain MIN over the packed key -- identical integer arithmetic in
+    Spark and SQL, and the per-doc fingerprint SET is exactly the
+    distinct packed keys. Docs with fewer than ``w`` grams keep their
+    single truncated window (one fingerprint), never zero.
+
+    Scale shape: the sliding window partitions by doc_id and is bounded
+    by document length -- the per-doc window family, never a corpus
+    total order. Returns the per-doc summary (doc_id, n_grams, n_fp,
+    density, fp_sum): fp_sum is the exact integer sum of the selected
+    hashes, a value-level checksum of the fingerprint set."""
+    from pyspark.sql.window import Window
+
+    POS_MOD = 1 << 20
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(tokens(F.col(text_col)), k)).alias(
+            "_p0", "_g"
+        ),
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_pos"),
+        (
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
+            * POS_MOD
+            - (F.col("_p0") + 1)
+        ).alias("_key"),
+    )
+    wdoc = Window.partitionBy(id_col)
+    worder = Window.partitionBy(id_col).orderBy("_pos")
+    sel = (
+        grams.withColumn("_n", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "_win_min",
+            F.min("_key").over(worder.rowsBetween(0, w - 1)),
+        )
+        # full windows only, except the single truncated window of a
+        # shorter-than-w doc (pos 1)
+        .filter(
+            (F.col("_pos") <= F.col("_n") - F.lit(w) + 1)
+            | (F.col("_pos") == 1)
+        )
+        .select(id_col, F.col("_n"), F.col("_win_min"))
+        .distinct()
+    )
+    h = (F.col("_win_min") / POS_MOD).cast("long") + 1  # decode hash
+    return (
+        sel.groupBy(id_col, "_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(h).alias("fp_sum"),
+        )
+        .select(
+            id_col,
+            F.col("_n").alias("n_grams"),
+            "n_fp",
+            F.round(F.col("n_fp") / F.col("_n"), 4).alias("density"),
+            "fp_sum",
+        )
+    )

@@ -5329,3 +5329,39 @@ ORACLE_SQL["corpus_epoch_plan"] = rf"""
            feasible AS budget_feasible
     FROM lam0, lamv
 """
+
+
+# winnowing fingerprints: identical packed-key arithmetic (h * 2^20 - pos,
+# per-window MIN = argmin with rightmost tie), per-doc summary exact
+ORACLE_SQL["text_winnow_fingerprints"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                     1, 8)) AS BIGINT) * 1048576 - i AS key
+        FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+             AS u(i)
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS win_min
+        FROM g
+    ),
+    sel AS (
+        SELECT DISTINCT w.doc_id, w.win_min
+        FROM winmin w JOIN n USING (doc_id)
+        WHERE w.pos <= n.n_grams - 3 OR w.pos = 1
+    )
+    SELECT s.doc_id, n.n_grams,
+           COUNT(*) AS n_fp,
+           ROUND(COUNT(*) * 1.0 / n.n_grams, 4) AS density,
+           CAST(SUM(s.win_min // 1048576 + 1) AS BIGINT) AS fp_sum
+    FROM sel s JOIN n USING (doc_id)
+    GROUP BY 1, 2
+"""

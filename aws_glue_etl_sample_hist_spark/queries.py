@@ -664,6 +664,21 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf, "documents"), n=3, threshold=0.2, max_df=100)
 
 
+def q_text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (operators.text.winnow_fingerprints,
+    Schleimer et al. 2003 / MOSS): per-window min k-gram hash with the
+    rightmost tie rule -- position-robust PARTIAL-overlap detection at
+    guaranteed density 2/(w+1), where the min_shingle fingerprint only
+    catches whole-document similarity. Per-doc summary row with an
+    exact integer checksum of the selected fingerprint set; oracle
+    replays the packed-key argmin arithmetic verbatim."""
+    from .operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf, "documents"), k=3, w=4
+    )
+
+
 def q_corpus_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget epoch planner (operators.sampling.epoch_budget_plan):
     waterfill a 2x-corpus training budget across sources under quality-
@@ -5588,6 +5603,7 @@ QUERIES = {
     "dedup_cluster_keeper": q_dedup_cluster_keeper,
     "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
     "corpus_epoch_plan": q_corpus_epoch_plan,
+    "text_winnow_fingerprints": q_text_winnow_fingerprints,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

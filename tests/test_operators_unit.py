@@ -3375,3 +3375,68 @@ def test_epoch_budget_plan_waterfills_exactly(spark):
     assert not out2["src_clean"].budget_feasible
     assert out2["src_clean"].epochs == out2["src_clean"].epoch_cap
     assert out2["src_junk"].epochs == out2["src_junk"].epoch_cap
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing's paper guarantee: two documents sharing a token run of
+    >= w + k - 1 tokens share at least one selected fingerprint; density
+    is near 2/(w+1); a doc shorter than w grams still yields exactly one
+    fingerprint (the truncated-window rule)."""
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens >= w+k-1=6
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon"),
+            (2, "omega psi " + shared + " chi phi upsilon tau"),
+            (3, "xx yy"),  # 1 gram (collapsed shingle) < w
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in winnow_fingerprints(docs, k=3, w=4).collect()}
+    assert out[3].n_fp == 1 and out[3].n_grams == 1
+
+    # fingerprint-set overlap must be nonempty for docs 1 and 2: recompute
+    # the selected sets via the operator's own key arithmetic by running
+    # it on the isolated shared run and checking checksum consistency is
+    # weaker than set intersection, so compare actual fingerprint hashes
+    # through a second run at doc granularity
+    from pyspark.sql import functions as F
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        tokens,
+        word_shingles,
+    )
+
+    # derive each doc's selected hash set with a tiny local replay
+    def fp_set(text):
+        df = spark.createDataFrame([(9, text)], "doc_id long, text string")
+        g = df.select(
+            F.posexplode(word_shingles(tokens(F.col("text")), 3)).alias(
+                "p", "g"
+            )
+        ).select(
+            (F.col("p") + 1).alias("pos"),
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                * (1 << 20)
+                - (F.col("p") + 1)
+            ).alias("key"),
+        )
+        rows = sorted((r.pos, r.key) for r in g.collect())
+        keys = [k for _, k in rows]
+        n = len(keys)
+        sel = set()
+        w = 4
+        for p in range(n):
+            if p + 1 <= n - w + 1 or p == 0:
+                win = keys[p : p + w]
+                sel.add(min(win))
+        return {k // (1 << 20) + 1 for k in sel}
+
+    s1 = fp_set("alpha beta gamma " + shared + " delta epsilon")
+    s2 = fp_set("omega psi " + shared + " chi phi upsilon tau")
+    assert s1 & s2, "shared >= w+k-1 token run must share a fingerprint"
+    # density ~ 2/(w+1) = 0.4: allow generous band on short docs
+    assert 0.15 <= out[1].density <= 0.8
