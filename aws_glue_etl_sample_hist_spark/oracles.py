@@ -5365,3 +5365,51 @@ ORACLE_SQL["text_winnow_fingerprints"] = r"""
     FROM sel s JOIN n USING (doc_id)
     GROUP BY 1, 2
 """
+
+
+# streaming binned-CDF quantile monitor: stream-maintained histogram must
+# equal the batch histogram, so every readout value (interpolated est,
+# exact percentile, witnesses) is recomputed exactly from documents
+ORACLE_SQL["stream_quality_quantiles"] = r"""
+    WITH nt AS (
+        SELECT least(CAST(floor(len(regexp_split_to_array(trim(text), '\s+'))
+                           / 16) AS BIGINT), 63) AS bin,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    hist AS (SELECT bin, COUNT(*) AS cnt FROM nt GROUP BY 1),
+    h AS (
+        SELECT bin, cnt,
+               COALESCE(SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+        FROM hist
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    ex AS (
+        SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75, 0.9]) AS exs
+        FROM nt
+    ),
+    qs AS (
+        SELECT * FROM (VALUES (1, CAST(0.25 AS DOUBLE)),
+                              (2, CAST(0.5  AS DOUBLE)),
+                              (3, CAST(0.75 AS DOUBLE)),
+                              (4, CAST(0.9  AS DOUBLE))) v(idx, q)
+    ),
+    sel AS (
+        SELECT qs.q, qs.idx, tot.n,
+               ROUND(h.bin * 16
+                     + 16 * (qs.q * (tot.n - 1) - h.cum_before) / h.cnt,
+                     4) AS est
+        FROM qs, tot
+        JOIN h ON h.cum_before <= FLOOR(qs.q * (tot.n - 1))
+              AND FLOOR(qs.q * (tot.n - 1)) < h.cum_before + h.cnt
+    )
+    SELECT s.q,
+           s.n AS n_docs,
+           s.est,
+           ROUND(ex.exs[s.idx], 4) AS exact,
+           ROUND(ABS(s.est - ROUND(ex.exs[s.idx], 4)), 4) AS abs_err,
+           (ABS(s.est - ROUND(ex.exs[s.idx], 4)) <= 32) AS within_bound
+    FROM sel s, ex
+"""

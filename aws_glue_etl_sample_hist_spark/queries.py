@@ -5532,6 +5532,20 @@ def q_stream_events_ab(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events_ab(spark, sf)
 
 
+def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming quantile monitor (streaming.jobs.stream_quality_
+    quantiles): per-batch binned token-count histograms fold into
+    batch-keyed parquet state (overwrite-by-batch-id = replay-idempotent
+    ADDITIVE state -- the complement of the A/B monitor's MAX trick);
+    readout interpolates p25/p50/p75/p90 from the merged CDF beside the
+    exact batch percentiles with |est-exact| <= 2*bin_width witnesses.
+    EXACT oracle: the stream-maintained histogram must equal the batch
+    histogram, so every readout value recomputes from documents."""
+    from .streaming.jobs import stream_quality_quantiles
+
+    return stream_quality_quantiles(spark, sf)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -5604,6 +5618,7 @@ QUERIES = {
     "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "text_winnow_fingerprints": q_text_winnow_fingerprints,
+    "stream_quality_quantiles": q_stream_quality_quantiles,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

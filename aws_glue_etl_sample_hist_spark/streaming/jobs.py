@@ -1017,3 +1017,119 @@ def stream_events_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("converted").alias("converted"))
     )
     return ab_ztest_readout(per_user)
+
+
+def stream_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitor -- the SIXTH stream-maintained-state
+    exemplar (PCA moments, PSI histograms, CC labels, MG counters, A/B
+    stats, and now a binned CDF): per micro-batch, the documents' token
+    counts fold into a FIXED 64-bin width-16 histogram written to a
+    batch-keyed state dir. Counts are additive, so the A/B monitor's
+    MAX-idempotence trick does not apply; replay safety comes from
+    OVERWRITE-BY-BATCH-ID instead -- an at-least-once re-delivery of
+    batch N rewrites state/batch_N in place, never double-counts. State
+    is <= 64 rows per batch regardless of corpus size.
+
+    The readout merges the per-batch histograms (one sum over
+    n_batches x 64 rows), interpolates p25/p50/p75/p90 from the CDF
+    (est = bin_lo + width * (target - cum_before)/cnt at the 0-based
+    continuous rank target = q*(n-1) -- Spark/DuckDB's shared
+    percentile convention), and emits the exact batch-side percentile
+    beside it with an |est - exact| <= 2*width witness (2x covers the
+    empty-bin-gap edge where the interpolation rank and the exact order
+    statistics straddle bins). Every value is deterministic arithmetic
+    over the histogram, so the oracle is EXACT, not a contract.
+
+    Returns (q, n_docs, est, exact, abs_err, within_bound)."""
+    from ..operators.text import token_count
+
+    WIDTH, NBINS = 16, 64
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    src_dir = tempfile.mkdtemp(prefix="qq_stream_src_")
+    for s in range(3):
+        docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"s{s}"))
+    state_dir = tempfile.mkdtemp(prefix="qq_stream_state_")
+
+    bin_col = F.least(
+        F.floor(token_count(F.col("text")) / WIDTH), F.lit(NBINS - 1)
+    ).cast("long")
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            # overwrite-by-batch-id = idempotent under re-delivery
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"batch_{batch_id}"))
+        )
+
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="qq_stream_ckpt_"), "ckpt")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/s*")
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window
+
+    hist = (
+        spark.read.parquet(os.path.join(state_dir, "batch_*"))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.orderBy("bin")
+    h = hist.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    # exact percentile over the SAME token counts the bins were built on
+    exact_arr = docs.select(
+        token_count(F.col("text")).alias("_nt")
+    ).agg(
+        F.expr("percentile(_nt, array(0.25, 0.5, 0.75, 0.9))").alias("_ex")
+    )
+    qs = spark.createDataFrame(
+        [(1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9)], "idx int, q double"
+    )
+    j = (
+        qs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(exact_arr))
+        .withColumn("target", F.col("q") * (F.col("n") - 1))
+    )
+    sel = j.join(
+        F.broadcast(h),
+        (F.col("cum_before") <= F.floor(F.col("target")))
+        & (F.floor(F.col("target")) < F.col("cum_before") + F.col("cnt")),
+    )
+    est = F.col("bin") * WIDTH + WIDTH * (
+        F.col("target") - F.col("cum_before")
+    ) / F.col("cnt")
+    exact = F.element_at(F.col("_ex"), F.col("idx"))
+    return sel.select(
+        "q",
+        F.col("n").alias("n_docs"),
+        F.round(est, 4).alias("est"),
+        F.round(exact, 4).alias("exact"),
+        F.round(F.abs(F.round(est, 4) - F.round(exact, 4)), 4).alias(
+            "abs_err"
+        ),
+        (
+            F.abs(F.round(est, 4) - F.round(exact, 4)) <= 2 * WIDTH
+        ).alias("within_bound"),
+    )
