@@ -925,6 +925,49 @@ def kn_doc_perplexity_bucket_cuts(
     )
 
 
+_WINNOW_POS_MOD = 1 << 20
+
+
+def _winnow_selected(docs, *, k, w, text_col, id_col):
+    """Shared winnowing selection: per-doc distinct packed keys
+    (h * 2^20 - pos) of every window minimum, plus the per-doc gram
+    count _n. Consumed by winnow_fingerprints (summary) and
+    winnow_overlap_pairs (candidate join)."""
+    from pyspark.sql.window import Window
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(tokens(F.col(text_col)), k)).alias(
+            "_p0", "_g"
+        ),
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_pos"),
+        (
+            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
+            * _WINNOW_POS_MOD
+            - (F.col("_p0") + 1)
+        ).alias("_key"),
+    )
+    wdoc = Window.partitionBy(id_col)
+    worder = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        grams.withColumn("_n", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "_win_min",
+            F.min("_key").over(worder.rowsBetween(0, w - 1)),
+        )
+        # full windows only, except the single truncated window of a
+        # shorter-than-w doc (pos 1)
+        .filter(
+            (F.col("_pos") <= F.col("_n") - F.lit(w) + 1)
+            | (F.col("_pos") == 1)
+        )
+        .select(id_col, F.col("_n"), F.col("_win_min"))
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     docs,
     *,
@@ -956,41 +999,8 @@ def winnow_fingerprints(
     total order. Returns the per-doc summary (doc_id, n_grams, n_fp,
     density, fp_sum): fp_sum is the exact integer sum of the selected
     hashes, a value-level checksum of the fingerprint set."""
-    from pyspark.sql.window import Window
-
-    POS_MOD = 1 << 20
-    grams = docs.select(
-        F.col(id_col),
-        F.posexplode(word_shingles(tokens(F.col(text_col)), k)).alias(
-            "_p0", "_g"
-        ),
-    ).select(
-        id_col,
-        (F.col("_p0") + 1).alias("_pos"),
-        (
-            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
-            * POS_MOD
-            - (F.col("_p0") + 1)
-        ).alias("_key"),
-    )
-    wdoc = Window.partitionBy(id_col)
-    worder = Window.partitionBy(id_col).orderBy("_pos")
-    sel = (
-        grams.withColumn("_n", F.count(F.lit(1)).over(wdoc))
-        .withColumn(
-            "_win_min",
-            F.min("_key").over(worder.rowsBetween(0, w - 1)),
-        )
-        # full windows only, except the single truncated window of a
-        # shorter-than-w doc (pos 1)
-        .filter(
-            (F.col("_pos") <= F.col("_n") - F.lit(w) + 1)
-            | (F.col("_pos") == 1)
-        )
-        .select(id_col, F.col("_n"), F.col("_win_min"))
-        .distinct()
-    )
-    h = (F.col("_win_min") / POS_MOD).cast("long") + 1  # decode hash
+    sel = _winnow_selected(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    h = (F.col("_win_min") / _WINNOW_POS_MOD).cast("long") + 1  # decode hash
     return (
         sel.groupBy(id_col, "_n")
         .agg(
@@ -1004,4 +1014,59 @@ def winnow_fingerprints(
             F.round(F.col("n_fp") / F.col("_n"), 4).alias("density"),
             "fp_sum",
         )
+    )
+
+
+def winnow_overlap_pairs(
+    docs,
+    *,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """MOSS-style partial-overlap candidate pairs: documents sharing
+    >= ``min_shared`` winnowing fingerprints -- the join that surfaces
+    PARTIAL plagiarism/boilerplate overlap (a shared paragraph inside
+    otherwise-different documents), which whole-document Jaccard
+    near-dup misses below its threshold.
+
+    Scale shape: the inverted-index equi-join family -- fingerprints
+    equi-join on their 32-bit HASH value (positions stripped, so the
+    same passage matches at any offset), never an all-pairs comparison;
+    ``max_df`` drops fingerprints shared by more than max_df docs (the
+    template/boilerplate stop-fingerprint guard, same role as the
+    shingle max_df in ngram_jaccard_pairs -- without it one hot
+    fingerprint creates the ~n^2/2 pair bomb).
+
+    Returns (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    sel = _winnow_selected(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    fp = sel.select(
+        F.col(id_col),
+        ((F.col("_win_min") / _WINNOW_POS_MOD).cast("long") + 1).alias("_fp"),
+    ).distinct()
+    if max_df is not None:
+        hot = (
+            fp.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_fp")
+        )
+        fp = fp.join(hot, "_fp", "left_anti")
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._fp") == F.col("b._fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -5413,3 +5413,46 @@ ORACLE_SQL["stream_quality_quantiles"] = r"""
            (ABS(s.est - ROUND(ex.exs[s.idx], 4)) <= 32) AS within_bound
     FROM sel s, ex
 """
+
+
+# winnowing partial-overlap pairs: same packed-key selection, fingerprints
+# equi-joined on the decoded hash with the max_df stop-fingerprint guard
+ORACLE_SQL["dedup_winnow_pairs"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                     1, 8)) AS BIGINT) * 1048576 - i AS key
+        FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+             AS u(i)
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS win_min
+        FROM g
+    ),
+    sel AS (
+        SELECT DISTINCT w.doc_id, w.win_min
+        FROM winmin w JOIN n USING (doc_id)
+        WHERE w.pos <= n.n_grams - 3 OR w.pos = 1
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, win_min // 1048576 + 1 AS fpv FROM sel
+    ),
+    hot AS (
+        SELECT fpv FROM fp GROUP BY 1 HAVING COUNT(*) > 100
+    ),
+    fpc AS (
+        SELECT * FROM fp WHERE fpv NOT IN (SELECT fpv FROM hot)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fpc a JOIN fpc b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""

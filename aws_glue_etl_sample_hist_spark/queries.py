@@ -679,6 +679,25 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style partial-overlap candidate pairs
+    (operators.text.winnow_overlap_pairs): docs sharing >= 2 winnowing
+    fingerprints, fingerprints equi-joined on their hash (inverted
+    index, offset-invariant, never all-pairs) with the max_df=100
+    stop-fingerprint guard. Catches a shared paragraph inside
+    otherwise-different documents -- below whole-document Jaccard's
+    radar. Exact oracle: same packed-key selection + join replayed."""
+    from .operators.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        load_table(spark, sf, "documents"),
+        k=3,
+        w=4,
+        min_shared=2,
+        max_df=100,
+    )
+
+
 def q_corpus_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget epoch planner (operators.sampling.epoch_budget_plan):
     waterfill a 2x-corpus training budget across sources under quality-
@@ -5619,6 +5638,7 @@ QUERIES = {
     "corpus_epoch_plan": q_corpus_epoch_plan,
     "text_winnow_fingerprints": q_text_winnow_fingerprints,
     "stream_quality_quantiles": q_stream_quality_quantiles,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

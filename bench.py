@@ -130,6 +130,14 @@ HEADLINE = [
     # sampled production mode of the LSH recall audit
     "corpus_ccnet_buckets_cuts",
     "dedup_lsh_recall_sampled",
+    # round-9 (late): cluster canonicalization, coreset selection, epoch
+    # planning, winnowing fingerprints, streaming quantile monitor
+    "dedup_cluster_keeper",
+    "embedding_kcenter_coreset",
+    "corpus_epoch_plan",
+    "text_winnow_fingerprints",
+    "stream_quality_quantiles",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -3440,3 +3440,34 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     assert s1 & s2, "shared >= w+k-1 token run must share a fingerprint"
     # density ~ 2/(w+1) = 0.4: allow generous band on short docs
     assert 0.15 <= out[1].density <= 0.8
+
+
+def test_winnow_overlap_pairs_partial_overlap_and_guard(spark):
+    """Partial-overlap detection: two long documents sharing only one
+    paragraph must pair (with n_shared >= min_shared when the run is
+    long enough); unrelated docs must not; a fingerprint present in
+    EVERY doc is dropped by the max_df guard."""
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        winnow_overlap_pairs,
+    )
+
+    shared = "the brown fox jumped over the lazy sleeping dog yesterday evening quietly"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here first " + shared + " closing remarks one"),
+            (2, "other beginning text now " + shared + " different ending two"),
+            (3, "completely unrelated content about databases and storage engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert any(p == (1, 2) for p in pairs), pairs
+    assert all(3 not in p for p in pairs), pairs
+
+    # guard: with max_df=1 every cross-doc fingerprint is hot -> no pairs
+    assert (
+        winnow_overlap_pairs(docs, min_shared=1, max_df=1).count() == 0
+    )

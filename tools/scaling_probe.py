@@ -122,6 +122,14 @@ PROBE = [
     "retrieval_mmr",
     "corpus_ccnet_buckets_cuts",
     "dedup_lsh_recall_sampled",
+    # round 9 (late): canonicalization, coreset, epoch plan, winnowing,
+    # streaming quantiles
+    "dedup_cluster_keeper",
+    "embedding_kcenter_coreset",
+    "corpus_epoch_plan",
+    "text_winnow_fingerprints",
+    "stream_quality_quantiles",
+    "dedup_winnow_pairs",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
