@@ -749,3 +749,96 @@ def ab_ztest_readout(
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.96).alias("reject_at_05"),
     )
+
+
+def ab_sprt_monitor(
+    events: DataFrame,
+    configs: list[tuple[str, float, float]] | None = None,
+    *,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    n_waves: int = 3,
+    user_col: str = "user_id",
+    value_threshold: float = 150.0,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over the experiment
+    stream (Wald 1945) -- the early-stopping monitor a fixed-horizon
+    z-test can't be: after each arrival WAVE, the cumulative Bernoulli
+    log-likelihood ratio  x*ln(p1/p0) + (n-x)*ln((1-p1)/(1-p0))  is
+    checked against ln((1-beta)/alpha) / ln(beta/(1-alpha)); crossing
+    up accepts H1 (ship it), crossing down accepts H0 (stop the test),
+    otherwise continue -- with guaranteed error rates at the two simple
+    hypotheses regardless of when you stop.
+
+    Each ``configs`` entry is (name, p0, p1); running several shows the
+    three regimes honestly (truth near p1 -> early accept_h1, truth
+    between -> continue, truth near p0 -> accept_h0). Observations are
+    per-user conversion flags (the events_ab_test conversion), arrival
+    waves are user_id % n_waves -- a deterministic stand-in for
+    checkpoint times, so the trajectory is exact-oracle-able.
+
+    Scale shape: one per-user MAX agg, one n_waves-row cumulative
+    window, a bounded (configs x waves) cross join -- no corpus total
+    order (a per-EVENT trajectory would be a single-task sort; wave
+    checkpoints are the scale-honest granularity).
+
+    Returns (test, wave, n_cum, x_cum, llr, upper, lower, decision)."""
+    if configs is None:
+        configs = [
+            ("h1_wins", 0.30, 0.45),
+            ("inconclusive", 0.40, 0.50),
+            ("h0_wins", 0.45, 0.60),
+        ]
+    from pyspark.sql.window import Window
+
+    per_user = events.groupBy(user_col).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > value_threshold)
+            ).cast("int")
+        ).alias("converted")
+    )
+    waves = (
+        per_user.withColumn("wave", F.pmod(F.col(user_col), F.lit(n_waves)))
+        .groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("x"),
+        )
+    )
+    wc = Window.orderBy("wave").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = waves.select(
+        "wave",
+        F.sum("n").over(wc).alias("n_cum"),
+        F.sum("x").over(wc).alias("x_cum"),
+    )
+    spark = events.sparkSession
+    cfg = spark.createDataFrame(
+        [(name, float(p0), float(p1)) for name, p0, p1 in configs],
+        "test string, p0 double, p1 double",
+    )
+    j = cfg.crossJoin(cum)
+    llr = F.round(
+        F.col("x_cum") * F.log(F.col("p1") / F.col("p0"))
+        + (F.col("n_cum") - F.col("x_cum"))
+        * F.log((1.0 - F.col("p1")) / (1.0 - F.col("p0"))),
+        6,
+    )
+    upper = F.round(F.log(F.lit((1.0 - beta) / alpha)), 6)
+    lower = F.round(F.log(F.lit(beta / (1.0 - alpha))), 6)
+    return j.select(
+        "test",
+        "wave",
+        "n_cum",
+        "x_cum",
+        llr.alias("llr"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(llr >= upper, "accept_h1")
+        .when(llr <= lower, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

@@ -5456,3 +5456,48 @@ ORACLE_SQL["dedup_winnow_pairs"] = r"""
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
 """
+
+
+# Wald SPRT monitor: exact per-wave cumulative LLR trajectory, decisions
+# compared on the same 6-dp rounded quantities as the Spark side
+ORACLE_SQL["events_ab_sprt"] = """
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    waves AS (
+        SELECT user_id % 3 AS wave, COUNT(*) AS n, SUM(conv) AS x
+        FROM pu GROUP BY 1
+    ),
+    cum AS (
+        SELECT wave,
+               SUM(n) OVER (ORDER BY wave ROWS UNBOUNDED PRECEDING) AS n_cum,
+               SUM(x) OVER (ORDER BY wave ROWS UNBOUNDED PRECEDING) AS x_cum
+        FROM waves
+    ),
+    cfg AS (
+        SELECT * FROM (VALUES
+            ('h1_wins',      CAST(0.30 AS DOUBLE), CAST(0.45 AS DOUBLE)),
+            ('inconclusive', CAST(0.40 AS DOUBLE), CAST(0.50 AS DOUBLE)),
+            ('h0_wins',      CAST(0.45 AS DOUBLE), CAST(0.60 AS DOUBLE))
+        ) v(test, p0, p1)
+    ),
+    j AS (
+        SELECT cfg.test, cum.wave,
+               CAST(cum.n_cum AS BIGINT) AS n_cum,
+               CAST(cum.x_cum AS BIGINT) AS x_cum,
+               ROUND(cum.x_cum * LN(cfg.p1 / cfg.p0)
+                     + (cum.n_cum - cum.x_cum)
+                       * LN((1.0 - cfg.p1) / (1.0 - cfg.p0)), 6) AS llr,
+               ROUND(LN(0.95 / 0.05), 6) AS upper,
+               ROUND(LN(0.05 / 0.95), 6) AS lower
+        FROM cfg, cum
+    )
+    SELECT test, wave, n_cum, x_cum, llr, upper, lower,
+           CASE WHEN llr >= upper THEN 'accept_h1'
+                WHEN llr <= lower THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM j
+"""

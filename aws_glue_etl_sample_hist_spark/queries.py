@@ -679,6 +679,21 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_ab_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald SPRT early-stopping monitor (operators.analytics.
+    ab_sprt_monitor): cumulative Bernoulli log-likelihood ratio per
+    arrival wave against three (p0, p1) hypothesis pairs bracketing the
+    observed conversion rate, so all three regimes show up measured --
+    early accept_h1, continue, accept_h0 -- with Wald's guaranteed
+    error rates. Exact oracle (LLR arithmetic + thresholds replayed at
+    6 dp). Completes the experimentation family: fixed-horizon z
+    (events_ab_test), FDR across many tests (events_ab_fdr), streaming
+    maintenance (stream_events_ab), sequential stopping (this row)."""
+    from .operators.analytics import ab_sprt_monitor
+
+    return ab_sprt_monitor(load_table(spark, sf, "events"))
+
+
 def q_dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MOSS-style partial-overlap candidate pairs
     (operators.text.winnow_overlap_pairs): docs sharing >= 2 winnowing
@@ -5639,6 +5654,7 @@ QUERIES = {
     "text_winnow_fingerprints": q_text_winnow_fingerprints,
     "stream_quality_quantiles": q_stream_quality_quantiles,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "events_ab_sprt": q_events_ab_sprt,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

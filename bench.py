@@ -138,6 +138,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "stream_quality_quantiles",
     "dedup_winnow_pairs",
+    "events_ab_sprt",
 ]
 
 

@@ -3471,3 +3471,39 @@ def test_winnow_overlap_pairs_partial_overlap_and_guard(spark):
     assert (
         winnow_overlap_pairs(docs, min_shared=1, max_df=1).count() == 0
     )
+
+
+def test_ab_sprt_monitor_decisions_and_llr(spark):
+    """SPRT on a planted stream: conversion rate exactly 0.5 across
+    waves. Against (p0=0.1, p1=0.5) the LLR must climb and accept H1;
+    against (p0=0.5, p1=0.9) it must fall and accept H0; LLR at wave w
+    equals the closed form on the cumulative counts."""
+    import math
+
+    from aws_glue_etl_sample_hist_spark.operators.analytics import (
+        ab_sprt_monitor,
+    )
+
+    rows = []
+    eid = 0
+    for uid in range(60):
+        conv = uid % 2 == 0  # rate 0.5 in every wave (uid%3 strata)
+        rows.append((eid, uid, "purchase", 200.0 if conv else 10.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = ab_sprt_monitor(
+        ev, configs=[("up", 0.1, 0.5), ("down", 0.5, 0.9)]
+    ).collect()
+    by = {(r.test, r.wave): r for r in out}
+    last_up = by[("up", 2)]
+    last_down = by[("down", 2)]
+    assert last_up.decision == "accept_h1"
+    assert last_down.decision == "accept_h0"
+    # closed-form LLR check at the final wave (n=60, x=30)
+    exp_up = round(30 * math.log(0.5 / 0.1) + 30 * math.log(0.5 / 0.9), 6)
+    assert abs(last_up.llr - exp_up) < 1e-9
+    assert last_up.n_cum == 60 and last_up.x_cum == 30
+    # monotone trajectory: cumulative n increases with wave
+    assert by[("up", 0)].n_cum < by[("up", 1)].n_cum < by[("up", 2)].n_cum

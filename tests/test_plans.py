@@ -148,6 +148,8 @@ NESTED_LOOP_WHITELIST = {
                                    # k=4 centers)): the IVF assignment shape
     "corpus_epoch_plan",           # 1-row budget/lambda scalar joins over
                                    # the sources-cardinality plan table
+    "events_ab_sprt",              # 3 hypothesis configs x 3 cumulative
+                                   # waves (bounded cross join)
 }
 
 

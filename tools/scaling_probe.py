@@ -130,6 +130,7 @@ PROBE = [
     "text_winnow_fingerprints",
     "stream_quality_quantiles",
     "dedup_winnow_pairs",
+    "events_ab_sprt",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
