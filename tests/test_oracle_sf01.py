@@ -75,6 +75,17 @@ HEAVY = [
     "corpus_ccnet_buckets",
     "dedup_lsh_precision",
     "stream_events_ab",
+    # r9 additions: percentile-cut bucketing (sketch merge across
+    # partitions), sampled LSH audit (both pair families under the
+    # sample), cluster canonicalization (max_by partial agg across
+    # partitions), winnowing (per-doc sliding windows + inverted-index
+    # pair join), streaming histogram state folded across batches
+    "corpus_ccnet_buckets_cuts",
+    "dedup_lsh_recall_sampled",
+    "dedup_cluster_keeper",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "stream_quality_quantiles",
 ]
 
 
