@@ -1318,6 +1318,11 @@ def cluster_best_keeper(
     many tasks instead of sorting on one. Clustering itself is the
     shared dedup_clusters path (inverted-index Jaccard -> min-label CC).
 
+    Ids must be numeric (the shared connected-components backend's
+    convergence probe sums labels); the tie-break expression itself is
+    id-type agnostic by construction (the negation sits on the token
+    count, never the id).
+
     Returns (cluster_id, n_members, keeper_doc_id, keeper_n_tokens,
     n_dropped)."""
     from .text import token_count
@@ -1338,11 +1343,15 @@ def cluster_best_keeper(
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.max_by(
+            # min over (-len, id): longest doc first, then SMALLEST id --
+            # expressed with the negation on the (always numeric) token
+            # count so the id itself only needs to be orderable (string
+            # ids work; negating the id would NULL out non-numeric types)
+            F.min_by(
                 F.col(id_col),
                 F.struct(
-                    F.col("n_tokens").alias("_len"),
-                    (-F.col(id_col)).alias("_tie"),
+                    (-F.col("n_tokens")).alias("_neglen"),
+                    F.col(id_col).alias("_tie"),
                 ),
             ).alias("keeper_doc_id"),
             F.max("n_tokens").alias("keeper_n_tokens"),

@@ -1520,6 +1520,12 @@ def kcenter_coreset(
     )
     d_of = {(r._ida, r._idb): r._d for r in pd_rows}
     ids = sorted({r._ida for r in pd_rows})
+    if len(ids) < k:
+        raise ValueError(
+            f"kcenter_coreset: candidate pool has {len(ids)} member(s) "
+            f"with {id_col} < {n_candidates} but k={k} centers were "
+            "requested -- raise n_candidates or lower k"
+        )
     centers = [min(ids)]
     while len(centers) < k:
         best = None

@@ -943,11 +943,23 @@ def _winnow_selected(docs, *, k, w, text_col, id_col):
     ).select(
         id_col,
         (F.col("_p0") + 1).alias("_pos"),
-        (
+        # positions must fit the packed key's low field; a >= 2^20-gram
+        # document would silently corrupt the decoded hash, so fail LOUD
+        F.when(
+            F.col("_p0") + 1 < _WINNOW_POS_MOD,
             F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
             * _WINNOW_POS_MOD
-            - (F.col("_p0") + 1)
-        ).alias("_key"),
+            - (F.col("_p0") + 1),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "winnowing position overflow: document has >= 2^20 "
+                    "k-grams; chunk it (corpus_chunk) before fingerprinting"
+                )
+            )
+        )
+        .alias("_key"),
     )
     wdoc = Window.partitionBy(id_col)
     worder = Window.partitionBy(id_col).orderBy("_pos")

@@ -3507,3 +3507,27 @@ def test_ab_sprt_monitor_decisions_and_llr(spark):
     assert last_up.n_cum == 60 and last_up.x_cum == 30
     # monotone trajectory: cumulative n increases with wave
     assert by[("up", 0)].n_cum < by[("up", 1)].n_cum < by[("up", 2)].n_cum
+
+
+def test_cluster_best_keeper_tiebreak_is_type_agnostic(spark):
+    """The keeper tie-break (min_by over a (-n_tokens, id) struct) must
+    not negate the id column -- negation NULLs non-numeric types and
+    makes ties nondeterministic. Exercised directly on the aggregation
+    (the full operator requires numeric ids upstream: connected_
+    components' convergence probe sums labels)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("c1", "dB", 5), ("c1", "dA", 5), ("c1", "dC", 3)],
+        "cluster_id string, doc_id string, n_tokens int",
+    )
+    r = df.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col("doc_id"),
+            F.struct(
+                (-F.col("n_tokens")).alias("_neglen"),
+                F.col("doc_id").alias("_tie"),
+            ),
+        ).alias("keeper")
+    ).collect()[0]
+    assert r.keeper == "dA"  # longest wins, tie -> smallest string id
