@@ -1311,8 +1311,8 @@ def cluster_best_keeper(
     quality entirely; RefinedWeb and FineWeb both canonicalize on a
     content criterion, not an id accident).
 
-    Scale shape: keeper selection is a PURE AGGREGATION -- ``max_by``
-    over a (n_tokens, -id) struct with map-side partial aggregation --
+    Scale shape: keeper selection is a PURE AGGREGATION -- ``min_by``
+    over a (-n_tokens, id) struct with map-side partial aggregation --
     never a per-cluster window sort, so a pathological million-member
     template cluster (the case that WILL exist in a crawl) reduces on
     many tasks instead of sorting on one. Clustering itself is the

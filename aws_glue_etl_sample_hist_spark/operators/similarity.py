@@ -1519,7 +1519,9 @@ def kcenter_coreset(
         .collect()
     )
     d_of = {(r._ida, r._idb): r._d for r in pd_rows}
-    ids = sorted({r._ida for r in pd_rows})
+    # pool membership from cand itself, NOT from the pairwise rows: a
+    # 1-member pool yields zero pair rows yet satisfies k=1
+    ids = sorted(r[0] for r in cand.select(id_col).distinct().collect())
     if len(ids) < k:
         raise ValueError(
             f"kcenter_coreset: candidate pool has {len(ids)} member(s) "

@@ -943,10 +943,11 @@ def _winnow_selected(docs, *, k, w, text_col, id_col):
     ).select(
         id_col,
         (F.col("_p0") + 1).alias("_pos"),
-        # positions must fit the packed key's low field; a >= 2^20-gram
-        # document would silently corrupt the decoded hash, so fail LOUD
+        # positions must fit the packed key's low field; past 2^20 grams
+        # the key would silently corrupt the decoded hash, so fail LOUD
+        # (pos == 2^20 itself still decodes exactly: (h*M - M)/M + 1 = h)
         F.when(
-            F.col("_p0") + 1 < _WINNOW_POS_MOD,
+            F.col("_p0") + 1 <= _WINNOW_POS_MOD,
             F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
             * _WINNOW_POS_MOD
             - (F.col("_p0") + 1),

@@ -5483,32 +5483,42 @@ def q_corpus_ccnet_buckets_cuts(spark: SparkSession, sf: str) -> DataFrame:
     assigned."""
     from .operators.text import kn_doc_perplexity_bucket_cuts
 
+    from .operators._cache import tracked_persist
+
     pd_ = kn_doc_perplexity_bucket_cuts(load_table(spark, sf, "documents"))
+    # ONE pass over the expensive KN scoring: reduce to a (lang, ppl,
+    # bucket) histogram first; both the per-language aggregate and the
+    # tie-mass probe below consume the persisted histogram, never the
+    # scoring subtree twice
+    hist = tracked_persist(
+        pd_.groupBy("lang", "ppl_kn", "bucket").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+    )
+    per_lang = hist.groupBy("lang").agg(
+        F.sum("_c").alias("n_docs"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("_c")).otherwise(0)).alias("_nh"),
+        F.sum(F.when(F.col("bucket") == 2, F.col("_c")).otherwise(0)).alias("_nm"),
+        F.sum(F.when(F.col("bucket") == 3, F.col("_c")).otherwise(0)).alias("_nt"),
+        F.max(F.when(F.col("bucket") == 1, F.col("ppl_kn"))).alias("_maxh"),
+        F.min(F.when(F.col("bucket") == 2, F.col("ppl_kn"))).alias("_minm"),
+        F.max(F.when(F.col("bucket") == 2, F.col("ppl_kn"))).alias("_maxm"),
+        F.min(F.when(F.col("bucket") == 3, F.col("ppl_kn"))).alias("_mint"),
+    )
     # tie mass at the bucket boundaries: every doc whose ppl EQUALS a
     # boundary value stays in the lower bucket by the tie rule, so the
     # balance slack must absorb them (a degenerate-doc-heavy language can
     # put a large tied cohort exactly on a cut -- a data property, not an
     # operator defect; flat 2% alone would go red on such a corpus)
-    boundary_hi = F.max(F.when(F.col("bucket") == 1, F.col("ppl_kn")))
-    boundary_mid = F.max(F.when(F.col("bucket") == 2, F.col("ppl_kn")))
-    per_lang = pd_.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("bucket") == 1).cast("long")).alias("_nh"),
-        F.sum((F.col("bucket") == 2).cast("long")).alias("_nm"),
-        F.sum((F.col("bucket") == 3).cast("long")).alias("_nt"),
-        boundary_hi.alias("_maxh"),
-        F.min(F.when(F.col("bucket") == 2, F.col("ppl_kn"))).alias("_minm"),
-        boundary_mid.alias("_maxm"),
-        F.min(F.when(F.col("bucket") == 3, F.col("ppl_kn"))).alias("_mint"),
-    )
-    ties = pd_.join(
+    ties = hist.join(
         per_lang.select("lang", "_maxh", "_maxm"), "lang"
     ).groupBy("lang").agg(
         F.sum(
-            (
+            F.when(
                 (F.col("ppl_kn") == F.col("_maxh"))
-                | (F.col("ppl_kn") == F.col("_maxm"))
-            ).cast("long")
+                | (F.col("ppl_kn") == F.col("_maxm")),
+                F.col("_c"),
+            ).otherwise(0)
         ).alias("_tie_mass")
     )
     per_lang = per_lang.join(ties, "lang")
