@@ -597,3 +597,123 @@ def test_mmr_matches_reference_greedy(spark, rows):
         key=lambda t: t[1],
     )
     assert got == _brute_mmr(rows, 4, 0.7)
+
+
+# ------------------------- winnowing vs reference (Schleimer et al. 2003)
+
+_winnow_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=14
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _brute_winnow(toks: list[str], k: int = 3, w: int = 4):
+    """Pure-python replay of the operator's exact arithmetic: md5-derived
+    32-bit gram hashes packed as h*2^20 - pos, per-window min (rightmost
+    tie via the packing), full windows only except a short doc's single
+    truncated window. Returns (n_grams, selected hash set)."""
+    import hashlib
+
+    M = 1 << 20
+    grams = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else [" ".join(toks)]
+    )
+    keys = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * M - (p + 1)
+        for p, g in enumerate(grams)
+    ]
+    n = len(keys)
+    sel = set()
+    for p in range(n):
+        if p + 1 <= n - w + 1 or p == 0:
+            sel.add(min(keys[p : p + w]))
+    # fingerprints are (hash, position) pairs (the paper's definition):
+    # the same gram hash selected at two positions counts twice, so the
+    # set stays keyed by the PACKED key and only the summary decodes
+    return n, len(sel), sum(kk // M + 1 for kk in sel)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_winnow_docs)
+def test_winnow_fingerprints_match_reference(spark, docs_toks):
+    """Operator output (n_grams, n_fp, fp_sum) equals the pure-python
+    reference on randomized small-vocab token lists -- the small vocab
+    forces repeated grams, exercising the rightmost-tie rule and the
+    distinct-selection semantics."""
+    from aws_glue_etl_sample_hist_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_fp, r.fp_sum)
+        for r in winnow_fingerprints(df, k=3, w=4).collect()
+    }
+    for i, toks in enumerate(docs_toks):
+        assert got[i] == _brute_winnow(toks), (i, toks, got[i])
+
+
+# ------------------------- epoch waterfilling invariants
+
+_epoch_sources = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),  # clean docs
+        st.integers(min_value=0, max_value=20),  # junk docs
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_epoch_sources, st.sampled_from([1.5, 2.0, 3.0]))
+def test_epoch_plan_waterfilling_invariants(spark, mix, bf):
+    """On randomized clean/junk source mixes: every source's epochs stay
+    within [min(bf, cap_min)-ish floor, cap]; the planned token total
+    equals the budget when feasible (and the full cap allocation when
+    not); capped rows sit exactly at their cap."""
+    from aws_glue_etl_sample_hist_spark.operators.sampling import (
+        epoch_budget_plan,
+    )
+
+    clean = ("the quick brown fox and the lazy dog were that " * 4).strip()
+    junk = ("zxqv wkjh qpzm vbnm xswd " * 6).strip()
+    rows, did = [], 0
+    for s, (nc, nj) in enumerate(mix):
+        for _ in range(nc):
+            rows.append((did, clean, "en", f"src{s}")); did += 1
+        for _ in range(nj):
+            rows.append((did, junk, "en", f"src{s}")); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = epoch_budget_plan(docs, bf).collect()
+    total = sum(r.n_tokens for r in out)
+    planned = sum(r.planned_tokens for r in out)
+    feasible = out[0].budget_feasible
+    for r in out:
+        assert 0.0 < r.epochs <= r.epoch_cap + 1e-9
+        assert r.budget_feasible == feasible
+        if r.capped:
+            assert abs(r.epochs - r.epoch_cap) < 1e-9
+    if feasible:
+        # budget exhausted up to per-source 6-dp rounding
+        assert abs(planned - bf * total) <= 0.01 * len(out) * total + 1.0
+    else:
+        # infeasible: everything capped
+        assert all(r.capped for r in out)
+        assert planned <= bf * total
