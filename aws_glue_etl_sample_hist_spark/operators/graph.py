@@ -235,3 +235,76 @@ def label_propagation(
             "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
     return labels
+
+
+def kcore_members(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    k: int = 2,
+    node_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983): drop
+    every node with fewer than ``k`` neighbors INSIDE the surviving set,
+    repeat to fixpoint. Over the near-dup candidate graph the k-core is
+    the template-farm detector: a doc loosely similar to one other doc
+    survives pair dedup decisions, but a doc embedded in a DENSE blob of
+    mutual near-dups (boilerplate mills, mirror farms) sits in a deep
+    core -- a curation signal pair-level Jaccard cannot express.
+
+    Shape per round: one shuffle (edges semi-joined to survivors on both
+    endpoints, degree agg) + ONE count action for the convergence probe;
+    survivor frames localCheckpoint so round N's plan never re-embeds
+    rounds 1..N-1 (the connected_components lesson). Rounds are bounded
+    by the peeling depth -- near-dup graphs are clique-ish and converge
+    in a handful; a cap breach raises rather than returning a non-core.
+
+    Returns (doc_id, core_degree): the k-core members with their degree
+    within the final core (core_degree >= k by construction)."""
+    a, b = pair_cols
+    e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = tracked_persist(
+        e.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    )
+    alive = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        deg = (
+            edges.join(alive, edges.src == alive.node, "left_semi")
+            .join(
+                alive.withColumnRenamed("node", "dst_n"),
+                F.col("dst") == F.col("dst_n"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        alive = nxt
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    else:
+        raise RuntimeError(
+            f"kcore_members did not converge within {max_rounds} rounds"
+        )
+    final_deg = (
+        edges.join(alive, edges.src == alive.node, "left_semi")
+        .join(
+            alive.withColumnRenamed("node", "dst_n"),
+            F.col("dst") == F.col("dst_n"),
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias(node_col))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg

@@ -5501,3 +5501,43 @@ ORACLE_SQL["events_ab_sprt"] = """
                 ELSE 'continue' END AS decision
     FROM j
 """
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled k-core peeling oracle: round i keeps nodes with >= k
+    surviving neighbors; any rounds beyond the true peeling depth are
+    fixpoint no-ops, so unrolling MORE rounds than the operator needed
+    is always safe (the operator raises if it exceeds its own cap)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        prev = "e0" if i == 1 else f"r{i - 1}"
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+        SELECT e.src AS node FROM e
+        JOIN {prev} a ON e.src = a.node
+        JOIN {prev} b ON e.dst = b.node
+        GROUP BY 1 HAVING COUNT(*) >= {k}
+    )"""
+        )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH p AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})
+    ),
+    e AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    e0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    {joined}
+    SELECT e.src AS doc_id, COUNT(*) AS core_degree
+    FROM e
+    JOIN r{rounds} a ON e.src = a.node
+    JOIN r{rounds} b ON e.dst = b.node
+    GROUP BY 1
+"""
+
+
+# k-core of the near-dup graph: iterative peeling replayed as unrolled
+# fixpoint-stable rounds
+ORACLE_SQL["dedup_kcore"] = _kcore_sql(k=2, rounds=8)

@@ -679,6 +679,24 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the near-dup graph (operators.graph.kcore_members,
+    Seidman 1983, k=2): iterative peeling to fixpoint -- the
+    template-farm detector (docs embedded in DENSE blobs of mutual
+    near-dups, a curation signal pair-level Jaccard can't express).
+    Same pair config as dedup_ngram_jaccard so the oracle composes that
+    oracle verbatim; at crawl scale pass max_df to the pair generation
+    (the module's standard skew guard). Exact oracle: unrolled peel
+    rounds are fixpoint-stable, so 8 SQL rounds replay the operator's
+    converged answer exactly."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import kcore_members
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return kcore_members(docs.select("doc_id"), pairs, k=2)
+
+
 def q_events_ab_sprt(spark: SparkSession, sf: str) -> DataFrame:
     """Wald SPRT early-stopping monitor (operators.analytics.
     ab_sprt_monitor): cumulative Bernoulli log-likelihood ratio per
@@ -5686,6 +5704,7 @@ QUERIES = {
     "stream_quality_quantiles": q_stream_quality_quantiles,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "events_ab_sprt": q_events_ab_sprt,
+    "dedup_kcore": q_dedup_kcore,
     # --- past slot 50: remaining r5-era rows (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,

@@ -139,6 +139,7 @@ HEADLINE = [
     "stream_quality_quantiles",
     "dedup_winnow_pairs",
     "events_ab_sprt",
+    "dedup_kcore",
 ]
 
 

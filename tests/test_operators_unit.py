@@ -3531,3 +3531,30 @@ def test_cluster_best_keeper_tiebreak_is_type_agnostic(spark):
         ).alias("keeper")
     ).collect()[0]
     assert r.keeper == "dA"  # longest wins, tie -> smallest string id
+
+
+def test_kcore_peels_chains_keeps_dense_blobs(spark):
+    """k=2 core on a planted graph: a 4-clique survives with degree 3
+    each; a pendant chain hung off it peels away round by round; an
+    isolated edge vanishes immediately. Direct pair input isolates the
+    peeling from the Jaccard pair generation."""
+    from aws_glue_etl_sample_hist_spark.operators.graph import kcore_members
+
+    pairs = spark.createDataFrame(
+        # 4-clique {1,2,3,4}
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         # chain 4-5-6 (5 and 6 peel: degree drops below 2 as the tail goes)
+         (4, 5), (5, 6),
+         # isolated edge 8-9
+         (8, 9)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "doc_id long"
+    )
+    out = {r.doc_id: r.core_degree for r in kcore_members(nodes, pairs, k=2).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # k=1 keeps every non-isolated node
+    out1 = {r.doc_id for r in kcore_members(nodes, pairs, k=1).collect()}
+    assert out1 == {1, 2, 3, 4, 5, 6, 8, 9}

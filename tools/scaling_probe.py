@@ -131,6 +131,7 @@ PROBE = [
     "stream_quality_quantiles",
     "dedup_winnow_pairs",
     "events_ab_sprt",
+    "dedup_kcore",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
