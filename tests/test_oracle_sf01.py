@@ -86,6 +86,8 @@ HEAVY = [
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "stream_quality_quantiles",
+    # r9-late: iterative peeling to fixpoint over the near-dup graph
+    "dedup_kcore",
 ]
 
 
