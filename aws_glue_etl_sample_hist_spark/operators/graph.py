@@ -265,8 +265,15 @@ def kcore_members(
     within the final core (core_degree >= k by construction)."""
     a, b = pair_cols
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # distinct after the orientation union: duplicate or doubly-oriented
+    # input pairs would inflate degrees and wrongly retain sub-k nodes.
+    # Current callers emit distinct canonical pairs already, but the
+    # function enforces the contract rather than assuming it (cheap
+    # relative to the per-round semi-joins).
     edges = tracked_persist(
-        e.union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        e.union(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        ).distinct()
     )
     alive = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
         eager=True

@@ -946,9 +946,17 @@ def _winnow_selected(docs, *, k, w, text_col, id_col):
         # positions must fit the packed key's low field; past 2^20 grams
         # the key would silently corrupt the decoded hash, so fail LOUD
         # (pos == 2^20 itself still decodes exactly: (h*M - M)/M + 1 = h)
+        # hash clamped to >= 1 so the packed key is ALWAYS positive: a
+        # zero hash (prob 2^-32 per gram) would make h*M - pos negative,
+        # where Spark's long cast truncates toward zero but SQL engines
+        # floor-divide -- a latent cross-engine decode divergence at
+        # crawl scale. greatest(h, 1) keeps decode exact in both.
         F.when(
             F.col("_p0") + 1 <= _WINNOW_POS_MOD,
-            F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long")
+            F.greatest(
+                F.conv(F.substring(F.md5("_g"), 1, 8), 16, 10).cast("long"),
+                F.lit(1),
+            )
             * _WINNOW_POS_MOD
             - (F.col("_p0") + 1),
         )

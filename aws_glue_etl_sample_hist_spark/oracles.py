@@ -5340,8 +5340,9 @@ ORACLE_SQL["text_winnow_fingerprints"] = r"""
     ),
     g AS (
         SELECT doc_id, i AS pos,
-               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
-                     1, 8)) AS BIGINT) * 1048576 - i AS key
+               greatest(CAST(('0x' || substr(md5(array_to_string(
+                     toks[i:i+2], ' ')), 1, 8)) AS BIGINT), 1)
+                   * 1048576 - i AS key
         FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
              AS u(i)
     ),
@@ -5424,8 +5425,9 @@ ORACLE_SQL["dedup_winnow_pairs"] = r"""
     ),
     g AS (
         SELECT doc_id, i AS pos,
-               CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
-                     1, 8)) AS BIGINT) * 1048576 - i AS key
+               greatest(CAST(('0x' || substr(md5(array_to_string(
+                     toks[i:i+2], ' ')), 1, 8)) AS BIGINT), 1)
+                   * 1048576 - i AS key
         FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
              AS u(i)
     ),
@@ -5503,11 +5505,15 @@ ORACLE_SQL["events_ab_sprt"] = """
 """
 
 
-def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+def _kcore_sql(k: int = 2, rounds: int = 16) -> str:
     """Unrolled k-core peeling oracle: round i keeps nodes with >= k
     surviving neighbors; any rounds beyond the true peeling depth are
     fixpoint no-ops, so unrolling MORE rounds than the operator needed
-    is always safe (the operator raises if it exceeds its own cap)."""
+    is always safe (the operator raises if it exceeds its own cap).
+    The pair graph carries the max_df=100 skew guard, matching
+    q_dedup_kcore's ngram_jaccard_pairs(max_df=100). The final select
+    asserts the fixpoint (last two rounds agree) so an insufficient
+    unroll ERRORS instead of silently keeping not-yet-peeled nodes."""
     parts = []
     for i in range(1, rounds + 1):
         prev = "e0" if i == 1 else f"r{i - 1}"
@@ -5520,24 +5526,55 @@ def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
     )"""
         )
     joined = ",\n    ".join(parts)
-    return f"""
-    WITH p AS MATERIALIZED (
-        SELECT doc_a, doc_b FROM ({ORACLE_SQL["dedup_ngram_jaccard"]})
+    return rf"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    ), shf AS (
+        -- max_df = 100 skew guard, mirroring ngram_jaccard_pairs(max_df=100)
+        SELECT * FROM sh WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100)
+    ), sizes AS (
+        SELECT doc_id, COUNT(shingle) AS n FROM shf GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
     ),
     e AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM p
         UNION SELECT doc_b, doc_a FROM p
     ),
     e0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
-    {joined}
+    {joined},
+    chk AS (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM r{rounds - 1})
+                       = (SELECT COUNT(*) FROM r{rounds})
+               THEN 1
+               ELSE CAST(error('kcore oracle: unroll depth {rounds} '
+                               'insufficient (no fixpoint)') AS INT)
+               END AS ok
+    )
     SELECT e.src AS doc_id, COUNT(*) AS core_degree
     FROM e
     JOIN r{rounds} a ON e.src = a.node
     JOIN r{rounds} b ON e.dst = b.node
+    CROSS JOIN chk
+    WHERE chk.ok = 1
     GROUP BY 1
 """
 
 
 # k-core of the near-dup graph: iterative peeling replayed as unrolled
-# fixpoint-stable rounds
-ORACLE_SQL["dedup_kcore"] = _kcore_sql(k=2, rounds=8)
+# fixpoint-stable rounds over the max_df-guarded pair graph
+ORACLE_SQL["dedup_kcore"] = _kcore_sql(k=2, rounds=16)

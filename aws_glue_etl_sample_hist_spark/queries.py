@@ -684,16 +684,18 @@ def q_dedup_kcore(spark: SparkSession, sf: str) -> DataFrame:
     Seidman 1983, k=2): iterative peeling to fixpoint -- the
     template-farm detector (docs embedded in DENSE blobs of mutual
     near-dups, a curation signal pair-level Jaccard can't express).
-    Same pair config as dedup_ngram_jaccard so the oracle composes that
-    oracle verbatim; at crawl scale pass max_df to the pair generation
-    (the module's standard skew guard). Exact oracle: unrolled peel
-    rounds are fixpoint-stable, so 8 SQL rounds replay the operator's
-    converged answer exactly."""
+    Pair generation carries the max_df=100 high-DF shingle skew guard
+    (same config as dedup_clusters -- the registered query IS the
+    production exemplar, so the guard is ON, and the oracle carries the
+    identical DF filter). Exact oracle: unrolled peel rounds are
+    fixpoint-stable, and the oracle asserts its own fixpoint (the last
+    two unrolled rounds must agree) so an insufficient unroll fails
+    loudly instead of silently keeping not-yet-peeled nodes."""
     from .operators.dedup import ngram_jaccard_pairs
     from .operators.graph import kcore_members
 
     docs = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=100)
     return kcore_members(docs.select("doc_id"), pairs, k=2)
 
 
