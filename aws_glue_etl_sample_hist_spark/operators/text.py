@@ -1091,3 +1091,88 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_pair_recall(
+    docs,
+    *,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Measured recall of winnowing fingerprint candidates against the
+    EXACT shared-token-run truth -- the same accounting the MinHash path
+    carries in lsh_pair_recall. Schleimer et al. 2003 guarantee: any two
+    documents sharing a run of >= w + k - 1 consecutive tokens share at
+    least one selected fingerprint; this row MEASURES that (recall must
+    be exactly 1.0 in every bucket at min_shared=1 -- a theorem made a
+    hash-checked number), and shows the recall COST of raising
+    ``min_shared`` above 1 (the noise-suppression knob the production
+    pair row uses at 2).
+
+    Truth: pairs sharing >= 1 exact (w + k - 1)-token run, found by a
+    distinct t-gram md5 equi-join (inverted index, never all-pairs),
+    stratified by how many distinct runs they share (1 / 2-4 / 5-16 /
+    17+ -- the overlap-size axis of the S-curve). Candidates:
+    winnow_overlap_pairs at the same (k, w), no df guard (the guard's
+    recall cost belongs to a sampled twin, as in the LSH family).
+
+    Output: (run_bucket, n_true_pairs, n_hit, recall) per occupied
+    bucket. Both sides are md5 arithmetic -- the oracle recomputes
+    recall exactly. NOTE: like every exact-truth audit, the truth side
+    is output-pair-bound by definition; measurement harness, not a
+    production path."""
+    t = w + k - 1
+    g = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(tokens(F.col(text_col)), t), F.md5
+                )
+            )
+        ).alias("_g"),
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+    )
+    cand = winnow_overlap_pairs(
+        docs,
+        k=k,
+        w=w,
+        min_shared=min_shared,
+        max_df=None,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
+    r = F.col("n_runs")
+    bucket = (
+        F.when(r == 1, "1")
+        .when(r <= 4, "2-4")
+        .when(r <= 16, "5-16")
+        .otherwise("17+")
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy(bucket.alias("run_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )

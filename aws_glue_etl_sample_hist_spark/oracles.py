@@ -5194,6 +5194,31 @@ ORACLE_SQL["dedup_cluster_keeper"] = rf"""
 """
 
 
+# the curation DAG's C1 release composition: keep-longest cluster
+# canonicalization (the dedup_cluster_keeper keeper window) + the
+# cleaned_corpus quality arithmetic + the eval-set gate
+ORACLE_SQL["corpus_release"] = rf"""
+    WITH keep AS (
+        SELECT keeper_doc_id AS doc_id, cluster_id
+        FROM ({ORACLE_SQL["dedup_cluster_keeper"]})
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               ROUND(0.4 * (len(list_distinct(toks)) / len(toks))
+                   + 0.3 * (1 - len(list_filter(toks,
+                         x -> list_contains(['the','a','of','and','is'], x)))
+                         / len(toks))
+                   + 0.3 * least(len(toks) / 100.0, 1.0), 4) AS quality_score
+        FROM (SELECT doc_id, lang,
+                     regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    )
+    SELECT q.doc_id, q.lang, q.quality_score, keep.cluster_id
+    FROM q JOIN keep USING (doc_id)
+    WHERE q.quality_score >= 0.5 AND q.doc_id >= 10
+"""
+
+
 def _kcenter_sql(k: int = 4, n_cand: int = 32) -> str:
     """Unrolled-greedy k-center oracle (the _mmr_sql pattern): stage i
     picks the candidate maximizing its min 6-dp cosine distance to the
@@ -5457,6 +5482,71 @@ ORACLE_SQL["dedup_winnow_pairs"] = r"""
     FROM fpc a JOIN fpc b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
+"""
+
+
+# winnowing-vs-truth recall audit: truth = pairs sharing >= 1 exact
+# 6-token run (distinct 6-gram md5 equi-join); candidates = the same
+# winnowing selection at min_shared=1, no df guard. Schleimer et al.'s
+# guarantee makes every bucket's recall exactly 1.0 at this config.
+ORACLE_SQL["dedup_winnow_recall"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    rg AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i:i+5], ' ')) AS g
+        FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 5, 1)))
+             AS u(i)
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_runs
+        FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               greatest(CAST(('0x' || substr(md5(array_to_string(
+                     toks[i:i+2], ' ')), 1, 8)) AS BIGINT), 1)
+                   * 1048576 - i AS key
+        FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1)))
+             AS u(i)
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS win_min
+        FROM g
+    ),
+    sel AS (
+        SELECT DISTINCT w.doc_id, w.win_min
+        FROM winmin w JOIN n USING (doc_id)
+        WHERE w.pos <= n.n_grams - 3 OR w.pos = 1
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, win_min // 1048576 + 1 AS fpv FROM sel
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 1
+    )
+    SELECT CASE WHEN n_runs = 1 THEN '1'
+                WHEN n_runs <= 4 THEN '2-4'
+                WHEN n_runs <= 16 THEN '5-16'
+                ELSE '17+' END AS run_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS recall
+    FROM truth tr
+    LEFT JOIN cand c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
+    GROUP BY 1
 """
 
 

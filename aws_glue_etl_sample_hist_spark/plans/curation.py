@@ -71,16 +71,19 @@ def run_curation(
         )
 
     def c1_cleaned() -> None:
-        from ..queries import q_dedup_clusters
+        from ..operators.dedup import cluster_best_keeper
 
         stats = spark.read.parquet(p(out_dir, "c0", "doc_stats")).select(
             "doc_id", "quality_score"
         )
-        keepers = (
-            q_dedup_clusters(spark, sf_dir)
-            .filter(F.col("is_keeper") == 1)
-            .select("doc_id", "cluster_id")
-        )
+        # RefinedWeb-style canonicalization (r9 VERDICT item 7): each
+        # near-dup cluster keeps its LONGEST member (ties to smallest id)
+        # -- a content-aware keeper, not dedup_clusters' min-id accident.
+        # Same clustering config (n=3, threshold 0.2, max_df=100); pinned
+        # by the registered `corpus_release` row's exact oracle.
+        keepers = cluster_best_keeper(
+            docs, n=3, threshold=0.2, max_df=100
+        ).select(F.col("keeper_doc_id").alias("doc_id"), "cluster_id")
         cleaned = (
             docs.join(keepers, "doc_id")
             .join(stats, "doc_id")

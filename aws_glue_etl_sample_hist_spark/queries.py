@@ -733,6 +733,23 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-vs-truth audit (operators.text.winnow_pair_recall, r9
+    VERDICT item 8): measured recall of winnowing fingerprint candidates
+    (k=3, w=4, min_shared=1, no df guard) against the EXACT truth --
+    pairs sharing at least one run of w + k - 1 = 6 consecutive tokens
+    -- stratified by shared-run count. Schleimer et al.'s guarantee says
+    every bucket must read recall = 1.0000 at this config; the row makes
+    the theorem a hash-checked measurement (the same accounting the
+    MinHash path got via dedup_lsh_recall). Exact oracle: both sides are
+    md5 arithmetic DuckDB replays verbatim."""
+    from .operators.text import winnow_pair_recall
+
+    return winnow_pair_recall(
+        load_table(spark, sf, "documents"), k=3, w=4, min_shared=1
+    )
+
+
 def q_corpus_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget epoch planner (operators.sampling.epoch_budget_plan):
     waterfill a 2x-corpus training budget across sources under quality-
@@ -789,6 +806,30 @@ def q_cleaned_corpus(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "cluster_id"
     )
     return stats.join(keepers, "doc_id").filter(F.col("quality_score") >= 0.5)
+
+
+def q_corpus_release(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation DAG's C1 release composition, pinned exactly
+    (plans/curation.py::c1_cleaned, r9 VERDICT item 7): quality filter
+    (>= 0.5) AND keep-LONGEST near-dup cluster canonicalization
+    (operators.dedup.cluster_best_keeper -- the RefinedWeb-style
+    content-aware keeper rule, ties to smallest id) AND the eval-set
+    gate (doc_id >= 10 trains). Keeper selection runs over ALL cluster
+    members before the quality filter, matching the plan's join order.
+    Exact oracle: the dedup_cluster_keeper oracle's keeper window joined
+    to the cleaned_corpus quality arithmetic."""
+    from .operators.dedup import cluster_best_keeper
+
+    docs = load_table(spark, sf, "documents")
+    stats = q_text_stats(spark, sf).select("doc_id", "lang", "quality_score")
+    keepers = cluster_best_keeper(
+        docs, n=3, threshold=0.2, max_df=100
+    ).select(F.col("keeper_doc_id").alias("doc_id"), "cluster_id")
+    return (
+        stats.join(keepers, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("doc_id") >= 10))
+        .select("doc_id", "lang", "quality_score", "cluster_id")
+    )
 
 
 def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
@@ -1553,6 +1594,27 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     return semantic_dedup(load_table(spark, sf, "embeddings"))
+
+
+def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION quantizer (VERDICT r9 item 6): the
+    coarse cells come from k-means|| (operators.similarity.
+    kmeans_parallel_centroids, Bahmani et al. 2012) sized to the corpus
+    (k = ceil(n / 64)), so the within-cell pair join costs ~n * cell_size
+    -- LINEAR in the corpus -- instead of the toy k=8 seeded default's
+    ~n^2/8 (kept only for oracle-exactness in the base row). The k-means||
+    init is deterministic (md5 draws + seeded numpy reduction) but its
+    driver-side Lloyd reduction is not SQL-reproducible, so this row is
+    rows-only for the driver; the prune rule itself is contract-tested
+    locally (every flagged dup has a lower-id >= threshold partner in its
+    cell, every keeper has none -- tests/test_retrieval.py)."""
+    from .operators.similarity import kmeans_parallel_centroids, semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    k = int(max(2, min(4096, -(-n // 64))))
+    cents = kmeans_parallel_centroids(emb, k)
+    return semantic_dedup(emb, centroids=cents)
 
 
 def q_embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
@@ -5635,70 +5697,17 @@ def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-9 rotation (VERDICT r8 items 1-4): slot 1
-    # re-runs dedup_lsh_recall (r8 red on the now-fixed oracle dtype),
-    # slots 2-4 the three r8-late queries with no driver row yet, slots
-    # 5-6 the two round-9 additions (percentile-cut CCNet twin, sampled
-    # LSH audit), slots 7-39 the 33 r4-stale rows the r8 freshness
-    # histogram flagged, slots 40-50 the 11 oldest r5 rows. Past slot 50,
-    # blocks stay ordered oldest-evidence-first (r5 remainder, r6 spine,
-    # r7, then the r8-fresh blocks) so future rotations keep pointing at
-    # the stalest rows. Everything past slot 50 stays oracle-checked every
-    # round via tests/test_oracle_parity.py.
-    # --- block A: r8-red re-run + never-windowed + round-9 additions (6) ---
-    "dedup_lsh_recall": q_dedup_lsh_recall,
-    "corpus_mixture_temperature": q_corpus_mixture_temperature,
-    "dedup_lsh_precision": q_dedup_lsh_precision,
-    "stream_events_ab": q_stream_events_ab,
-    "corpus_ccnet_buckets_cuts": q_corpus_ccnet_buckets_cuts,
-    "dedup_lsh_recall_sampled": q_dedup_lsh_recall_sampled,
-    # --- block B: r4-stale rows, refreshed (33) ---
-    "customer_spend_deciles": q_customer_spend_deciles,
-    "events_grouping_sets": q_events_grouping_sets,
-    "part_fuzzy_matches": q_part_fuzzy_matches,
-    "events_value_trend": q_events_value_trend,
-    "corpus_zipf": q_corpus_zipf,
-    "corpus_source_budget": q_corpus_source_budget,
-    "dq_audit": q_dq_audit,
-    "dq_profile_orders": q_dq_profile_orders,
-    "embedding_random_projection": q_embedding_random_projection,
-    "embedding_centroid_outliers": q_embedding_centroid_outliers,
-    "orders_with_returns": q_orders_with_returns,
-    "customer_order_histogram": q_customer_order_histogram,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "rich_idle_customers": q_rich_idle_customers,
-    "part_small_qty_revenue": q_part_small_qty_revenue,
-    "embedding_pq_codes": q_embedding_pq_codes,
-    "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
-    "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
-    "customer_base_stats_approx": q_customer_base_stats_approx,
-    "documents_bm25_topk": q_documents_bm25_topk,
-    "corpus_bigram_pmi": q_corpus_bigram_pmi,
-    "text_word_entropy": q_text_word_entropy,
-    "mart_incremental_update": q_mart_incremental_update,
-    "events_distinct_rolling7": q_events_distinct_rolling7,
-    "part_set_similarity_join": q_part_set_similarity_join,
-    "supplier_pareto": q_supplier_pareto,
-    "events_heavy_hitters": q_events_heavy_hitters,
-    "events_hopping_window": q_events_hopping_window,
-    "customer_order_value_window": q_customer_order_value_window,
-    "corpus_bpe_merges": q_corpus_bpe_merges,
-    "part_entity_resolution": q_part_entity_resolution,
-    "multimodal_bmp_decode": q_multimodal_bmp_decode,
-    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
-    # --- block C: 11 oldest r5 rows (slots 40-50) ---
-    "text_repetition": q_text_repetition,
-    "orders_median_mode": q_orders_median_mode,
-    "corpus_winsorized_length": q_corpus_winsorized_length,
-    "corpus_tokens_hof": q_corpus_tokens_hof,
-    "events_ohlc": q_events_ohlc,
-    "stream_events_hopping": q_stream_events_hopping,
-    "orders_month_spine_recursive": q_orders_month_spine_recursive,
-    "embedding_ivf_index_search": q_embedding_ivf_index_search,
-    "multimodal_wav_decode": q_multimodal_wav_decode,
-    "multimodal_y4m_decode": q_multimodal_y4m_decode,
-    "orders_price_histogram": q_orders_price_histogram,
-    # --- r9-late additions (rotate into the r10 window) ---
+    # the FIRST 50 entries. Round-10 rotation (VERDICT r9 item 1): slots
+    # 1-8 the eight r9-late rows that have never had a driver row, slots
+    # 9-11 the three round-10 additions (trained-quantizer SemDeDup,
+    # keep-longest curation release, winnowing recall audit), slots 12-50
+    # the 39 r5-stale rows -- after this window every registered query's
+    # newest driver evidence is r6 or newer. Past slot 50, blocks stay
+    # ordered oldest-evidence-first (r6 spine, r7, r8-fresh, then the
+    # r9-checked rows) so future rotations keep pointing at the stalest
+    # rows. Everything past slot 50 stays oracle-checked every round via
+    # tests/test_oracle_parity.py.
+    # --- never-driver-checked r9-late rows (8) ---
     "dedup_cluster_keeper": q_dedup_cluster_keeper,
     "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
     "corpus_epoch_plan": q_corpus_epoch_plan,
@@ -5707,7 +5716,11 @@ QUERIES = {
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "events_ab_sprt": q_events_ab_sprt,
     "dedup_kcore": q_dedup_kcore,
-    # --- past slot 50: remaining r5-era rows (39) ---
+    # --- round-10 additions (3) ---
+    "embedding_semantic_dedup_trained": q_embedding_semantic_dedup_trained,
+    "corpus_release": q_corpus_release,
+    "dedup_winnow_recall": q_dedup_winnow_recall,
+    # --- r5-stale rows, refreshed (39) ---
     "embedding_pq_index_search": q_embedding_pq_index_search,
     "corpus_bpe_compression": q_corpus_bpe_compression,
     "join_key_skew_audit": q_join_key_skew_audit,
@@ -5747,7 +5760,7 @@ QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
     "events_user_trend_pandas": q_events_user_trend_pandas,
-    # --- block 6: r6-era reference spine (50) ---
+    # --- past slot 50: r6-era reference spine (50) ---
     "corpus_substring_dedup": q_corpus_substring_dedup,
     "pricing_summary": q_pricing_summary,
     "silver_denorm": q_silver_denorm,
@@ -5798,7 +5811,7 @@ QUERIES = {
     "events_cube": q_events_cube,
     "events_type_stats_salted": q_events_type_stats_salted,
     "product_category_revenue_salted": q_product_category_revenue_salted,
-    # --- block 7: freshest driver evidence, r7 (50) ---
+    # --- r7 block (50) ---
     "nations_pagerank_converged": q_nations_pagerank_converged,
     "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
     "corpus_dsir_select": q_corpus_dsir_select,
@@ -5849,7 +5862,7 @@ QUERIES = {
     "events_asof_last_order": q_events_asof_last_order,
     "stream_events_dedup": q_stream_events_dedup,
     "stream_events_purchase_follow": q_stream_events_purchase_follow,
-    # --- r8-fresh blocks (newest driver evidence, rotate last) ---
+    # --- r8-fresh block ---
     "text_quality_auc": q_text_quality_auc,
     "quality_rater_agreement": q_quality_rater_agreement,
     "quality_calibration": q_quality_calibration,
@@ -5899,6 +5912,58 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
+    # --- r9-checked rows (freshest driver evidence, rotate last) ---
+    "dedup_lsh_recall": q_dedup_lsh_recall,
+    "corpus_mixture_temperature": q_corpus_mixture_temperature,
+    "dedup_lsh_precision": q_dedup_lsh_precision,
+    "stream_events_ab": q_stream_events_ab,
+    "corpus_ccnet_buckets_cuts": q_corpus_ccnet_buckets_cuts,
+    "dedup_lsh_recall_sampled": q_dedup_lsh_recall_sampled,
+    "customer_spend_deciles": q_customer_spend_deciles,
+    "events_grouping_sets": q_events_grouping_sets,
+    "part_fuzzy_matches": q_part_fuzzy_matches,
+    "events_value_trend": q_events_value_trend,
+    "corpus_zipf": q_corpus_zipf,
+    "corpus_source_budget": q_corpus_source_budget,
+    "dq_audit": q_dq_audit,
+    "dq_profile_orders": q_dq_profile_orders,
+    "embedding_random_projection": q_embedding_random_projection,
+    "embedding_centroid_outliers": q_embedding_centroid_outliers,
+    "orders_with_returns": q_orders_with_returns,
+    "customer_order_histogram": q_customer_order_histogram,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "rich_idle_customers": q_rich_idle_customers,
+    "part_small_qty_revenue": q_part_small_qty_revenue,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "quality_quantiles_by_lang_approx": q_quality_quantiles_by_lang_approx,
+    "embedding_ivf_ann_trained": q_embedding_ivf_ann_trained,
+    "customer_base_stats_approx": q_customer_base_stats_approx,
+    "documents_bm25_topk": q_documents_bm25_topk,
+    "corpus_bigram_pmi": q_corpus_bigram_pmi,
+    "text_word_entropy": q_text_word_entropy,
+    "mart_incremental_update": q_mart_incremental_update,
+    "events_distinct_rolling7": q_events_distinct_rolling7,
+    "part_set_similarity_join": q_part_set_similarity_join,
+    "supplier_pareto": q_supplier_pareto,
+    "events_heavy_hitters": q_events_heavy_hitters,
+    "events_hopping_window": q_events_hopping_window,
+    "customer_order_value_window": q_customer_order_value_window,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
+    "part_entity_resolution": q_part_entity_resolution,
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
+    "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
+    "text_repetition": q_text_repetition,
+    "orders_median_mode": q_orders_median_mode,
+    "corpus_winsorized_length": q_corpus_winsorized_length,
+    "corpus_tokens_hof": q_corpus_tokens_hof,
+    "events_ohlc": q_events_ohlc,
+    "stream_events_hopping": q_stream_events_hopping,
+    "orders_month_spine_recursive": q_orders_month_spine_recursive,
+    "embedding_ivf_index_search": q_embedding_ivf_index_search,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_y4m_decode": q_multimodal_y4m_decode,
+    "orders_price_histogram": q_orders_price_histogram,
 }
+
 
 

@@ -790,7 +790,11 @@ def stream_dedup_clusters(
         if batch.isEmpty():
             return
         _bt0 = _time.perf_counter()
-        bsh = _distinct_shingles(batch, 3, "text", "doc_id", None)
+        # persist the batch's shingle set: it feeds the candidate join,
+        # the size agg AND the two state writes -- without the persist the
+        # explode+distinct shuffle re-runs once per consumer (measured
+        # ~2 s/batch of the merge wall at sf0.1, pure recompute)
+        bsh = _distinct_shingles(batch, 3, "text", "doc_id", None).persist()
 
         def _prev_dirs(root: str) -> list[str]:
             # every COMMITTED earlier batch's state dir; the current
@@ -879,8 +883,14 @@ def stream_dedup_clusters(
         inc = connected_components_incremental(
             old_labels, batch.select("doc_id"), pairs
         )
+        _ct0 = _time.perf_counter()
         out = os.path.join(labels_root, f"v{batch_id}")
         inc.write.mode("overwrite").parquet(out)
+        if timings is not None:
+            timings[f"batch_{batch_id}_ccwrite_sec"] = round(
+                _time.perf_counter() - _ct0, 3
+            )
+        _wt0 = _time.perf_counter()
         bsh.write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"batch_{batch_id}")
         )
@@ -888,7 +898,12 @@ def stream_dedup_clusters(
             os.path.join(sizes_dir, f"batch_{batch_id}")
         )
         if timings is not None:
+            timings[f"batch_{batch_id}_statewrite_sec"] = round(
+                _time.perf_counter() - _wt0, 3
+            )
+        if timings is not None:
             pairs.unpersist()
+        bsh.unpersist()
         state["labels_path"] = out
         state["n_batches"] += 1
         if timings is not None:

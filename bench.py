@@ -140,6 +140,11 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "events_ab_sprt",
     "dedup_kcore",
+    # round-10: trained-quantizer SemDeDup, keep-longest curation release,
+    # winnowing-vs-truth recall audit
+    "embedding_semantic_dedup_trained",
+    "corpus_release",
+    "dedup_winnow_recall",
 ]
 
 
@@ -172,10 +177,29 @@ def _sentinel_trial(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _job_overhead_trial(spark) -> float:
+    """FROZEN tiny-job latency probe -- do not edit between rounds.
+
+    20 sequential one-partition count jobs over a 1-row in-memory frame:
+    near-zero compute, so the wall is ~pure driver-side job scheduling +
+    task launch latency. The r9 driver bench drifted +20-31% ONLY on
+    job-overhead-bound rows (streaming drains, iterative loops) while the
+    scan+shuffle sentinel got FASTER -- two probes separate the two
+    machine-state axes: if this probe inflates on the driver while the
+    scan sentinel holds, the drift is per-job latency (environment), not
+    an engine regression."""
+    df = spark.range(1).coalesce(1)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        df.count()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
 
     # JVM / codegen / file-listing warmup (not timed): exercise scan + agg +
     # noop-write machinery once so the first timed query isn't charged for it
@@ -186,6 +210,7 @@ def main() -> None:
     # measured at ~25%, which buried real regressions between rounds
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     sentinel_trials = [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
+    overhead_trials = [_job_overhead_trial(spark) for _ in range(n_trials)]
     for name in HEADLINE:
         if name not in QUERIES:
             continue
@@ -195,12 +220,18 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(trials), 3)
+        # min-of-trials is the load-jitter-robust floor: a row whose driver
+        # MEDIAN inflates while its MIN matches the local run is transient
+        # machine load, not a code regression (bench_result.json only)
+        timings_min[name] = round(min(trials), 3)
         # banded operators tracked-persist intermediates; release per query
         # so 48 queries x 3 trials don't accumulate cache blocks and skew
         # later timings with eviction pressure
         release_operator_caches()
     sentinel_trials += [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
+    overhead_trials += [_job_overhead_trial(spark) for _ in range(n_trials)]
     sentinel_sec = round(statistics.median(sentinel_trials), 3)
+    job_overhead_sec = round(statistics.median(overhead_trials), 3)
 
     with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
         t0 = time.perf_counter()
@@ -297,7 +328,9 @@ def main() -> None:
         "value": pipeline_sec,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
         "sentinel_sec": sentinel_sec,
+        "job_overhead_sec": job_overhead_sec,
         "sf": _sf_from_dir(sf_dir),
     }
     # ALSO write the result as its own intact JSON artifact: the driver's
@@ -316,6 +349,9 @@ def main() -> None:
     # slow rows are the ones the judge grades; bench_result.json always
     # carries every row) until the single line is <= 1800 bytes.
     line = dict(result)
+    # per-query min lives in bench_result.json only -- doubling the dict
+    # would halve how many rows fit the driver's stdout tail window
+    del line["queries_min"]
     kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = kept

@@ -10,9 +10,12 @@ def test_curation_dag_materializes_exact_composition(spark, sf_small, tmp_path):
     training tier shards every released doc exactly once, and the manifest
     totals agree with the release."""
     from aws_glue_etl_sample_hist_spark.catalog import load_table
-    from aws_glue_etl_sample_hist_spark.operators.dedup import contamination_flags
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        cluster_best_keeper,
+        contamination_flags,
+    )
     from aws_glue_etl_sample_hist_spark.plans.curation import run_curation
-    from aws_glue_etl_sample_hist_spark.queries import q_dedup_clusters, q_text_stats
+    from aws_glue_etl_sample_hist_spark.queries import q_text_stats
 
     out = str(tmp_path / "curation")
     timings = run_curation(spark, sf_small, out)
@@ -20,10 +23,13 @@ def test_curation_dag_materializes_exact_composition(spark, sf_small, tmp_path):
 
     released = spark.read.parquet(out + "/c2/released")
 
-    # in-memory composition of the same oracle-checked operators
+    # in-memory composition of the same oracle-checked operators (keepers
+    # are the keep-LONGEST canonical members, the corpus_release rule)
     docs = load_table(spark, sf_small, "documents")
     stats = q_text_stats(spark, sf_small).select("doc_id", "quality_score")
-    keepers = q_dedup_clusters(spark, sf_small).filter(F.col("is_keeper") == 1).select("doc_id")
+    keepers = cluster_best_keeper(docs, n=3, threshold=0.2, max_df=100).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
     cleaned = (
         docs.join(keepers, "doc_id")
         .join(stats, "doc_id")

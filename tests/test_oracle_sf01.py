@@ -88,6 +88,11 @@ HEAVY = [
     "stream_quality_quantiles",
     # r9-late: iterative peeling to fixpoint over the near-dup graph
     "dedup_kcore",
+    # r10: keep-longest release composition (keeper agg + quality join
+    # across partitions), winnowing recall audit (exact-truth 6-gram join
+    # + fingerprint join, both inverted-index families)
+    "corpus_release",
+    "dedup_winnow_recall",
 ]
 
 

@@ -717,3 +717,55 @@ def test_epoch_plan_waterfilling_invariants(spark, mix, bf):
         # infeasible: everything capped
         assert all(r.capped for r in out)
         assert planned <= bf * total
+
+
+# ---- connected-components dual-path agreement (adaptive dispatch) ----
+
+_cc_graph = st.builds(
+    lambda seeds, extra_edges: (sorted(set(seeds)), extra_edges),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=34),
+            st.integers(min_value=0, max_value=34),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cc_graph)
+def test_cc_driver_local_matches_distributed(spark, graph):
+    """The adaptive driver-local union-find path of connected_components
+    must return EXACTLY the distributed min-label-propagation fixpoint on
+    randomized graphs -- including the contract corners: edge endpoints
+    outside the seed node set (they inherit the component's seed-min
+    label but never contribute their own id), duplicate edges,
+    self-loops, and seed-free components (which must not appear at all)."""
+    from aws_glue_etl_sample_hist_spark.operators.dedup import (
+        connected_components,
+    )
+
+    seeds, edges = graph
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes_df = spark.createDataFrame([(s,) for s in seeds], "doc_id long")
+    pairs_df = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs_df = pairs_df.filter(F.col("doc_a") != F.col("doc_b"))
+    dist = connected_components(
+        nodes_df, pairs_df, local_threshold=None
+    ).collect()
+    loc = connected_components(
+        nodes_df, pairs_df, local_threshold=10_000
+    ).collect()
+    assert sorted((r.doc_id, r.cluster_id) for r in dist) == sorted(
+        (r.doc_id, r.cluster_id) for r in loc
+    )

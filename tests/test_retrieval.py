@@ -77,3 +77,54 @@ def test_serve_mmr_from_artifacts(spark, sf_small, tmp_path):
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     again = serve_mmr(spark, out, QUERY_TERMS, (0, [float(x) for x in qrow.embedding]))
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in served.collect()}
+
+
+def test_semantic_dedup_trained_prune_contract(spark, sf_small):
+    """The trained-quantizer SemDeDup row is rows-only for the driver (the
+    k-means|| reduction is not SQL-reproducible), so the prune rule is
+    pinned HERE: given the cell assignment, a vector is flagged is_dup iff
+    some LOWER-id vector in the same cell has cosine >= threshold with it
+    -- verified by brute force within every cell on the sf0.001 corpus."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        kmeans_parallel_centroids,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_parallel_centroids(emb, 4)
+    out = semantic_dedup(emb, threshold=0.4, centroids=cents)
+    rows = (
+        out.join(
+            emb.select(F.col("vec_id"), F.col("embedding")), "vec_id"
+        ).collect()
+    )
+    assert len(rows) == emb.count()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_dups = 0
+    for members in by_cell.values():
+        members.sort(key=lambda r: r.vec_id)
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in members
+        }
+        for r in members:
+            v = vecs[r.vec_id]
+            nv = v / max(np.linalg.norm(v), 1e-12)
+            expect_dup = False
+            for q in members:
+                if q.vec_id >= r.vec_id:
+                    break
+                w = vecs[q.vec_id]
+                nw = w / max(np.linalg.norm(w), 1e-12)
+                if float(nv @ nw) >= 0.4:
+                    expect_dup = True
+                    break
+            assert bool(r.is_dup) == expect_dup, (r.vec_id, r.cell)
+            n_dups += int(expect_dup)
+    # the sf0.001 embedding fixture contains planted near-dups: the rule
+    # must actually fire, not pass vacuously
+    assert n_dups > 0

@@ -132,6 +132,11 @@ PROBE = [
     "dedup_winnow_pairs",
     "events_ab_sprt",
     "dedup_kcore",
+    # round 10: trained-quantizer SemDeDup (corpus-sized k), keep-longest
+    # release composition, winnowing-vs-truth recall audit
+    "embedding_semantic_dedup_trained",
+    "corpus_release",
+    "dedup_winnow_recall",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
