@@ -1203,24 +1203,44 @@ def kmeans_parallel_centroids(
     )
     spark = emb.sparkSession
 
-    def min_dist2(cands: list[list[float]]) -> DataFrame:
+    def dist2_update(prev: DataFrame | None, new_cands: list[list[float]]) -> DataFrame:
+        """Min distance to the candidate set so far, INCREMENTALLY: dot
+        only against the round's NEW candidates, folded into the carried
+        per-point d2 with least(). Exact: min(prev, 2 - 2*max_new) equals
+        2 - 2*max_all bit-for-bit (x -> 2 - 2x is monotone in IEEE), so
+        every phi and every sampling draw is identical to the
+        recompute-against-all form -- but per-round work is O(n * l)
+        instead of O(n * r * l), and the dots run through the slow
+        higher-order-function path r times fewer."""
         cent = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
+            [(i, c) for i, c in enumerate(new_cands)],
+            "cent_id long, cv array<double>",
         )
-        return (
+        base = prev if prev is not None else normed.withColumn(
+            "d2", F.lit(float("inf"))
+        )
+        nd = (
             F.broadcast(cent)
-            .crossJoin(normed)
+            .crossJoin(base)
             .groupBy("_id")
             .agg(
                 F.first("_nv").alias("_nv"),
-                (2.0 - 2.0 * F.max(dot(F.col("cv"), F.col("_nv")))).alias("d2"),
+                F.least(
+                    F.first("d2"),
+                    2.0 - 2.0 * F.max(dot(F.col("cv"), F.col("_nv"))),
+                ).alias("d2"),
             )
+            .persist()
         )
+        nd.count()
+        if prev is not None:
+            prev.unpersist()
+        return nd
 
     first = normed.orderBy("_id").select("_nv").first()[0]
     cands = [[float(x) for x in first]]
+    d = dist2_update(None, cands)
     for r in range(rounds):
-        d = min_dist2(cands)
         phi = d.agg(F.sum("d2")).collect()[0][0] or 0.0
         if phi <= 0:
             break
@@ -1243,8 +1263,12 @@ def kmeans_parallel_centroids(
         picked = d.filter(u_r < F.lit(float(l)) * F.col("d2") / F.lit(float(phi))).select(
             "_nv"
         )
-        cands.extend([[float(x) for x in row[0]] for row in picked.collect()])
+        new_cands = [[float(x) for x in row[0]] for row in picked.collect()]
+        cands.extend(new_cands)
+        if new_cands and r < rounds - 1:
+            d = dist2_update(d, new_cands)
 
+    d.unpersist()
     # weight candidates by the population of their nearest-candidate cell
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
@@ -1577,4 +1601,173 @@ def kcenter_coreset(
             F.max("_best.d").alias("radius"),
             F.round(F.avg("_best.d"), 4).alias("mean_dist"),
         )
+    )
+
+
+def bitext_margin_pairs(
+    emb: DataFrame,
+    *,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+    threshold: float = 1.05,
+    band_dims: tuple[tuple[int, ...], ...] = DEFAULT_NEAR_DUP_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 -- the LASER/CCMatrix parallel-corpus miner): given
+    two embedding shards (a source and a target language), score every
+    candidate cross-shard pair by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where avgNN_k(v) is the mean cosine of v's k nearest candidates on
+    the OTHER side -- the hubness correction that makes raw-cosine
+    mining usable (a "hub" vector close to everything gets a large
+    denominator and stops winning every pair). Each source vector keeps
+    its best-margin target when the margin clears ``threshold``; the
+    ``mutual`` flag marks pairs that are best in BOTH directions (the
+    highest-precision tier CCMatrix filters on).
+
+    Scale shape: candidates come from the SAME multi-band sign-LSH
+    equi-join as near_dup_pairs (never a cross-shard nested loop --
+    plan-guard-safe), and the k-NN denominators are computed over those
+    banded candidates with per-node bounded windows; at 100 TB both the
+    pair space and the windows are bucket-bounded. The banded-candidate
+    denominator is the documented approximation vs the paper's exact
+    k-NN (which is itself usually approximated by FAISS in production);
+    everything is deterministic, so the row ships an EXACT oracle.
+
+    Engine-portable arithmetic: cosines are quantized to integer
+    MICRO-cosines (round(cos * 1e6) as BIGINT) before ranking, and the
+    margin is computed from integer sums --
+    2 * c * n_s * n_t / (sum_s * n_t + sum_t * n_s) -- so both engines
+    divide the SAME two integers (a float k-NN average re-rounded at
+    6 dp flips on representation ties; measured one such flip per ~500
+    vectors). Returns (src_id, tgt_id, cosine, margin, mutual), one row
+    per mined source."""
+    sides = emb.filter(F.col(label_col).isin([src_label, tgt_label]))
+    normed = sides.withColumn(
+        "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+    ).withColumn(
+        "_nv",
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")),
+    )
+    sigs = F.array(*[sign_bucket(F.col(vec_col), d) for d in band_dims])
+    banded = tracked_persist(
+        normed.select(
+            F.col(id_col), F.col(label_col), F.posexplode(sigs).alias("band", "sig")
+        )
+    )
+    a = banded.filter(F.col(label_col) == src_label).select(
+        F.col(id_col).alias("src_id"), "band", "sig"
+    )
+    b = banded.filter(F.col(label_col) == tgt_label).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b")) & (F.col("sig") == F.col("sig_b")),
+        )
+        .select("src_id", "tgt_id")
+        .dropDuplicates(["src_id", "tgt_id"])
+    )
+    vecs = tracked_persist(
+        normed.select(F.col(id_col).alias("_vid"), F.col("_nv"))
+    )
+    scored = tracked_persist(
+        cand_ids.join(
+            vecs.select(F.col("_vid").alias("src_id"), F.col("_nv").alias("va")),
+            "src_id",
+        )
+        .join(
+            vecs.select(F.col("_vid").alias("tgt_id"), F.col("_nv").alias("vb")),
+            "tgt_id",
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round(dot(F.col("va"), F.col("vb")) * 1e6)
+            .cast("long")
+            .alias("_c6"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("_c6").desc(), F.col("tgt_id").asc()
+    )
+    d_src = (
+        scored.withColumn("_rn", F.row_number().over(w_src))
+        .filter(F.col("_rn") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("_c6").alias("_s_sum"),
+            F.count(F.lit(1)).alias("_s_n"),
+        )
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("_c6").desc(), F.col("src_id").asc()
+    )
+    d_tgt = (
+        scored.withColumn("_rn", F.row_number().over(w_tgt))
+        .filter(F.col("_rn") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("_c6").alias("_t_sum"),
+            F.count(F.lit(1)).alias("_t_n"),
+        )
+    )
+    m = tracked_persist(
+        scored.join(d_src, "src_id")
+        .join(d_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                2.0
+                * F.col("_c6")
+                * F.col("_s_n")
+                * F.col("_t_n")
+                / F.greatest(
+                    F.col("_s_sum") * F.col("_t_n")
+                    + F.col("_t_sum") * F.col("_s_n"),
+                    F.lit(1).cast("long"),
+                ),
+                6,
+            ),
+        )
+        .select(
+            "src_id",
+            "tgt_id",
+            (F.col("_c6") / 1e6).alias("cosine"),
+            "margin",
+        )
+    )
+    w_pick = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    best = (
+        m.withColumn("_rk", F.row_number().over(w_pick))
+        .filter((F.col("_rk") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )
+    w_back = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id").asc()
+    )
+    t_best = (
+        m.withColumn("_rt", F.row_number().over(w_back))
+        .filter(F.col("_rt") == 1)
+        .select(F.col("src_id").alias("_back_src"), "tgt_id")
+    )
+    return best.join(t_best, "tgt_id", "left").select(
+        "src_id",
+        "tgt_id",
+        "cosine",
+        "margin",
+        F.coalesce(F.col("_back_src") == F.col("src_id"), F.lit(False)).alias(
+            "mutual"
+        ),
     )

@@ -478,20 +478,28 @@ def quality_stats(docs, *, text_col: str = "text", id_col: str = "doc_id"):
         stopword_count(toks, QUALITY_STOPWORDS).alias("n_stopwords"),
         sum_token_lengths(toks).alias("sum_token_len"),
     )
+    # 4-dp rounding via floor(x*1e4 + 0.5)/1e4 rather than F.round: Spark's
+    # round() HALF_UPs the double's SHORTEST DECIMAL REPR (BigDecimal via
+    # Double.toString) while SQL engines round the exact binary value, so a
+    # representation-boundary score (~1 doc in 5k) rounds differently across
+    # engines (0.6588 vs 0.6587 -- the corpus_release sf0.1 red). The floor
+    # form is plain double arithmetic both engines execute identically.
+    def _r4(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
     return d.select(
         "doc_id",
         "lang",
         "n_chars_measured",
         "n_tokens",
         "n_distinct_tokens",
-        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 4).alias("distinct_ratio"),
-        F.round(F.col("n_stopwords") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(F.col("sum_token_len") / F.col("n_tokens"), 4).alias("avg_token_len"),
-        F.round(
+        _r4(F.col("n_distinct_tokens") / F.col("n_tokens")).alias("distinct_ratio"),
+        _r4(F.col("n_stopwords") / F.col("n_tokens")).alias("stopword_ratio"),
+        _r4(F.col("sum_token_len") / F.col("n_tokens")).alias("avg_token_len"),
+        _r4(
             0.4 * (F.col("n_distinct_tokens") / F.col("n_tokens"))
             + 0.3 * (1 - F.col("n_stopwords") / F.col("n_tokens"))
-            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
-            4,
+            + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
         ).alias("quality_score"),
     )
 
@@ -1175,4 +1183,32 @@ def winnow_pair_recall(
                 F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 4
             ).alias("recall"),
         )
+    )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum validity (ISO/IEC 7812) of a digit-only string
+    column, as a pure JVM expression: from the RIGHTMOST digit, double
+    every second digit (subtracting 9 when the double exceeds 9) and
+    require the total to be divisible by 10. This is the standard
+    false-positive filter behind credit-card PII scrubbing -- a regex
+    finds card-LIKE digit runs, the checksum confirms them (a random
+    digit run passes with p = 0.1, so the filter drops ~90% of regex
+    noise before redaction). Identical arithmetic in SQL via
+    generate_series + substr over the reversed string; empty or
+    non-digit input yields NULL, never a false positive."""
+    ds = F.split(F.reverse(digits), "")
+    contrib = F.transform(
+        ds,
+        lambda ch, i: F.when(
+            (i % 2) == 1,
+            F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9).otherwise(
+                ch.cast("int") * 2
+            ),
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return F.when(
+        (F.length(digits) >= 2) & digits.rlike("^[0-9]+$"),
+        (total % 10) == 0,
     )

@@ -278,12 +278,16 @@ ORACLE_SQL: dict[str, str] = {
             FROM t
         )
         SELECT doc_id, lang, n_chars_measured, n_tokens, n_distinct_tokens,
-               ROUND(n_distinct_tokens / n_tokens, 4) AS distinct_ratio,
-               ROUND(n_stopwords / n_tokens, 4)       AS stopword_ratio,
-               ROUND(sum_token_len / n_tokens, 4)     AS avg_token_len,
-               ROUND(0.4 * (n_distinct_tokens / n_tokens)
+               FLOOR((n_distinct_tokens / n_tokens) * 10000 + 0.5) / 10000
+                   AS distinct_ratio,
+               FLOOR((n_stopwords / n_tokens) * 10000 + 0.5) / 10000
+                   AS stopword_ratio,
+               FLOOR((sum_token_len / n_tokens) * 10000 + 0.5) / 10000
+                   AS avg_token_len,
+               FLOOR((0.4 * (n_distinct_tokens / n_tokens)
                    + 0.3 * (1 - n_stopwords / n_tokens)
-                   + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality_score
+                   + 0.3 * least(n_tokens / 100.0, 1.0)) * 10000 + 0.5)
+                   / 10000 AS quality_score
         FROM d
     """,
     "text_langid": r"""
@@ -576,11 +580,12 @@ ORACLE_SQL: dict[str, str] = {
             GROUP BY d.doc_id
         ), q AS (
             SELECT doc_id, lang,
-                   ROUND(0.4 * (len(list_distinct(toks)) / len(toks))
+                   FLOOR((0.4 * (len(list_distinct(toks)) / len(toks))
                        + 0.3 * (1 - len(list_filter(toks,
                              x -> list_contains(['the','a','of','and','is'], x)))
                              / len(toks))
-                       + 0.3 * least(len(toks) / 100.0, 1.0), 4) AS quality_score
+                       + 0.3 * least(len(toks) / 100.0, 1.0)) * 10000 + 0.5)
+                   / 10000 AS quality_score
             FROM (SELECT doc_id, lang,
                          regexp_split_to_array(trim(text), '\s+') AS toks
                   FROM documents)
@@ -938,11 +943,12 @@ ORACLE_SQL: dict[str, str] = {
     "quality_quantiles_by_lang": r"""
         WITH q AS (
             SELECT lang,
-                   ROUND(0.4 * (len(list_distinct(toks)) / len(toks))
+                   FLOOR((0.4 * (len(list_distinct(toks)) / len(toks))
                        + 0.3 * (1 - len(list_filter(toks,
                              x -> list_contains(['the','a','of','and','is'], x)))
                              / len(toks))
-                       + 0.3 * least(len(toks) / 100.0, 1.0), 4) AS quality_score
+                       + 0.3 * least(len(toks) / 100.0, 1.0)) * 10000 + 0.5)
+                   / 10000 AS quality_score
             FROM (SELECT lang,
                          regexp_split_to_array(trim(text), '\s+') AS toks
                   FROM documents)
@@ -2113,6 +2119,113 @@ _EMB_LOSERS = f"""SELECT DISTINCT eb.vec_id
     WHERE list_dot_product(ea.v, eb.v)
           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
           >= 0.4"""
+
+
+# margin-based bitext mining: banded candidates, 6-dp cosine ranking,
+# k-NN hubness denominators, ratio margin, both-direction argmax picks
+ORACLE_SQL["embedding_bitext_mine"] = f"""
+    WITH eb AS ({_EMB_BANDED}),
+    el AS (
+        SELECT eb.vec_id, em.label, eb.v, eb.b0, eb.b1, eb.b2, eb.b3
+        FROM eb JOIN embeddings em ON eb.vec_id = em.vec_id
+        WHERE em.label IN (0, 1)
+    ),
+    en AS (
+        SELECT vec_id, label, b0, b1, b2, b3,
+               list_transform(v, x -> x / n) AS nv
+        FROM (SELECT *, greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n
+              FROM el)
+    ),
+    cand AS MATERIALIZED (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               CAST(ROUND(list_dot_product(s.nv, t.nv) * 1e6) AS BIGINT)
+                   AS c6
+        FROM en s JOIN en t
+          ON (s.b0 = t.b0 OR s.b1 = t.b1 OR s.b2 = t.b2 OR s.b3 = t.b3)
+        WHERE s.label = 0 AND t.label = 1
+    ),
+    ds AS (
+        SELECT src_id, CAST(SUM(c6) AS BIGINT) AS s_sum,
+               CAST(COUNT(*) AS BIGINT) AS s_n
+        FROM (SELECT src_id, c6,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY c6 DESC, tgt_id ASC)
+                         AS rn
+              FROM cand)
+        WHERE rn <= 4 GROUP BY 1
+    ),
+    dt AS (
+        SELECT tgt_id, CAST(SUM(c6) AS BIGINT) AS t_sum,
+               CAST(COUNT(*) AS BIGINT) AS t_n
+        FROM (SELECT tgt_id, c6,
+                     ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                        ORDER BY c6 DESC, src_id ASC)
+                         AS rn
+              FROM cand)
+        WHERE rn <= 4 GROUP BY 1
+    ),
+    m AS MATERIALIZED (
+        -- integer-exact margin: both engines divide the SAME two BIGINTs
+        SELECT c.src_id, c.tgt_id, c.c6 / 1e6 AS cosine,
+               ROUND(2.0 * c.c6 * ds.s_n * dt.t_n
+                     / greatest(ds.s_sum * dt.t_n + dt.t_sum * ds.s_n,
+                                CAST(1 AS BIGINT)), 6) AS margin
+        FROM cand c JOIN ds USING (src_id) JOIN dt USING (tgt_id)
+    ),
+    best AS (
+        SELECT src_id, tgt_id, cosine, margin
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                           ORDER BY margin DESC, tgt_id ASC)
+                            AS rk
+              FROM m)
+        WHERE rk = 1 AND margin >= 1.0
+    ),
+    tbest AS (
+        SELECT src_id AS back_src, tgt_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                           ORDER BY margin DESC, src_id ASC)
+                            AS rt
+              FROM m)
+        WHERE rt = 1
+    )
+    SELECT b.src_id, b.tgt_id, b.cosine, b.margin,
+           COALESCE(t.back_src = b.src_id, FALSE) AS mutual
+    FROM best b LEFT JOIN tbest t USING (tgt_id)
+"""
+
+
+# Luhn checksum audit: reversed-digit doubling arithmetic replayed exactly
+ORACLE_SQL["customer_id_luhn_audit"] = r"""
+    WITH d AS (
+        SELECT c_mktsegment,
+               regexp_extract(c_name, '([0-9]{9})', 1) AS ds
+        FROM customer
+    ),
+    v AS (
+        SELECT c_mktsegment,
+               CASE WHEN length(ds) >= 2 AND regexp_matches(ds, '^[0-9]+$')
+               THEN CAST(list_sum(list_transform(
+                        generate_series(1, length(ds)),
+                        i -> CASE WHEN i % 2 = 0 THEN
+                                 CASE WHEN 2 * CAST(substr(reverse(ds), i, 1)
+                                               AS INT) > 9
+                                      THEN 2 * CAST(substr(reverse(ds), i, 1)
+                                                    AS INT) - 9
+                                      ELSE 2 * CAST(substr(reverse(ds), i, 1)
+                                                    AS INT) END
+                             ELSE CAST(substr(reverse(ds), i, 1) AS INT)
+                             END)) % 10 = 0 AS INT)
+               ELSE NULL END AS ok
+        FROM d
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(ok) AS BIGINT) AS n_luhn_valid,
+           (10000 * CAST(SUM(ok) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+               AS pass_rate_bp
+    FROM v
+    GROUP BY 1
+"""
 
 ORACLE_SQL["training_corpus"] = ORACLE_SQL["cleaned_corpus"].replace(
     "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5",
@@ -5204,11 +5317,12 @@ ORACLE_SQL["corpus_release"] = rf"""
     ),
     q AS (
         SELECT doc_id, lang,
-               ROUND(0.4 * (len(list_distinct(toks)) / len(toks))
+               FLOOR((0.4 * (len(list_distinct(toks)) / len(toks))
                    + 0.3 * (1 - len(list_filter(toks,
                          x -> list_contains(['the','a','of','and','is'], x)))
                          / len(toks))
-                   + 0.3 * least(len(toks) / 100.0, 1.0), 4) AS quality_score
+                   + 0.3 * least(len(toks) / 100.0, 1.0)) * 10000 + 0.5)
+                   / 10000 AS quality_score
         FROM (SELECT doc_id, lang,
                      regexp_split_to_array(trim(text), '\s+') AS toks
               FROM documents)

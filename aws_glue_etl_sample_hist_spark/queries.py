@@ -1608,13 +1608,70 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
     rows-only for the driver; the prune rule itself is contract-tested
     locally (every flagged dup has a lower-id >= threshold partner in its
     cell, every keeper has none -- tests/test_retrieval.py)."""
+    from .operators.sampling import hash_sample
     from .operators.similarity import kmeans_parallel_centroids, semantic_dedup
 
     emb = load_table(spark, sf, "embeddings")
     n = emb.count()
     k = int(max(2, min(4096, -(-n // 64))))
-    cents = kmeans_parallel_centroids(emb, k)
+    # train on a BOUNDED deterministic sample (standard coarse-quantizer
+    # practice): the k-means|| sketch pass costs O(|train| * k * d), so
+    # training on the full corpus with k ~ n/cell would be quadratic in
+    # the corpus; ~8k points (>= 64 per centroid here) saturate quantizer
+    # quality while assignment + pruning still run over EVERY vector
+    train = (
+        hash_sample(emb, min(1.0, 8192.0 / n), key_col="vec_id", salt="semtrain")
+        if n > 8192
+        else emb
+    )
+    cents = kmeans_parallel_centroids(train, k)
     return semantic_dedup(emb, centroids=cents)
+
+
+def q_customer_id_luhn_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn checksum audit (operators.text.luhn_valid, ISO/IEC 7812):
+    validate the 9-digit account-style identifier embedded in every
+    customer name per market segment -- the checksum-confirmation stage
+    a PII scrubber runs on regex-found card-like digit runs (a random
+    digit run passes Luhn with p = 0.1; the measured per-segment pass
+    rate reads ~10%, the filter's expected noise rejection). All JVM
+    expressions; exact oracle replays the reversed-digit arithmetic."""
+    cust = load_table(spark, sf, "customer")
+    digits = F.regexp_extract(F.col("c_name"), r"([0-9]{9})", 1)
+    from .operators.text import luhn_valid
+
+    return (
+        cust.select(
+            F.col("c_mktsegment"),
+            luhn_valid(digits).cast("int").alias("_ok"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_ok").alias("n_luhn_valid"),
+        )
+        .withColumn(
+            "pass_rate_bp",
+            F.expr("(10000 * n_luhn_valid) DIV n_customers"),
+        )
+    )
+
+
+def q_embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based bitext mining (operators.similarity.
+    bitext_margin_pairs, Artetxe & Schwenk 2019 -- the LASER/CCMatrix
+    parallel-corpus miner): label-0 vectors are the source shard,
+    label-1 the target; candidates from the multi-band sign-LSH
+    equi-join (never a cross-shard nested loop), ratio margin
+    cos/(mean of both sides' k-NN cosines) corrects hubness, each
+    source keeps its best-margin target at margin >= 1.0, mutual-best
+    flagged. EXACT oracle: bands, 6-dp-rounded cosine ranking, k-NN
+    means, margins and both argmax picks replayed in SQL."""
+    from .operators.similarity import bitext_margin_pairs
+
+    return bitext_margin_pairs(
+        load_table(spark, sf, "embeddings"), k=4, threshold=1.0
+    )
 
 
 def q_embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
@@ -5760,6 +5817,9 @@ QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
     "events_user_trend_pandas": q_events_user_trend_pandas,
+    # --- r10-late additions (rotate into the r11 window) ---
+    "embedding_bitext_mine": q_embedding_bitext_mine,
+    "customer_id_luhn_audit": q_customer_id_luhn_audit,
     # --- past slot 50: r6-era reference spine (50) ---
     "corpus_substring_dedup": q_corpus_substring_dedup,
     "pricing_summary": q_pricing_summary,

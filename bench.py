@@ -145,6 +145,8 @@ HEADLINE = [
     "embedding_semantic_dedup_trained",
     "corpus_release",
     "dedup_winnow_recall",
+    "embedding_bitext_mine",
+    "customer_id_luhn_audit",
 ]
 
 

@@ -3558,3 +3558,32 @@ def test_kcore_peels_chains_keeps_dense_blobs(spark):
     # k=1 keeps every non-isolated node
     out1 = {r.doc_id for r in kcore_members(nodes, pairs, k=1).collect()}
     assert out1 == {1, 2, 3, 4, 5, 6, 8, 9}
+
+
+def test_luhn_checksum_known_vectors(spark):
+    """Luhn validity against published test numbers: 79927398713 (the
+    ISO/IEC 7812 worked example) and 4111111111111111 (the canonical
+    test Visa) pass; single-digit perturbations fail; non-digit or
+    too-short input is NULL (never a false positive)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.text import luhn_valid
+
+    rows = [
+        ("79927398713", True),
+        ("79927398710", False),
+        ("4111111111111111", True),
+        ("4111111111111112", False),
+        ("49927398716", True),
+        ("1234567812345670", True),
+        ("123a567", None),
+        ("7", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = {
+        r.s: r.ok
+        for r in df.select("s", luhn_valid(F.col("s")).alias("ok")).collect()
+    }
+    for s, want in rows:
+        assert got[s] == want, (s, got[s], want)

@@ -128,3 +128,54 @@ def test_semantic_dedup_trained_prune_contract(spark, sf_small):
     # the sf0.001 embedding fixture contains planted near-dups: the rule
     # must actually fire, not pass vacuously
     assert n_dups > 0
+
+
+def test_bitext_margin_mining_hubness_correction(spark):
+    """Planted geometry: a true translation pair (cos ~0.99) must be mined
+    with mutual=True, while a HUB target (moderately close to every
+    source) must not win any source at the same threshold -- the ratio
+    margin's whole point. All vectors share sign bands (all-positive
+    first coordinates) so every cross pair is a candidate and the test
+    exercises the margin, not the banding."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    d = 64
+    rng = np.random.default_rng(7)
+
+    def vec(base, noise):
+        v = base + noise * rng.standard_normal(d)
+        # the band-sampled coordinates (1-based dims 1,5,...,61) get a
+        # fixed positive value so every vector lands in the same sign
+        # buckets -- candidates are all cross pairs by construction
+        for i in range(0, d, 4):
+            v[i] = 0.3
+        return v
+
+    e1 = np.zeros(d); e1[1] = 1.0
+    e2 = np.zeros(d); e2[2] = 1.0
+    hub = np.ones(d) * 0.5
+    rows = [
+        # side 0 (sources)
+        (0, vec(e1 * 3.0, 0.01), 0),   # x0: translation of y0
+        (1, vec(e2 * 3.0, 0.01), 0),   # x1: no true partner
+        # side 1 (targets)
+        (10, vec(e1 * 3.0, 0.01), 1),  # y0: translation of x0
+        (11, vec(hub * 2.0, 0.01), 1), # hub: ~equally close to everything
+        (12, vec(hub + e2 * 0.2, 0.01), 1),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.src_id: r for r in bitext_margin_pairs(
+        emb, k=2, threshold=1.3
+    ).collect()}
+    assert 0 in out and out[0].tgt_id == 10 and bool(out[0].mutual)
+    assert out[0].margin > 1.3
+    # x1's best candidate is hub-like but its margin is deflated by the
+    # hub's own high k-NN average -- below the mining threshold
+    assert 1 not in out

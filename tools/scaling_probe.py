@@ -137,6 +137,8 @@ PROBE = [
     "embedding_semantic_dedup_trained",
     "corpus_release",
     "dedup_winnow_recall",
+    "embedding_bitext_mine",
+    "customer_id_luhn_audit",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
