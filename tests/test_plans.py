@@ -100,6 +100,10 @@ NESTED_LOOP_WHITELIST = {
     "embedding_near_dup",          # the documented all-pairs small-n exact twin
     "text_tfidf_top_terms",        # |vocab| x 1-row corpus count (scalar join)
     "embedding_semantic_dedup",    # crossJoin(broadcast(<=8 centroids)): assignment pass
+    "embedding_semantic_dedup_trained",  # k-means|| sketch + assignment:
+                                   # crossJoin(broadcast(k x d centroids))
+                                   # over the corpus -- candidate set is
+                                   # broadcast-bounded by construction
     "embedding_pq_topk",           # broadcast 5 query vectors x encoded corpus (ADC)
     "customer_rfm",                # 1-row as-of date + 1-row quartile cuts (scalar joins)
     "rich_idle_customers",         # 1-row global-average balance (scalar join)
