@@ -1771,3 +1771,75 @@ def bitext_margin_pairs(
             "mutual"
         ),
     )
+
+
+def two_level_assign(
+    emb: DataFrame,
+    fine: DataFrame,
+    *,
+    n_coarse: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level (coarse-then-fine, IMI-style) quantizer assignment --
+    the documented mitigation for the exact O(n * k) nearest-centroid
+    pass when cells are kept constant-size (k ~ n/cell, so the flat
+    lookup is quadratic in the corpus; SCALING.md round-10 note):
+
+      1. route the k fine centroids to kc coarse cells (k x kc, tiny);
+      2. assign every vector to its nearest coarse cell (n x kc);
+      3. equi-join vectors to the fine centroids OF THEIR COARSE CELL
+         and argmax within (n x k/kc on average).
+
+    Total work O(n * (kc + k/kc)) -- minimized at kc ~ sqrt(k), a
+    ~sqrt(k)/2-fold reduction -- at the standard approximation cost:
+    a vector whose true nearest fine centroid routes to a DIFFERENT
+    coarse cell gets its best in-cell fine centroid instead (the
+    `embedding_two_level_agreement` row MEASURES that rate against the
+    flat assignment). Coarse centroids default to the first
+    ``n_coarse`` fine centroids (each routes to itself at cosine 1, so
+    no coarse cell is ever fine-empty). Returns (vec_id, cell)."""
+    coarse = fine.filter(F.col("cent_id") < n_coarse).select(
+        F.col("cent_id").alias("coarse_id"), F.col("cv").alias("ccv")
+    )
+    w_f = Window.partitionBy("cent_id").orderBy(
+        F.col("_cos").desc(), F.col("coarse_id").asc()
+    )
+    f2c = (
+        F.broadcast(coarse)
+        .crossJoin(fine)
+        .select(
+            "cent_id", "cv", "coarse_id",
+            cosine(F.col("ccv"), F.col("cv")).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_f))
+        .filter(F.col("_rn") == 1)
+        .select("coarse_id", "cent_id", "cv")
+    )
+    w_v = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("coarse_id").asc()
+    )
+    vc = (
+        F.broadcast(coarse)
+        .crossJoin(emb.select(F.col(id_col), F.col(vec_col)))
+        .select(
+            id_col, vec_col, "coarse_id",
+            cosine(F.col("ccv"), F.col(vec_col)).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_v))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "coarse_id")
+    )
+    w_2 = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        vc.join(F.broadcast(f2c), "coarse_id")
+        .select(
+            id_col, "cent_id",
+            cosine(F.col("cv"), F.col(vec_col)).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_2))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("cent_id").alias("cell"))
+    )

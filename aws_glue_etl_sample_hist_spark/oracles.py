@@ -2227,6 +2227,68 @@ ORACLE_SQL["customer_id_luhn_audit"] = r"""
     GROUP BY 1
 """
 
+
+# two-level quantizer agreement: all three argmax stages replayed over the
+# seeded centroids (raw-double cosine ordering with id tie-breaks, the
+# ivf_assign oracle convention)
+ORACLE_SQL["embedding_two_level_agreement"] = r"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    f AS (SELECT vec_id AS fid, v AS fv FROM e WHERE vec_id < 32),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 6),
+    f2c AS (
+        SELECT cid, fid, fv FROM (
+            SELECT c.cid, f.fid, f.fv,
+                   ROW_NUMBER() OVER (PARTITION BY f.fid ORDER BY
+                       list_dot_product(c.cv, f.fv)
+                       / greatest(sqrt(list_dot_product(c.cv, c.cv))
+                                  * sqrt(list_dot_product(f.fv, f.fv)),
+                                  1e-12) DESC, c.cid ASC) AS rn
+            FROM c CROSS JOIN f)
+        WHERE rn = 1
+    ),
+    vc AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(c.cv, e.v)
+                       / greatest(sqrt(list_dot_product(c.cv, c.cv))
+                                  * sqrt(list_dot_product(e.v, e.v)),
+                                  1e-12) DESC, c.cid ASC) AS rn
+            FROM e CROSS JOIN c)
+        WHERE rn = 1
+    ),
+    two AS (
+        SELECT vec_id, fid AS cell_2l FROM (
+            SELECT vc.vec_id, f2c.fid,
+                   ROW_NUMBER() OVER (PARTITION BY vc.vec_id ORDER BY
+                       list_dot_product(f2c.fv, vc.v)
+                       / greatest(sqrt(list_dot_product(f2c.fv, f2c.fv))
+                                  * sqrt(list_dot_product(vc.v, vc.v)),
+                                  1e-12) DESC, f2c.fid ASC) AS rn
+            FROM vc JOIN f2c ON vc.cid = f2c.cid)
+        WHERE rn = 1
+    ),
+    ex AS (
+        SELECT vec_id, fid AS cell_exact FROM (
+            SELECT e.vec_id, f.fid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(f.fv, e.v)
+                       / greatest(sqrt(list_dot_product(f.fv, f.fv))
+                                  * sqrt(list_dot_product(e.v, e.v)),
+                                  1e-12) DESC, f.fid ASC) AS rn
+            FROM e CROSS JOIN f)
+        WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN two.cell_2l = ex.cell_exact
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(COUNT(DISTINCT two.cell_2l) AS BIGINT) AS n_cells_used,
+           (10000 * CAST(SUM(CASE WHEN two.cell_2l = ex.cell_exact
+                             THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) AS agreement_bp
+    FROM two JOIN ex USING (vec_id)
+"""
+
 ORACLE_SQL["training_corpus"] = ORACLE_SQL["cleaned_corpus"].replace(
     "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5",
     "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5\n"

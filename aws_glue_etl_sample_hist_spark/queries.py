@@ -1628,6 +1628,42 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
     return semantic_dedup(emb, centroids=cents)
 
 
+def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level quantizer agreement audit (operators.similarity.
+    two_level_assign): the coarse-then-fine assignment (O(n*(kc+k/kc)),
+    the IMI-style fix for the flat O(n*k) pass that makes the
+    trained-SemDeDup row ~28x at the sf1 step) measured against the
+    flat exact assignment over the SAME 32 seeded fine centroids with
+    kc=6 coarse. One summary row: how often the shortcut lands in the
+    exact cell, plus the routing fan (distinct coarse cells used).
+    Measured: ~42% at sf0.01 / ~40% at sf0.1 -- the honest penalty of
+    two-level routing over ARBITRARY (seeded, untrained) centroids,
+    which is exactly what the audit exists to measure; a trained
+    hierarchy (k-means over the fine centroids) recovers most of it,
+    and well-separated clusters agree fully (unit test). Everything
+    seeded => EXACT oracle replays all three argmax stages."""
+    from .operators.similarity import ivf_assign, seeded_centroids, two_level_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    fine = seeded_centroids(emb, 32)
+    exact = ivf_assign(emb, 32, centroids=fine).select(
+        "vec_id", F.col("cell").alias("cell_exact")
+    )
+    two = two_level_assign(emb, fine, n_coarse=6).select(
+        "vec_id", F.col("cell").alias("cell_2l")
+    )
+    j = exact.join(two, "vec_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("cell_2l") == F.col("cell_exact")).cast("long")).alias(
+            "n_agree"
+        ),
+        F.count_distinct(F.col("cell_2l")).alias("n_cells_used"),
+    ).withColumn(
+        "agreement_bp", F.expr("(10000 * n_agree) DIV n_vectors")
+    )
+
+
 def q_customer_id_luhn_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Luhn checksum audit (operators.text.luhn_valid, ISO/IEC 7812):
     validate the 9-digit account-style identifier embedded in every
@@ -5820,6 +5856,7 @@ QUERIES = {
     # --- r10-late additions (rotate into the r11 window) ---
     "embedding_bitext_mine": q_embedding_bitext_mine,
     "customer_id_luhn_audit": q_customer_id_luhn_audit,
+    "embedding_two_level_agreement": q_embedding_two_level_agreement,
     # --- past slot 50: r6-era reference spine (50) ---
     "corpus_substring_dedup": q_corpus_substring_dedup,
     "pricing_summary": q_pricing_summary,

@@ -147,6 +147,7 @@ HEADLINE = [
     "dedup_winnow_recall",
     "embedding_bitext_mine",
     "customer_id_luhn_audit",
+    "embedding_two_level_agreement",
 ]
 
 

@@ -100,6 +100,9 @@ NESTED_LOOP_WHITELIST = {
     "embedding_near_dup",          # the documented all-pairs small-n exact twin
     "text_tfidf_top_terms",        # |vocab| x 1-row corpus count (scalar join)
     "embedding_semantic_dedup",    # crossJoin(broadcast(<=8 centroids)): assignment pass
+    "embedding_two_level_agreement",  # coarse routing + flat-exact contrast:
+                                   # every stage crossJoins a BROADCAST
+                                   # <=32-centroid frame (bounded)
     "embedding_semantic_dedup_trained",  # k-means|| sketch + assignment:
                                    # crossJoin(broadcast(k x d centroids))
                                    # over the corpus -- candidate set is

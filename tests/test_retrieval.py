@@ -179,3 +179,53 @@ def test_bitext_margin_mining_hubness_correction(spark):
     # x1's best candidate is hub-like but its margin is deflated by the
     # hub's own high k-NN average -- below the mining threshold
     assert 1 not in out
+
+
+def test_two_level_assign_agrees_on_separated_clusters(spark):
+    """On well-separated clusters whose coarse centroids are cluster
+    members, the two-level shortcut must agree with the flat exact
+    assignment for EVERY vector -- the approximation only bites when a
+    vector's best fine centroid routes to a different coarse cell."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+        two_level_assign,
+    )
+
+    d = 16
+    rng = np.random.default_rng(3)
+    # a NESTED hierarchy: two coarse directions (e0, e1); fine anchors
+    # 0/1 sit exactly on them, fine anchors 2/3 are small orthogonal
+    # offsets OF those directions -- so every vector and its best fine
+    # centroid route to the same coarse cell by a wide cosine margin
+    # (orthogonal flat clusters would tie at the coarse level and the
+    # routing would be noise, which is the documented failure mode)
+    anchors = []
+    for c, (axis, off) in enumerate([(0, None), (1, None), (0, 2), (1, 3)]):
+        base = np.zeros(d)
+        base[axis] = 5.0
+        if off is not None:
+            base[off + 4] = 2.0
+        anchors.append(base)
+    rows = []
+    vid = 0
+    for base in anchors:
+        rows.append((vid, [float(x) for x in base]))
+        vid += 1
+    for base in anchors:
+        for _ in range(10):
+            v = base + 0.05 * rng.standard_normal(d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fine = seeded_centroids(emb, 4)
+    exact = {
+        r.vec_id: r.cell for r in ivf_assign(emb, 4, centroids=fine).collect()
+    }
+    two = {
+        r.vec_id: r.cell
+        for r in two_level_assign(emb, fine, n_coarse=2).collect()
+    }
+    assert two == exact

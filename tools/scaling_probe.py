@@ -139,6 +139,7 @@ PROBE = [
     "dedup_winnow_recall",
     "embedding_bitext_mine",
     "customer_id_luhn_audit",
+    "embedding_two_level_agreement",
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
