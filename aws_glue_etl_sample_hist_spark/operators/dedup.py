@@ -513,6 +513,7 @@ def connected_components(
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
     max_iterations: int = 50,
     local_threshold: int | None = None,
+    dispatch_log: dict | None = None,
 ) -> DataFrame:
     """Min-label connected components over near-dup candidate pairs:
     (node, cluster_id) where cluster_id = smallest node id in the component.
@@ -537,10 +538,16 @@ def connected_components(
 
     Adaptive dispatch (``local_threshold``, the unigram trainer's
     bounded-calibration pattern): when set and the materialized graph is
-    small (<= local_threshold nodes AND <= 8x that many oriented edges
-    -- a few MB of longs), the iterative loop's ~8 sub-second
-    driver-coordinated Spark jobs are replaced by ONE collect + a
-    driver-local union-find (_cc_local_rows, provably the same fixpoint).
+    small (<= local_threshold nodes AND <= 8x that many oriented edges),
+    the iterative loop's ~8 sub-second driver-coordinated Spark jobs are
+    replaced by ONE collect + a driver-local union-find (_cc_local_rows,
+    provably the same fixpoint). Driver-memory honesty: the collect
+    lands PySpark Row objects (hundreds of bytes each, NOT bare longs),
+    so the real driver bound is ~9x threshold Rows -- at the default
+    10_000 that is <= ~90k Rows / tens of MB; the measured latency win
+    lives in the thousands-of-nodes contracted-merge regime anyway, so
+    callers should not raise the threshold toward 100k without sizing
+    driver heap for ~hundreds of MB.
     That is the contracted-merge shape of incremental CC maintenance,
     where the loop's input is |clusters| + |batch| nodes by construction
     and job-scheduling overhead dominates the wall. Above the threshold
@@ -568,6 +575,10 @@ def connected_components(
             if len(edge_rows) <= edge_cap:
                 from pyspark.sql import types as T
 
+                if dispatch_log is not None:
+                    dispatch_log["cc_path"] = "driver_local"
+                    dispatch_log["cc_nodes"] = len(seed_rows)
+                    dispatch_log["cc_edges"] = len(edge_rows)
                 rows = _cc_local_rows(
                     [r.node for r in seed_rows],
                     [(r.src, r.dst) for r in edge_rows],
@@ -587,6 +598,8 @@ def connected_components(
             edges = edges_plan.localCheckpoint(eager=True)
     else:
         edges = edges_plan.localCheckpoint(eager=True)
+    if dispatch_log is not None and "cc_path" not in dispatch_log:
+        dispatch_log["cc_path"] = "distributed"
     labels = seeds.withColumn("label", F.col("node")).localCheckpoint(
         eager=True
     )
@@ -1325,7 +1338,8 @@ def connected_components_incremental(
     *,
     node_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
-    local_threshold: int | None = 100_000,
+    local_threshold: int | None = 10_000,
+    dispatch_log: dict | None = None,
 ) -> DataFrame:
     """Merge a NEW edge batch into an existing components labeling without
     re-running CC over the standing graph -- the daily-crawl shape of
@@ -1386,6 +1400,7 @@ def connected_components_incremental(
         # agreement property-tested). Above it the distributed loop runs
         # unchanged.
         local_threshold=local_threshold,
+        dispatch_log=dispatch_log,
     )
     lbl_map = merged.select(
         F.col(node_col).alias("_l"), F.col("cluster_id").alias("_nl")

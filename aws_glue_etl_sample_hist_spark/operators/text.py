@@ -1107,6 +1107,7 @@ def winnow_pair_recall(
     k: int = 3,
     w: int = 4,
     min_shared: int = 1,
+    sample_frac: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
@@ -1131,7 +1132,15 @@ def winnow_pair_recall(
     bucket. Both sides are md5 arithmetic -- the oracle recomputes
     recall exactly. NOTE: like every exact-truth audit, the truth side
     is output-pair-bound by definition; measurement harness, not a
-    production path."""
+    production path. ``sample_frac`` is the production dial (the
+    lsh_pair_recall pattern): BOTH sides restrict first to the same
+    deterministic md5 doc sample (salt 'winrecall'), cutting pair cost
+    to ~sample_frac^2 while per-bucket recall stays an unbiased
+    estimate over sampled-doc pairs."""
+    if sample_frac is not None:
+        from .sampling import hash_sample
+
+        docs = hash_sample(docs, sample_frac, key_col=id_col, salt="winrecall")
     t = w + k - 1
     g = docs.select(
         F.col(id_col),

@@ -2138,7 +2138,7 @@ ORACLE_SQL["embedding_bitext_mine"] = f"""
     ),
     cand AS MATERIALIZED (
         SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-               CAST(ROUND(list_dot_product(s.nv, t.nv) * 1e6) AS BIGINT)
+               CAST(FLOOR(list_dot_product(s.nv, t.nv) * 1e6 + 0.5) AS BIGINT)
                    AS c6
         FROM en s JOIN en t
           ON (s.b0 = t.b0 OR s.b1 = t.b1 OR s.b2 = t.b2 OR s.b3 = t.b3)
@@ -2165,11 +2165,12 @@ ORACLE_SQL["embedding_bitext_mine"] = f"""
         WHERE rn <= 4 GROUP BY 1
     ),
     m AS MATERIALIZED (
-        -- integer-exact margin: both engines divide the SAME two BIGINTs
+        -- integer-exact margin: both engines divide the SAME two BIGINTs,
+        -- floor-form 6-dp rounding (engine-portable, the _r4 convention)
         SELECT c.src_id, c.tgt_id, c.c6 / 1e6 AS cosine,
-               ROUND(2.0 * c.c6 * ds.s_n * dt.t_n
+               FLOOR(2.0 * c.c6 * ds.s_n * dt.t_n
                      / greatest(ds.s_sum * dt.t_n + dt.t_sum * ds.s_n,
-                                CAST(1 AS BIGINT)), 6) AS margin
+                                CAST(1 AS BIGINT)) * 1e6 + 0.5) / 1e6 AS margin
         FROM cand c JOIN ds USING (src_id) JOIN dt USING (tgt_id)
     ),
     best AS (
@@ -2191,6 +2192,74 @@ ORACLE_SQL["embedding_bitext_mine"] = f"""
     SELECT b.src_id, b.tgt_id, b.cosine, b.margin,
            COALESCE(t.back_src = b.src_id, FALSE) AS mutual
     FROM best b LEFT JOIN tbest t USING (tgt_id)
+"""
+
+# bitext recall audit: the truth side replays the SAME micro-cosine /
+# floor-form margin arithmetic over ALL cross-shard pairs (exact k-NN
+# denominators, no banding); candidates reuse the miner's oracle verbatim
+ORACLE_SQL["embedding_bitext_recall"] = f"""
+    WITH el AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE label IN (0, 1)
+    ),
+    en AS (
+        SELECT vec_id, label, list_transform(v, x -> x / n) AS nv
+        FROM (SELECT *, greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n
+              FROM el)
+    ),
+    allp AS MATERIALIZED (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               CAST(FLOOR(list_dot_product(s.nv, t.nv) * 1e6 + 0.5) AS BIGINT)
+                   AS c6
+        FROM en s JOIN en t ON s.label = 0 AND t.label = 1
+    ),
+    ds AS (
+        SELECT src_id, CAST(SUM(c6) AS BIGINT) AS s_sum,
+               CAST(COUNT(*) AS BIGINT) AS s_n
+        FROM (SELECT src_id, c6,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                                        ORDER BY c6 DESC, tgt_id ASC) AS rn
+              FROM allp)
+        WHERE rn <= 4 GROUP BY 1
+    ),
+    dt AS (
+        SELECT tgt_id, CAST(SUM(c6) AS BIGINT) AS t_sum,
+               CAST(COUNT(*) AS BIGINT) AS t_n
+        FROM (SELECT tgt_id, c6,
+                     ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                        ORDER BY c6 DESC, src_id ASC) AS rn
+              FROM allp)
+        WHERE rn <= 4 GROUP BY 1
+    ),
+    m AS (
+        SELECT a.src_id, a.tgt_id,
+               FLOOR(2.0 * a.c6 * ds.s_n * dt.t_n
+                     / greatest(ds.s_sum * dt.t_n + dt.t_sum * ds.s_n,
+                                CAST(1 AS BIGINT)) * 1e6 + 0.5) / 1e6 AS margin
+        FROM allp a JOIN ds USING (src_id) JOIN dt USING (tgt_id)
+    ),
+    truth AS (
+        SELECT src_id, tgt_id, margin
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                           ORDER BY margin DESC, tgt_id ASC)
+                            AS rk
+              FROM m)
+        WHERE rk = 1 AND margin >= 1.0
+    ),
+    cand AS (
+        SELECT src_id, tgt_id FROM ({ORACLE_SQL["embedding_bitext_mine"]})
+    )
+    SELECT CASE WHEN margin < 1.02 THEN '1.00-1.02'
+                WHEN margin < 1.05 THEN '1.02-1.05'
+                ELSE '1.05+' END AS margin_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(CASE WHEN c.src_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN c.src_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM truth tr
+    LEFT JOIN cand c ON tr.src_id = c.src_id AND tr.tgt_id = c.tgt_id
+    GROUP BY 1
 """
 
 
@@ -2228,21 +2297,69 @@ ORACLE_SQL["customer_id_luhn_audit"] = r"""
 """
 
 
-# two-level quantizer agreement: all three argmax stages replayed over the
-# seeded centroids (raw-double cosine ordering with id tie-breaks, the
-# ivf_assign oracle convention)
-ORACLE_SQL["embedding_two_level_agreement"] = r"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    f AS (SELECT vec_id AS fid, v AS fv FROM e WHERE vec_id < 32),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 6),
-    f2c AS (
+# SemDeDup trained-quantizer CONTRACT oracle (the pagerank-converged
+# witness pattern, VERDICT r10 item 1): the Spark side computes the
+# prune-rule witnesses IN-PLAN conditioned on the actual (k-means||-
+# trained or two-level-routed) cells; the oracle re-derives the exact
+# vec_id key set and asserts every witness TRUE -- certifying the
+# "dropped => lower-id >= tau partner in my cell, kept => none" rule
+# for ANY quantizer the row trains.
+ORACLE_SQL["embedding_semantic_dedup_trained"] = """
+    SELECT vec_id,
+           TRUE AS dup_has_partner_ok,
+           TRUE AS keeper_has_none_ok
+    FROM embeddings
+"""
+
+
+def _two_level_agreement_sql(n_fine: int = 32, kc: int = 6, nprobe: int = 3) -> str:
+    """Two-level quantizer agreement oracle: replays (1) the greedy
+    k-center coarse-level selection over the fine centroids (Gonzalez
+    1985, similarity.kcenter_coarse) as an unrolled CTE chain -- each
+    step an argmin over the incrementally greatest()-folded max-cosine-
+    to-selected, ties to the smallest id, EXACTLY the driver-side
+    Python loop's sequential IEEE arithmetic -- then (2) fine->coarse
+    routing, (3) the vectors' top-``nprobe`` coarse cells, and (4) the
+    within-probe fine argmax, against (5) the flat exact assignment.
+    Raw-double cosine ordering with id tie-breaks throughout (the
+    ivf_assign oracle convention)."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product({x}, {y}) / greatest(sqrt(list_dot_product"
+            f"({x}, {x})) * sqrt(list_dot_product({y}, {y})), 1e-12)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"f AS (SELECT vec_id AS fid, v AS fv FROM e WHERE vec_id < {n_fine}),",
+        "g0 AS (SELECT MIN(fid) AS id FROM f),",
+        f"m0 AS (SELECT f.fid, f.fv, {cos('f.fv', 's.fv')} AS mc\n"
+        "        FROM f JOIN f s ON s.fid = (SELECT id FROM g0)),",
+    ]
+    for j in range(1, kc):
+        prev = " UNION ALL ".join(f"SELECT id FROM g{i}" for i in range(j))
+        parts.append(
+            f"g{j} AS (SELECT fid AS id FROM m{j - 1}\n"
+            f"        WHERE fid NOT IN ({prev})\n"
+            "        ORDER BY mc ASC, fid ASC LIMIT 1),"
+        )
+        if j < kc - 1:
+            parts.append(
+                f"m{j} AS (SELECT m.fid, m.fv, greatest(m.mc, "
+                f"{cos('m.fv', 's.fv')}) AS mc\n"
+                f"        FROM m{j - 1} m JOIN f s ON s.fid = (SELECT id FROM g{j})),"
+            )
+    sel = " UNION ALL ".join(f"SELECT id FROM g{i}" for i in range(kc))
+    parts.append(
+        f"c AS (SELECT fid AS cid, fv AS cv FROM f WHERE fid IN ({sel})),"
+    )
+    parts.append(
+        f"""f2c AS (
         SELECT cid, fid, fv FROM (
             SELECT c.cid, f.fid, f.fv,
                    ROW_NUMBER() OVER (PARTITION BY f.fid ORDER BY
-                       list_dot_product(c.cv, f.fv)
-                       / greatest(sqrt(list_dot_product(c.cv, c.cv))
-                                  * sqrt(list_dot_product(f.fv, f.fv)),
-                                  1e-12) DESC, c.cid ASC) AS rn
+                       {cos('c.cv', 'f.fv')} DESC, c.cid ASC) AS rn
             FROM c CROSS JOIN f)
         WHERE rn = 1
     ),
@@ -2250,21 +2367,15 @@ ORACLE_SQL["embedding_two_level_agreement"] = r"""
         SELECT vec_id, v, cid FROM (
             SELECT e.vec_id, e.v, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_dot_product(c.cv, e.v)
-                       / greatest(sqrt(list_dot_product(c.cv, c.cv))
-                                  * sqrt(list_dot_product(e.v, e.v)),
-                                  1e-12) DESC, c.cid ASC) AS rn
+                       {cos('c.cv', 'e.v')} DESC, c.cid ASC) AS rn
             FROM e CROSS JOIN c)
-        WHERE rn = 1
+        WHERE rn <= {nprobe}
     ),
     two AS (
         SELECT vec_id, fid AS cell_2l FROM (
             SELECT vc.vec_id, f2c.fid,
                    ROW_NUMBER() OVER (PARTITION BY vc.vec_id ORDER BY
-                       list_dot_product(f2c.fv, vc.v)
-                       / greatest(sqrt(list_dot_product(f2c.fv, f2c.fv))
-                                  * sqrt(list_dot_product(vc.v, vc.v)),
-                                  1e-12) DESC, f2c.fid ASC) AS rn
+                       {cos('f2c.fv', 'vc.v')} DESC, f2c.fid ASC) AS rn
             FROM vc JOIN f2c ON vc.cid = f2c.cid)
         WHERE rn = 1
     ),
@@ -2272,10 +2383,7 @@ ORACLE_SQL["embedding_two_level_agreement"] = r"""
         SELECT vec_id, fid AS cell_exact FROM (
             SELECT e.vec_id, f.fid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_dot_product(f.fv, e.v)
-                       / greatest(sqrt(list_dot_product(f.fv, f.fv))
-                                  * sqrt(list_dot_product(e.v, e.v)),
-                                  1e-12) DESC, f.fid ASC) AS rn
+                       {cos('f.fv', 'e.v')} DESC, f.fid ASC) AS rn
             FROM e CROSS JOIN f)
         WHERE rn = 1
     )
@@ -2286,8 +2394,12 @@ ORACLE_SQL["embedding_two_level_agreement"] = r"""
            (10000 * CAST(SUM(CASE WHEN two.cell_2l = ex.cell_exact
                              THEN 1 ELSE 0 END) AS BIGINT))
                // CAST(COUNT(*) AS BIGINT) AS agreement_bp
-    FROM two JOIN ex USING (vec_id)
-"""
+    FROM two JOIN ex USING (vec_id)"""
+    )
+    return "\n    ".join(parts)
+
+
+ORACLE_SQL["embedding_two_level_agreement"] = _two_level_agreement_sql()
 
 ORACLE_SQL["training_corpus"] = ORACLE_SQL["cleaned_corpus"].replace(
     "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5",
@@ -5724,6 +5836,18 @@ ORACLE_SQL["dedup_winnow_recall"] = r"""
     LEFT JOIN cand c ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b
     GROUP BY 1
 """
+
+# sampled production dial of the winnowing recall audit: identical SQL over
+# the deterministic md5 half-sample (the dedup_lsh_recall_sampled pattern)
+ORACLE_SQL["dedup_winnow_recall_sampled"] = ORACLE_SQL["dedup_winnow_recall"].replace(
+    "WITH t AS (",
+    """WITH documents AS (
+        SELECT * FROM main.documents
+        WHERE CAST(('0x' || substr(md5('winrecall:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 1000000 < 500000
+    ),
+    t AS (""",
+)
 
 
 # Wald SPRT monitor: exact per-wave cumulative LLR trajectory, decisions

@@ -750,6 +750,29 @@ def q_dedup_winnow_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_winnow_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION mode of the winnowing recall audit (VERDICT r10
+    item 6, the proven dedup_lsh_recall_sampled pattern): the same
+    recall-vs-exact-truth measurement as dedup_winnow_recall, but both
+    the truth and candidate sides restricted FIRST to the same
+    deterministic md5 half-sample of documents (sample_frac=0.5, salt
+    'winrecall' -- operators.text.winnow_pair_recall + sampling.
+    hash_sample). Pair cost drops to ~sample_frac^2 = 25% while
+    per-bucket recall stays an unbiased estimate over sampled-doc pairs
+    -- and Schleimer et al.'s >= w+k-1-run guarantee is sample-invariant,
+    so every occupied bucket must still read 1.0000. Exact oracle: the
+    sample threshold is md5 arithmetic DuckDB recomputes verbatim."""
+    from .operators.text import winnow_pair_recall
+
+    return winnow_pair_recall(
+        load_table(spark, sf, "documents"),
+        k=3,
+        w=4,
+        min_shared=1,
+        sample_frac=0.5,
+    )
+
+
 def q_corpus_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget epoch planner (operators.sampling.epoch_budget_plan):
     waterfill a 2x-corpus training budget across sources under quality-
@@ -1602,46 +1625,81 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
     kmeans_parallel_centroids, Bahmani et al. 2012) sized to the corpus
     (k = ceil(n / 64)), so the within-cell pair join costs ~n * cell_size
     -- LINEAR in the corpus -- instead of the toy k=8 seeded default's
-    ~n^2/8 (kept only for oracle-exactness in the base row). The k-means||
-    init is deterministic (md5 draws + seeded numpy reduction) but its
-    driver-side Lloyd reduction is not SQL-reproducible, so this row is
-    rows-only for the driver; the prune rule itself is contract-tested
-    locally (every flagged dup has a lower-id >= threshold partner in its
-    cell, every keeper has none -- tests/test_retrieval.py)."""
+    ~n^2/8 (kept only for oracle-exactness in the base row). Above
+    k = 256 the flat O(n * k) nearest-centroid pass hands off to the
+    TWO-LEVEL trained route (operators.similarity.two_level_assign,
+    greedy-k-center coarse, kc = ceil(sqrt(2k)), nprobe = 2 -- O(n *
+    (kc + 2k/kc))), the deployed mitigation for the 28x sf1 step
+    (VERDICT r10 item 3); its measured routing cost lives in the
+    `embedding_two_level_agreement` audit and SCALING.md.
+
+    CONTRACT ORACLE (VERDICT r10 item 1, the round-7 pagerank-witness
+    pattern): the k-means|| driver-side Lloyd reduction is not
+    SQL-reproducible, so instead of emitting quantizer-dependent cells
+    the row emits per-vector PRUNE-RULE WITNESSES computed in-plan and
+    conditioned on the actual cells (operators.similarity.
+    semantic_dedup_witness): `dup_has_partner_ok` (flagged => a
+    lower-id >= threshold partner exists in my cell, via the production
+    distinct-dup-set route) and `keeper_has_none_ok` (kept => none, via
+    an independent max-partner-cosine aggregation). The DuckDB oracle
+    re-derives the vec_id key set and asserts every witness TRUE -- so
+    the driver hash-certifies the prune rule for ANY trained quantizer."""
     from .operators.sampling import hash_sample
-    from .operators.similarity import kmeans_parallel_centroids, semantic_dedup
+    from .operators.similarity import (
+        kmeans_parallel_centroids,
+        semantic_dedup_witness,
+        two_level_assign,
+    )
 
     emb = load_table(spark, sf, "embeddings")
     n = emb.count()
     k = int(max(2, min(4096, -(-n // 64))))
     # train on a BOUNDED deterministic sample (standard coarse-quantizer
-    # practice): the k-means|| sketch pass costs O(|train| * k * d), so
-    # training on the full corpus with k ~ n/cell would be quadratic in
-    # the corpus; ~8k points (>= 64 per centroid here) saturate quantizer
-    # quality while assignment + pruning still run over EVERY vector
+    # practice): the k-means|| sketch pass costs O(|train| * rounds * 2k
+    # * d), so training on the full corpus with k ~ n/cell would be
+    # quadratic in the corpus. The sample is sized WITH k -- 16 points
+    # per centroid (floor 4096, cap 16 * k_max = 65536) -- so
+    # points-per-centroid never degrades as the corpus grows (the old
+    # flat 8192 sample left ~5/centroid at n = 100k and ~2 at the
+    # 4096-centroid cap; ADVICE r10), while the trainer stays a bounded
+    # sketch; assignment + pruning still run over EVERY vector.
+    n_train = min(n, max(16 * k, 4096), 65_536)
     train = (
-        hash_sample(emb, min(1.0, 8192.0 / n), key_col="vec_id", salt="semtrain")
-        if n > 8192
+        hash_sample(emb, min(1.0, n_train / n), key_col="vec_id", salt="semtrain")
+        if n > n_train
         else emb
     )
     cents = kmeans_parallel_centroids(train, k)
-    return semantic_dedup(emb, centroids=cents)
+    if k > 256:
+        import math
+
+        kc = int(math.ceil(math.sqrt(2 * k)))
+        assigned = emb.join(
+            two_level_assign(emb, cents, n_coarse=kc, nprobe=2), "vec_id"
+        )
+        return semantic_dedup_witness(emb, assigned=assigned)
+    return semantic_dedup_witness(emb, centroids=cents)
 
 
 def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
     """Two-level quantizer agreement audit (operators.similarity.
-    two_level_assign): the coarse-then-fine assignment (O(n*(kc+k/kc)),
-    the IMI-style fix for the flat O(n*k) pass that makes the
-    trained-SemDeDup row ~28x at the sf1 step) measured against the
-    flat exact assignment over the SAME 32 seeded fine centroids with
-    kc=6 coarse. One summary row: how often the shortcut lands in the
-    exact cell, plus the routing fan (distinct coarse cells used).
-    Measured: ~42% at sf0.01 / ~40% at sf0.1 -- the honest penalty of
-    two-level routing over ARBITRARY (seeded, untrained) centroids,
-    which is exactly what the audit exists to measure; a trained
-    hierarchy (k-means over the fine centroids) recovers most of it,
-    and well-separated clusters agree fully (unit test). Everything
-    seeded => EXACT oracle replays all three argmax stages."""
+    two_level_assign): the coarse-then-fine assignment (O(n*(kc+
+    nprobe*k/kc)), the IMI-style fix for the flat O(n*k) pass that made
+    the trained-SemDeDup row ~28x at the sf1 step) measured against the
+    flat exact assignment over the SAME 32 seeded fine centroids, with
+    the TRAINED coarse level (greedy k-center over the fine centroids,
+    operators.similarity.kcenter_coarse -- VERDICT r10 item 3; the old
+    untrained first-kc default measured 42%/40%) at kc=6, nprobe=3.
+    One summary row: how often the shortcut lands in the exact cell,
+    plus the routing fan (distinct fine cells used). Measured: ~73% at
+    sf0.01 / ~70% at sf0.1 -- the honest routing penalty on this
+    synthetic near-uniform corpus, where fine centroids carry no
+    cluster structure for the coarse level to exploit (well-separated
+    clusters agree fully -- unit test; real embedding corpora sit in
+    between). Everything deterministic -- the greedy k-center selection
+    runs with the engine's exact sequential cosine arithmetic -- so the
+    EXACT oracle replays the selection chain and all three argmax
+    stages."""
     from .operators.similarity import ivf_assign, seeded_centroids, two_level_assign
 
     emb = load_table(spark, sf, "embeddings")
@@ -1649,7 +1707,7 @@ def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
     exact = ivf_assign(emb, 32, centroids=fine).select(
         "vec_id", F.col("cell").alias("cell_exact")
     )
-    two = two_level_assign(emb, fine, n_coarse=6).select(
+    two = two_level_assign(emb, fine, n_coarse=6, nprobe=3).select(
         "vec_id", F.col("cell").alias("cell_2l")
     )
     j = exact.join(two, "vec_id")
@@ -1706,6 +1764,24 @@ def q_embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.similarity import bitext_margin_pairs
 
     return bitext_margin_pairs(
+        load_table(spark, sf, "embeddings"), k=4, threshold=1.0
+    )
+
+
+def q_embedding_bitext_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitext-mining recall audit (operators.similarity.
+    bitext_pair_recall, VERDICT r10 item 7 -- the dedup_lsh_recall
+    discipline applied to the miner): the banded candidate generation's
+    measured recall against the EXACT brute-force margin truth (all
+    cross-shard pairs, exact k-NN denominators), stratified by truth
+    margin. The truth side is shard x shard bounded by definition
+    (measurement harness; the registered miner stays banded) and the
+    operator carries the sample_frac^2 production dial. Both sides
+    share the integer micro-cosine / floor-form margin arithmetic, so
+    the DuckDB oracle replays recall exactly."""
+    from .operators.similarity import bitext_pair_recall
+
+    return bitext_pair_recall(
         load_table(spark, sf, "embeddings"), k=4, threshold=1.0
     )
 
@@ -5790,100 +5866,34 @@ def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-10 rotation (VERDICT r9 item 1): slots
-    # 1-8 the eight r9-late rows that have never had a driver row, slots
-    # 9-11 the three round-10 additions (trained-quantizer SemDeDup,
-    # keep-longest curation release, winnowing recall audit), slots 12-50
-    # the 39 r5-stale rows -- after this window every registered query's
-    # newest driver evidence is r6 or newer. Past slot 50, blocks stay
-    # ordered oldest-evidence-first (r6 spine, r7, r8-fresh, then the
-    # r9-checked rows) so future rotations keep pointing at the stalest
-    # rows. Everything past slot 50 stays oracle-checked every round via
+    # the FIRST 50 entries. Round-11 rotation (VERDICT r10 item 4): slots
+    # 1-3 the three r10-late rows that have never had a driver row, slot 4
+    # the trained-SemDeDup row whose NEW witness-contract oracle must
+    # replace its r10 `err: no_oracle` record, slots 5-6 the two round-11
+    # additions (sampled winnowing recall, bitext recall audit), slots
+    # 7-50 the 44 stalest reference-spine rows (r6 evidence). Past slot
+    # 50, blocks stay ordered oldest-evidence-first (the 6 remaining
+    # r6-stale rows queued FIRST for r12, then r7, r8, r9, r10 blocks) so
+    # future rotations keep pointing at the stalest rows. Everything past
+    # slot 50 stays oracle-checked every round via
     # tests/test_oracle_parity.py.
-    # --- never-driver-checked r9-late rows (8) ---
-    "dedup_cluster_keeper": q_dedup_cluster_keeper,
-    "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
-    "corpus_epoch_plan": q_corpus_epoch_plan,
-    "text_winnow_fingerprints": q_text_winnow_fingerprints,
-    "stream_quality_quantiles": q_stream_quality_quantiles,
-    "dedup_winnow_pairs": q_dedup_winnow_pairs,
-    "events_ab_sprt": q_events_ab_sprt,
-    "dedup_kcore": q_dedup_kcore,
-    # --- round-10 additions (3) ---
-    "embedding_semantic_dedup_trained": q_embedding_semantic_dedup_trained,
-    "corpus_release": q_corpus_release,
-    "dedup_winnow_recall": q_dedup_winnow_recall,
-    # --- r5-stale rows, refreshed (39) ---
-    "embedding_pq_index_search": q_embedding_pq_index_search,
-    "corpus_bpe_compression": q_corpus_bpe_compression,
-    "join_key_skew_audit": q_join_key_skew_audit,
-    "text_quality_classifier": q_text_quality_classifier,
-    "orders_geomean_udaf": q_orders_geomean_udaf,
-    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
-    "orders_nullsafe_join": q_orders_nullsafe_join,
-    "corpus_dataset_card": q_corpus_dataset_card,
-    "events_cusum_alerts": q_events_cusum_alerts,
-    "orders_market_basket": q_orders_market_basket,
-    "orders_benford_audit": q_orders_benford_audit,
-    "events_exp_smoothing": q_events_exp_smoothing,
-    "multimodal_png_decode": q_multimodal_png_decode,
-    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-    "corpus_bpe_encode": q_corpus_bpe_encode,
-    "nations_pagerank": q_nations_pagerank,
-    "region_top_customers_lateral": q_region_top_customers_lateral,
-    "events_seasonal_decompose": q_events_seasonal_decompose,
-    "orders_xml_roundtrip": q_orders_xml_roundtrip,
-    "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
-    "corpus_vocab_drift": q_corpus_vocab_drift,
-    "corpus_length_matched_sample": q_corpus_length_matched_sample,
-    "corpus_bpe_fertility": q_corpus_bpe_fertility,
-    "nation_balance_sheet": q_nation_balance_sheet,
-    "shipping_priority": q_shipping_priority,
-    "returned_revenue_customers": q_returned_revenue_customers,
-    "promo_revenue_share": q_promo_revenue_share,
-    "special_revenue": q_special_revenue,
-    "nation_trade_matrix": q_nation_trade_matrix,
-    "corpus_sample_weighted": q_corpus_sample_weighted,
-    "dedup_triangles": q_dedup_triangles,
-    "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
-    "customer_spend_outliers_mad": q_customer_spend_outliers_mad,
-    "corpus_chunk_udtf": q_corpus_chunk_udtf,
-    "events_variant_stats": q_events_variant_stats,
-    "events_unpivot": q_events_unpivot,
-    "events_markov_transitions": q_events_markov_transitions,
-    "stream_events_enriched": q_stream_events_enriched,
-    "events_user_trend_pandas": q_events_user_trend_pandas,
-    # --- r10-late additions (rotate into the r11 window) ---
+    # --- never-driver-checked r10-late rows (3) ---
     "embedding_bitext_mine": q_embedding_bitext_mine,
     "customer_id_luhn_audit": q_customer_id_luhn_audit,
     "embedding_two_level_agreement": q_embedding_two_level_agreement,
-    # --- past slot 50: r6-era reference spine (50) ---
-    "corpus_substring_dedup": q_corpus_substring_dedup,
-    "pricing_summary": q_pricing_summary,
+    # --- re-oracled this round: witness contract replaces rows-only (1) ---
+    "embedding_semantic_dedup_trained": q_embedding_semantic_dedup_trained,
+    # --- round-11 additions (2) ---
+    "dedup_winnow_recall_sampled": q_dedup_winnow_recall_sampled,
+    "embedding_bitext_recall": q_embedding_bitext_recall,
+    # --- r6-stale reference spine, refreshed (44) ---
+    "bronze_purchases": q_bronze_purchases,
     "silver_denorm": q_silver_denorm,
+    "pricing_summary": q_pricing_summary,
     "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
     "mart_sales_by_customer": q_mart_sales_by_customer,
-    "adhoc_join_limit": q_adhoc_join_limit,
-    "multimodal_media_meta": q_multimodal_media_meta,
-    "stream_events_sessionize": q_stream_events_sessionize,
-    "text_stats": q_text_stats,
-    "text_langid": q_text_langid,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "cleaned_corpus": q_cleaned_corpus,
-    "embedding_cosine_topk": q_embedding_cosine_topk,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf_ann": q_embedding_ivf_ann,
-    "bronze_purchases": q_bronze_purchases,
     "mart_sales_by_datetime": q_mart_sales_by_datetime,
     "mart_sales_by_region": q_mart_sales_by_region,
-    "multimodal_type_stats": q_multimodal_type_stats,
-    "stream_events_windowed": q_stream_events_windowed,
-    "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
-    "dedup_exact": q_dedup_exact,
     "monthly_revenue": q_monthly_revenue,
     "weekday_hour_revenue": q_weekday_hour_revenue,
     "product_category_revenue": q_product_category_revenue,
@@ -5891,17 +5901,37 @@ QUERIES = {
     "region_revenue": q_region_revenue,
     "customer_base_stats": q_customer_base_stats,
     "customer_monthly_stats": q_customer_monthly_stats,
-    "top_parts": q_top_parts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "cleaned_corpus": q_cleaned_corpus,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf_ann": q_embedding_ivf_ann,
+    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
+    "embedding_near_dup": q_embedding_near_dup,
+    "corpus_substring_dedup": q_corpus_substring_dedup,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "multimodal_type_stats": q_multimodal_type_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "top_parts": q_top_parts,
+    "adhoc_join_limit": q_adhoc_join_limit,
     "customer_running_total": q_customer_running_total,
     "customer_order_ranks": q_customer_order_ranks,
     "order_set_ops": q_order_set_ops,
     "customers_without_orders": q_customers_without_orders,
-    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
-    "embedding_near_dup": q_embedding_near_dup,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
+    "stream_events_sessionize": q_stream_events_sessionize,
+    "stream_events_windowed": q_stream_events_windowed,
+    # --- past slot 50: remaining r6-stale rows (6), queued first for r12 ---
     "events_json_extract": q_events_json_extract,
     "events_daily_pivot": q_events_daily_pivot,
     "events_rollup": q_events_rollup,
@@ -6060,6 +6090,56 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
+    # --- r10-checked rows (freshest driver evidence, rotate last) ---
+    "dedup_cluster_keeper": q_dedup_cluster_keeper,
+    "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
+    "corpus_epoch_plan": q_corpus_epoch_plan,
+    "text_winnow_fingerprints": q_text_winnow_fingerprints,
+    "stream_quality_quantiles": q_stream_quality_quantiles,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "events_ab_sprt": q_events_ab_sprt,
+    "dedup_kcore": q_dedup_kcore,
+    "corpus_release": q_corpus_release,
+    "dedup_winnow_recall": q_dedup_winnow_recall,
+    "embedding_pq_index_search": q_embedding_pq_index_search,
+    "corpus_bpe_compression": q_corpus_bpe_compression,
+    "join_key_skew_audit": q_join_key_skew_audit,
+    "text_quality_classifier": q_text_quality_classifier,
+    "orders_geomean_udaf": q_orders_geomean_udaf,
+    "multimodal_byte_features_arrow": q_multimodal_byte_features_arrow,
+    "orders_nullsafe_join": q_orders_nullsafe_join,
+    "corpus_dataset_card": q_corpus_dataset_card,
+    "events_cusum_alerts": q_events_cusum_alerts,
+    "orders_market_basket": q_orders_market_basket,
+    "orders_benford_audit": q_orders_benford_audit,
+    "events_exp_smoothing": q_events_exp_smoothing,
+    "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "corpus_bpe_encode": q_corpus_bpe_encode,
+    "nations_pagerank": q_nations_pagerank,
+    "region_top_customers_lateral": q_region_top_customers_lateral,
+    "events_seasonal_decompose": q_events_seasonal_decompose,
+    "orders_xml_roundtrip": q_orders_xml_roundtrip,
+    "stream_events_dedup_ttl": q_stream_events_dedup_ttl,
+    "corpus_vocab_drift": q_corpus_vocab_drift,
+    "corpus_length_matched_sample": q_corpus_length_matched_sample,
+    "corpus_bpe_fertility": q_corpus_bpe_fertility,
+    "nation_balance_sheet": q_nation_balance_sheet,
+    "shipping_priority": q_shipping_priority,
+    "returned_revenue_customers": q_returned_revenue_customers,
+    "promo_revenue_share": q_promo_revenue_share,
+    "special_revenue": q_special_revenue,
+    "nation_trade_matrix": q_nation_trade_matrix,
+    "corpus_sample_weighted": q_corpus_sample_weighted,
+    "dedup_triangles": q_dedup_triangles,
+    "corpus_semantic_decontamination": q_corpus_semantic_decontamination,
+    "customer_spend_outliers_mad": q_customer_spend_outliers_mad,
+    "corpus_chunk_udtf": q_corpus_chunk_udtf,
+    "events_variant_stats": q_events_variant_stats,
+    "events_unpivot": q_events_unpivot,
+    "events_markov_transitions": q_events_markov_transitions,
+    "stream_events_enriched": q_stream_events_enriched,
+    "events_user_trend_pandas": q_events_user_trend_pandas,
 }
 
 

@@ -880,8 +880,9 @@ def stream_dedup_clusters(
             )
         else:
             old_labels = spark.read.parquet(state["labels_path"])
+        dlog: dict | None = {} if timings is not None else None
         inc = connected_components_incremental(
-            old_labels, batch.select("doc_id"), pairs
+            old_labels, batch.select("doc_id"), pairs, dispatch_log=dlog
         )
         _ct0 = _time.perf_counter()
         out = os.path.join(labels_root, f"v{batch_id}")
@@ -890,6 +891,11 @@ def stream_dedup_clusters(
             timings[f"batch_{batch_id}_ccwrite_sec"] = round(
                 _time.perf_counter() - _ct0, 3
             )
+            # dispatch decision on the record (VERDICT r10 item 5): which
+            # CC path each merge took, and the contracted graph size that
+            # drove the choice
+            for dk, dv in (dlog or {}).items():
+                timings[f"batch_{batch_id}_{dk}"] = dv
         _wt0 = _time.perf_counter()
         bsh.write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"batch_{batch_id}")

@@ -13,9 +13,14 @@ the whole plan executes without driver-collect or disk-write skew.
 The SENTINEL is a frozen scan+shuffle+agg workload written inline (never
 via QUERIES, never to be edited): a uniform wall-clock shift that also
 moves the sentinel is machine state, a query whose RATIO to the sentinel
-moved is a real code delta. It is timed before AND after the query loop so
-load changes during the run are visible too (r3 VERDICT item 4: BENCH_r03's
-~1.2x uniform drift was only attributable via a manual idle re-run).
+moved is a real code delta. It is timed before AND after the query loop
+(r3 VERDICT item 4) AND once every ~10 headline rows THROUGH the loop
+(r10 VERDICT item 2: two rounds of 3-20x inflation on contiguous row
+clusters were invisible to the endpoint probes -- a mid-run load window
+inflates all trials of the rows inside it while both endpoints read
+normal); every query's ratio to its NEAREST-in-time sentinel lands in
+bench_result.json, and the sentinel_track series rides the driver's
+compact stdout line.
 """
 
 from __future__ import annotations
@@ -148,6 +153,9 @@ HEADLINE = [
     "embedding_bitext_mine",
     "customer_id_luhn_audit",
     "embedding_two_level_agreement",
+    # round-11: sampled production dials + bitext recall audit
+    "dedup_winnow_recall_sampled",
+    "embedding_bitext_recall",
 ]
 
 
@@ -214,9 +222,20 @@ def main() -> None:
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     sentinel_trials = [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
     overhead_trials = [_job_overhead_trial(spark) for _ in range(n_trials)]
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
+    # INTERLEAVED sentinel (r10 VERDICT item 2): the r9/r10 driver benches
+    # recorded 3-20x inflation on a CONTIGUOUS stretch of headline rows
+    # that the before/after endpoint probes never saw (a mid-run load
+    # window inflates all 3 trials of the rows inside it, min included,
+    # while both endpoints read normal). One frozen-sentinel trial every
+    # INTERLEAVE rows timestamps machine state THROUGH the loop, so every
+    # query gets a ratio to its NEAREST-in-time sentinel -- a row is a
+    # real regression only if that LOCAL ratio moved.
+    interleave = int(os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "10"))
+    sentinel_track: list[tuple[int, float]] = [
+        (-1, statistics.median(sentinel_trials))
+    ]
+    query_pos: dict[str, int] = {}
+    for qi, name in enumerate(n for n in HEADLINE if n in QUERIES):
         trials = []
         for _ in range(n_trials):
             t0 = time.perf_counter()
@@ -227,14 +246,28 @@ def main() -> None:
         # MEDIAN inflates while its MIN matches the local run is transient
         # machine load, not a code regression (bench_result.json only)
         timings_min[name] = round(min(trials), 3)
+        query_pos[name] = qi
         # banded operators tracked-persist intermediates; release per query
         # so 48 queries x 3 trials don't accumulate cache blocks and skew
         # later timings with eviction pressure
         release_operator_caches()
+        if (qi + 1) % interleave == 0:
+            sentinel_track.append((qi, _sentinel_trial(spark, sf_dir)))
     sentinel_trials += [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
     overhead_trials += [_job_overhead_trial(spark) for _ in range(n_trials)]
+    sentinel_track.append((len(query_pos), statistics.median(sentinel_trials[n_trials:])))
     sentinel_sec = round(statistics.median(sentinel_trials), 3)
     job_overhead_sec = round(statistics.median(overhead_trials), 3)
+    # per-query ratio to the NEAREST interleaved sentinel, plus that
+    # sentinel's own value: a slow row next to an elevated sentinel is
+    # machine load on the record, not an engine regression
+    ratios_nearest: dict[str, list[float]] = {}
+    for name, qi in query_pos.items():
+        near = min(sentinel_track, key=lambda s: (abs(s[0] - qi), s[0]))[1]
+        ratios_nearest[name] = [
+            round(timings[name] / max(near, 1e-9), 2),
+            round(near, 3),
+        ]
 
     with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
         t0 = time.perf_counter()
@@ -322,8 +355,9 @@ def main() -> None:
     # cut the head of the line. Ratios are fully derivable (wall /
     # sentinel_sec), so the compact driver-spec line below loses nothing.
     for k in sorted(timings):
+        near = f" nearest={ratios_nearest[k][0]}@{ratios_nearest[k][1]}s" if k in ratios_nearest else ""
         print(
-            f"ratio_to_sentinel {k} {timings[k] / sentinel_sec:.2f}",
+            f"ratio_to_sentinel {k} {timings[k] / sentinel_sec:.2f}{near}",
             file=sys.stderr,
         )
     result = {
@@ -334,6 +368,13 @@ def main() -> None:
         "queries_min": timings_min,
         "sentinel_sec": sentinel_sec,
         "job_overhead_sec": job_overhead_sec,
+        # [ratio_to_nearest_interleaved_sentinel, that_sentinel_sec] per
+        # query (bench_result.json only; the compact stdout line carries
+        # sentinel_track, from which drift windows are readable directly)
+        "ratios_to_nearest_sentinel": ratios_nearest,
+        "sentinel_track": [
+            [i, round(s, 3)] for i, s in sentinel_track
+        ],
         "sf": _sf_from_dir(sf_dir),
     }
     # ALSO write the result as its own intact JSON artifact: the driver's
@@ -352,9 +393,13 @@ def main() -> None:
     # slow rows are the ones the judge grades; bench_result.json always
     # carries every row) until the single line is <= 1800 bytes.
     line = dict(result)
-    # per-query min lives in bench_result.json only -- doubling the dict
-    # would halve how many rows fit the driver's stdout tail window
+    # per-query min + nearest-sentinel ratios live in bench_result.json
+    # only -- doubling the dict would halve how many rows fit the
+    # driver's stdout tail window; sentinel_track (~12 pairs) stays, it
+    # is what makes a mid-run load window attributable from the driver's
+    # record alone
     del line["queries_min"]
+    del line["ratios_to_nearest_sentinel"]
     kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = kept

@@ -26,9 +26,8 @@ def test_every_query_has_oracle_or_is_flagged():
         "customer_base_stats_approx",  # HLL sketch is engine-specific
         "embedding_ivf_ann_trained",  # KMeans quantizer not SQL-reproducible
         "quality_quantiles_by_lang_approx",  # percentile sketch engine-specific
-        # k-means|| reduction not SQL-reproducible; prune rule is
-        # contract-tested in tests/test_retrieval.py
-        "embedding_semantic_dedup_trained",
+        # embedding_semantic_dedup_trained carries a witness-column
+        # contract oracle since r11 (VERDICT r10 item 1) -- no longer here
     }
     assert missing <= allowed_missing, f"queries without oracle: {missing - allowed_missing}"
 

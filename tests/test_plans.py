@@ -103,6 +103,11 @@ NESTED_LOOP_WHITELIST = {
     "embedding_two_level_agreement",  # coarse routing + flat-exact contrast:
                                    # every stage crossJoins a BROADCAST
                                    # <=32-centroid frame (bounded)
+    "embedding_bitext_recall",     # exact-truth audit: the truth side is a
+                                   # broadcast src-shard x tgt-shard cross
+                                   # join BY DEFINITION (measurement harness;
+                                   # sample_frac^2 dial + the banded miner
+                                   # are the production paths)
     "embedding_semantic_dedup_trained",  # k-means|| sketch + assignment:
                                    # crossJoin(broadcast(k x d centroids))
                                    # over the corpus -- candidate set is

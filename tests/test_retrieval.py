@@ -80,11 +80,12 @@ def test_serve_mmr_from_artifacts(spark, sf_small, tmp_path):
 
 
 def test_semantic_dedup_trained_prune_contract(spark, sf_small):
-    """The trained-quantizer SemDeDup row is rows-only for the driver (the
-    k-means|| reduction is not SQL-reproducible), so the prune rule is
-    pinned HERE: given the cell assignment, a vector is flagged is_dup iff
+    """The prune rule behind the trained-quantizer SemDeDup row, pinned by
+    brute force: given the cell assignment, a vector is flagged is_dup iff
     some LOWER-id vector in the same cell has cosine >= threshold with it
-    -- verified by brute force within every cell on the sf0.001 corpus."""
+    -- verified within every cell on the sf0.001 corpus. (Since r11 the
+    registered row additionally certifies this via in-plan witness
+    columns with a DuckDB contract oracle -- semantic_dedup_witness.)"""
     import numpy as np
 
     from aws_glue_etl_sample_hist_spark.catalog import load_table
@@ -128,6 +129,45 @@ def test_semantic_dedup_trained_prune_contract(spark, sf_small):
     # the sf0.001 embedding fixture contains planted near-dups: the rule
     # must actually fire, not pass vacuously
     assert n_dups > 0
+
+
+def test_semantic_dedup_witness_all_true_under_any_assignment(spark, sf_small):
+    """The witness columns (semantic_dedup_witness) must be all-TRUE for
+    BOTH quantizer routes the registered row can take: the flat trained
+    assignment and the two-level (k-center coarse, nprobe=2) routing --
+    the contract is conditioned on the actual cells, whatever produced
+    them. Also pins non-vacuity: some vector must have a >= tau partner
+    (so the dup direction of the witness actually fires)."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        kmeans_parallel_centroids,
+        semantic_dedup,
+        semantic_dedup_witness,
+        two_level_assign,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_parallel_centroids(emb, 8)
+    for route in ("flat", "two_level"):
+        if route == "flat":
+            out = semantic_dedup_witness(emb, centroids=cents)
+        else:
+            assigned = emb.join(
+                two_level_assign(emb, cents, n_coarse=4, nprobe=2), "vec_id"
+            )
+            out = semantic_dedup_witness(emb, assigned=assigned)
+        rows = out.collect()
+        assert len(rows) == emb.count(), route
+        assert all(r.dup_has_partner_ok for r in rows), route
+        assert all(r.keeper_has_none_ok for r in rows), route
+    # non-vacuity: the flat route must flag at least one dup on this
+    # fixture (planted near-dups), i.e. the witness is not trivially true
+    n_dup = (
+        semantic_dedup(emb, centroids=cents)
+        .filter(F.col("is_dup"))
+        .count()
+    )
+    assert n_dup > 0
 
 
 def test_bitext_margin_mining_hubness_correction(spark):
