@@ -254,16 +254,51 @@ def ivf_assign(
         if centroids is not None
         else seeded_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     )
-    scored = F.broadcast(cent).crossJoin(
-        emb.select(F.col(id_col), F.col(vec_col))
-    ).select(
-        id_col, vec_col, "cent_id", cosine(F.col("cv"), F.col(vec_col)).alias("cent_cos")
+    # Exactly the argmax the old row_number window computed, VALUE-identical
+    # (same double cosine, same tie-break: max over (cent_cos, -cent_id)
+    # structs == ORDER BY cent_cos DESC, cent_id ASC), but as max_by so the
+    # n x k candidate rows collapse to n via MAP-SIDE partial aggregation
+    # inside the same task that generated them (the broadcast crossJoin
+    # never repartitions) -- the old window SHUFFLED and sorted all n x k
+    # rows, the dominant cost of every assignment pass at trained-k scale.
+    # Norms are hoisted once per side (k + n fold evaluations instead of
+    # 3 per pair): dot/(greatest(cn * vn, 1e-12)) multiplies the SAME two
+    # doubles cosine() would, so every cosine is bit-identical and the
+    # exact oracles stay green.
+    c = F.broadcast(
+        cent.select(
+            "cent_id", "cv", norm(F.col("cv")).alias("_cn")
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cent_cos").desc(), F.col("cent_id").asc())
+    v = emb.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vn")
+    )
+    score = dot(F.col("cv"), F.col(vec_col)) / F.greatest(
+        F.col("_cn") * F.col("_vn"), F.lit(1e-12)
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        c.crossJoin(v)
+        .select(
+            id_col,
+            vec_col,
+            "cent_id",
+            score.alias("cent_cos"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col(vec_col).alias("v"), F.col("cent_id").alias("c")),
+                F.struct(
+                    F.col("cent_cos").alias("s"),
+                    (-F.col("cent_id")).alias("nc"),
+                ),
+            ).alias("_b")
+        )
+        .select(
+            id_col,
+            F.col("_b.v").alias(vec_col),
+            F.col("_b.c").alias("cell"),
+        )
     )
 
 
@@ -1251,6 +1286,7 @@ def kmeans_parallel_centroids(
     rounds: int = 5,
     oversample: int | None = None,
     lloyd_iters: int = 10,
+    vectorized: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "kmpar",
@@ -1273,7 +1309,16 @@ def kmeans_parallel_centroids(
     min-distances (the ivf_assign shape, no corpus shuffle), one scalar phi
     fetch, one filtered collect of ~l sampled rows. Total driver state:
     O(rounds * l * d) floats. The corpus is never assigned to ALL candidate
-    centers at once anywhere -- each pass is max-over-broadcast."""
+    centers at once anywhere -- each pass is max-over-broadcast.
+
+    ``vectorized=True`` swaps the per-round distance pass and the weights
+    pass for Arrow/BLAS matmuls (mapInPandas, the `assign_cells_arrow`
+    pattern) -- measured ~10x on the trained-SemDeDup trainer, whose
+    distance passes dominated its sf1 wall. The draws stay deterministic
+    (md5) but the ulp-different d2 values select a DIFFERENT valid init,
+    so only quantizer-agnostic callers (witness-oracle rows) may opt in;
+    the default stays fold-exact for the `embedding_kmeans_parallel`
+    contract row."""
     import numpy as np
 
     l = oversample or 2 * k
@@ -1289,7 +1334,9 @@ def kmeans_parallel_centroids(
     )
     spark = emb.sparkSession
 
-    def dist2_update(prev: DataFrame | None, new_cands: list[list[float]]) -> DataFrame:
+    def dist2_update_exact(
+        prev: DataFrame | None, new_cands: list[list[float]]
+    ) -> DataFrame:
         """Min distance to the candidate set so far, INCREMENTALLY: dot
         only against the round's NEW candidates, folded into the carried
         per-point d2 with least(). Exact: min(prev, 2 - 2*max_new) equals
@@ -1322,6 +1369,49 @@ def kmeans_parallel_centroids(
         if prev is not None:
             prev.unpersist()
         return nd
+
+    def dist2_update_arrow(
+        prev: DataFrame | None, new_cands: list[list[float]]
+    ) -> DataFrame:
+        """Arrow/BLAS twin of the incremental distance pass (the
+        `assign_cells_arrow` trick applied to training): one matmul per
+        Arrow batch against the round's new-candidate matrix. Same
+        min-fold semantics; float sums differ from the JVM fold in the
+        last ulp, so the sampling draws (and therefore the centroids)
+        are a DIFFERENT-but-deterministic valid k-means|| init -- only
+        callers whose downstream contract is quantizer-agnostic (the
+        witness-oracle SemDeDup row) may use vectorized=True."""
+        import pandas as pd
+
+        Cn = np.asarray(new_cands, dtype=np.float64)
+        base = prev if prev is not None else normed.withColumn(
+            "d2", F.lit(float("inf"))
+        )
+
+        def upd(batches):
+            for pdf in batches:
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
+                )
+                d2new = 2.0 - 2.0 * (V @ Cn.T).max(axis=1)
+                out = pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "_nv": pdf["_nv"],
+                        "d2": np.minimum(pdf["d2"].to_numpy(), d2new),
+                    }
+                )
+                yield out
+
+        nd = base.mapInPandas(
+            upd, "_id long, _nv array<double>, d2 double"
+        ).persist()
+        nd.count()
+        if prev is not None:
+            prev.unpersist()
+        return nd
+
+    dist2_update = dist2_update_arrow if vectorized else dist2_update_exact
 
     first = normed.orderBy("_id").select("_nv").first()[0]
     cands = [[float(x) for x in first]]
@@ -1359,35 +1449,89 @@ def kmeans_parallel_centroids(
     cent = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
     )
-    scored = F.broadcast(cent).crossJoin(normed)
-    w = Window.partitionBy("_id").orderBy(
-        (2.0 - 2.0 * dot(F.col("cv"), F.col("_nv"))).asc(), F.col("cent_id").asc()
-    )
-    weights_rows = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("cent_id")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .collect()
-    )
+    # nearest-candidate per point as min_by (same double d2, same
+    # cent_id tie-break as the old row_number window) so the train x cands
+    # candidate rows collapse map-side instead of shuffling through a sort;
+    # vectorized mode runs the same argmin as one matmul per Arrow batch
+    # (np.argmin first-index == the lowest-cent_id tie-break)
+    if vectorized:
+        import pandas as pd
+
+        Call = np.asarray(cands, dtype=np.float64)
+
+        def w_assign(batches):
+            for pdf in batches:
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
+                )
+                best = np.argmin(2.0 - 2.0 * (V @ Call.T), axis=1)
+                yield pd.DataFrame({"cent_id": best.astype("int64")})
+
+        weights_rows = (
+            normed.mapInPandas(w_assign, "cent_id long")
+            .groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
+    else:
+        weights_rows = (
+            F.broadcast(cent)
+            .crossJoin(normed)
+            .select(
+                "_id",
+                "cent_id",
+                (2.0 - 2.0 * dot(F.col("cv"), F.col("_nv"))).alias("_d2"),
+            )
+            .groupBy("_id")
+            .agg(
+                F.min_by(
+                    F.col("cent_id"),
+                    F.struct(F.col("_d2").alias("d"), F.col("cent_id").alias("c")),
+                ).alias("cent_id")
+            )
+            .groupBy("cent_id")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .collect()
+        )
     wmap = {r["cent_id"]: r["w"] for r in weights_rows}
     X = np.asarray(cands, dtype=np.float64)
     wts = np.asarray([wmap.get(i, 0) for i in range(len(cands))], dtype=np.float64)
 
-    # driver-side weighted k-means++ then Lloyd on the tiny sketch
+    # driver-side weighted k-means++ then Lloyd on the tiny sketch.
+    # Seeding keeps a RUNNING min-distance folded with np.minimum against
+    # only the newest center -- bit-identical to re-minimizing over all
+    # centers (each per-center d2 array is computed the same way; min is
+    # exact) but O(k * |X| * d) instead of the old O(k^2 * |X| * d) loop
+    # that dominated the sf1 trained-row wall (~19G flops at k=313).
     rng = np.random.default_rng(0)
-    centers = [X[int(np.argmax(wts))]]
+    first_c = X[int(np.argmax(wts))]
+    centers = [first_c]
+    d2min = np.sum((X - first_c) ** 2, axis=1)
     for _ in range(1, min(k, len(X))):
-        d2 = np.min(
-            [np.sum((X - c) ** 2, axis=1) for c in centers], axis=0
-        )
-        p = wts * d2
+        p = wts * d2min
         if p.sum() <= 0:
             break
-        centers.append(X[rng.choice(len(X), p=p / p.sum())])
+        nxt = X[rng.choice(len(X), p=p / p.sum())]
+        centers.append(nxt)
+        d2min = np.minimum(d2min, np.sum((X - nxt) ** 2, axis=1))
     C = np.asarray(centers)
+
+    def _assign_chunked(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # same per-element ((x - c)^2).sum arithmetic as the one-shot
+        # broadcast (bit-identical argmins), chunked so the temporary is
+        # chunk x k x d instead of |X| x k x d (~500 MB at the sf1 sketch
+        # size -- allocator + cache churn, not compute, was the cost)
+        step = max(1, 2_000_000 // max(1, C.shape[0] * C.shape[1]))
+        out = np.empty(len(X), dtype=np.int64)
+        for s in range(0, len(X), step):
+            e = min(s + step, len(X))
+            out[s:e] = np.argmin(
+                ((X[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+        return out
+
     for _ in range(lloyd_iters):
-        a = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        a = _assign_chunked(X, C)
         newC = np.array(
             [
                 np.average(X[a == j], axis=0, weights=wts[a == j])
@@ -1865,6 +2009,62 @@ def bitext_margin_pairs(
     )
 
 
+def assign_cells_arrow(
+    emb: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized nearest-centroid assignment: the numpy/BLAS twin
+    of `ivf_assign`, for the regime where even the max_by-aggregated JVM
+    fold is the bottleneck (trained quantizers push k toward n/64; the
+    per-element higher-order-function fold costs ~100x a dgemm FLOP).
+    mapInPandas streams Arrow batches through ONE matmul per batch
+    against the broadcast centroid matrix -- map-only, no shuffle, no
+    per-row Python: the documented exception to "UDFs are the slow
+    path" (Arrow batch + BLAS beats codegen once the inner loop is a
+    dense matrix product).
+
+    Semantics match `ivf_assign` exactly at the argmax level: max
+    cosine, ties to the smallest cent_id (np.argmax returns the FIRST
+    max index and columns are ordered by cent_id). Float sums differ
+    from the JVM's sequential fold in the last ulp (pairwise/SIMD
+    summation), which can flip an argmax only when two centroids tie
+    within ~1e-15 relative -- the `embedding_assign_arrow_agreement`
+    row MEASURES that rate against the fold-exact assignment (witness:
+    >= 99.99% agreement) instead of assuming it. Returns
+    (id_col, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        centroids.select("cent_id", "cv").collect(), key=lambda r: r[0]
+    )
+    cent_ids = np.asarray([int(r[0]) for r in cent_rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    out_schema = f"{id_col} long, cell long"
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12
+            )
+            best = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cell": cent_ids[best]}
+            )
+
+    return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, out_schema
+    )
+
+
 def bitext_pair_recall(
     emb: DataFrame,
     *,
@@ -2110,9 +2310,14 @@ def two_level_assign(
         .filter(F.col("_rn") == 1)
         .select("coarse_id", "cent_id", "cv")
     )
-    w_v = Window.partitionBy(id_col).orderBy(
-        F.col("_cos").desc(), F.col("coarse_id").asc()
-    )
+    # top-nprobe coarse cells per vector WITHOUT the old n x kc heavy-row
+    # window shuffle: the broadcast crossJoin generates each vector's kc
+    # candidate rows inside one task, so collect_list partial-aggregates
+    # them map-side into a kc-length (cos, coarse_id) struct list; the
+    # exchange carries n rows (vector once each, list of scalars) and the
+    # sort_array(desc)/slice replay the window's exact ordering (cos DESC,
+    # coarse_id ASC via the negated tie field) -- value-identical picks,
+    # the oracle replays rn <= nprobe over the same doubles.
     vc = (
         F.broadcast(coarse)
         .crossJoin(emb.select(F.col(id_col), F.col(vec_col)))
@@ -2120,20 +2325,45 @@ def two_level_assign(
             id_col, vec_col, "coarse_id",
             cosine(F.col("ccv"), F.col(vec_col)).alias("_cos"),
         )
-        .withColumn("_rn", F.row_number().over(w_v))
-        .filter(F.col("_rn") <= nprobe)
-        .select(id_col, vec_col, "coarse_id")
+        .groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_cos").alias("s"),
+                            (-F.col("coarse_id")).alias("nc"),
+                            F.col("coarse_id").alias("cid"),
+                        )
+                    ),
+                    asc=False,
+                ),
+                1,
+                nprobe,
+            ).alias("_top"),
+        )
+        .select(
+            id_col, vec_col, F.explode(F.col("_top.cid")).alias("coarse_id")
+        )
     )
-    w_2 = Window.partitionBy(id_col).orderBy(
-        F.col("_cos").desc(), F.col("cent_id").asc()
-    )
+    # final fine argmax as max_by: the probed candidate rows stay in the
+    # task that joined them (broadcast f2c), and the agg's hash(id)
+    # partitioning is inherited from vc's groupBy -- no further exchange
     return (
         vc.join(F.broadcast(f2c), "coarse_id")
         .select(
             id_col, "cent_id",
             cosine(F.col("cv"), F.col(vec_col)).alias("_cos"),
         )
-        .withColumn("_rn", F.row_number().over(w_2))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, F.col("cent_id").alias("cell"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cent_id"),
+                F.struct(
+                    F.col("_cos").alias("s"), (-F.col("cent_id")).alias("nc")
+                ),
+            ).alias("cell")
+        )
+        .select(id_col, "cell")
     )

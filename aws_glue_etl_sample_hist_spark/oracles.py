@@ -2312,6 +2312,16 @@ ORACLE_SQL["embedding_semantic_dedup_trained"] = """
 """
 
 
+# Arrow/BLAS assignment agreement: numpy summation order is not
+# SQL-reproducible by design; the oracle pins the key-set cardinality and
+# the measured >= 99.99%-agreement witness (the pagerank-witness form)
+ORACLE_SQL["embedding_assign_arrow_agreement"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS agree_ge_9999bp
+    FROM embeddings
+"""
+
+
 def _two_level_agreement_sql(n_fine: int = 32, kc: int = 6, nprobe: int = 3) -> str:
     """Two-level quantizer agreement oracle: replays (1) the greedy
     k-center coarse-level selection over the fine centroids (Gonzalez

@@ -1669,7 +1669,11 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
         if n > n_train
         else emb
     )
-    cents = kmeans_parallel_centroids(train, k)
+    # vectorized trainer: the witness contract is quantizer-agnostic, so
+    # this row may take the Arrow/BLAS distance passes (~10x on the
+    # trainer, which dominated the sf1 wall); the embedding_kmeans_parallel
+    # contract row keeps the fold-exact default
+    cents = kmeans_parallel_centroids(train, k, vectorized=True)
     if k > 256:
         import math
 
@@ -1783,6 +1787,49 @@ def q_embedding_bitext_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     return bitext_pair_recall(
         load_table(spark, sf, "embeddings"), k=4, threshold=1.0
+    )
+
+
+def q_embedding_assign_arrow_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/BLAS assignment agreement audit (operators.similarity.
+    assign_cells_arrow): the numpy-matmul nearest-centroid assignment --
+    the scale path once trained quantizers push k toward n/64, where
+    even the max_by-aggregated JVM cosine fold is the bottleneck --
+    measured against the fold-exact `ivf_assign` over the SAME 32
+    seeded centroids. The two differ only where pairwise/SIMD float
+    summation flips an argmax within the last ulp, so the witness pins
+    >= 99.99% agreement (measured: 100% on this corpus) rather than
+    assuming exactness -- the same measure-don't-assume discipline as
+    the two-level and recall audits. Oracle: key-set + witness
+    (numpy summation order is not SQL-reproducible by design)."""
+    from .operators.similarity import (
+        assign_cells_arrow,
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    fine = seeded_centroids(emb, 32)
+    exact = ivf_assign(emb, 32, centroids=fine).select(
+        "vec_id", F.col("cell").alias("cell_fold")
+    )
+    arrow = assign_cells_arrow(emb, fine).select(
+        "vec_id", F.col("cell").alias("cell_arrow")
+    )
+    return (
+        exact.join(arrow, "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (F.col("cell_arrow") == F.col("cell_fold")).cast("long")
+            ).alias("_agree"),
+        )
+        .select(
+            "n_vectors",
+            (F.expr("(10000 * _agree) DIV n_vectors") >= 9999).alias(
+                "agree_ge_9999bp"
+            ),
+        )
     )
 
 
@@ -5938,6 +5985,8 @@ QUERIES = {
     "events_cube": q_events_cube,
     "events_type_stats_salted": q_events_type_stats_salted,
     "product_category_revenue_salted": q_product_category_revenue_salted,
+    # --- r11-late (rotate into the r12 window) ---
+    "embedding_assign_arrow_agreement": q_embedding_assign_arrow_agreement,
     # --- r7 block (50) ---
     "nations_pagerank_converged": q_nations_pagerank_converged,
     "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,

@@ -89,11 +89,24 @@ def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 6
     cleaning up state" batches forever (it cannot prove no future timeout
     will fire). We detect the fully-drained condition ourselves: a completed
     no-data batch whose state store holds zero rows, then stop() the query.
+
+    Resource hygiene (r11, found via the interleaved bench sentinel): a
+    100-row bench ran ~36 stream trials whose memory-sink tables (some
+    holding full event-scale results) and state-store checkpoint dirs
+    accumulated for the life of the session -- by the last third of the
+    run, new streaming queries paid for the pile in heap pressure and
+    /tmp page-cache churn (stream_events_dedup read 60 s mid-bench vs
+    14 s isolated, flat sentinels beside it). The drained result is
+    therefore COPIED out of the sink (localCheckpoint -- blocks are
+    evictable/spillable, unlike the sink's retained rows), the sink
+    table dropped, and the checkpoint dir deleted before returning.
     """
+    import shutil
     import time
 
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="stream_ckpt_"), "ckpt")
+    ckpt_root = tempfile.mkdtemp(prefix="stream_ckpt_")
+    ckpt = os.path.join(ckpt_root, "ckpt")
     q = (
         result.writeStream.format("memory")
         .queryName(name)
@@ -118,8 +131,13 @@ def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 6
             break
     else:
         q.stop()
+        shutil.rmtree(ckpt_root, ignore_errors=True)
         raise TimeoutError(f"stream {name} did not drain within {drain_timeout}s")
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt_root, ignore_errors=True)
+    return out
 
 
 def stream_ingest_events(

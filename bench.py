@@ -153,9 +153,11 @@ HEADLINE = [
     "embedding_bitext_mine",
     "customer_id_luhn_audit",
     "embedding_two_level_agreement",
-    # round-11: sampled production dials + bitext recall audit
+    # round-11: sampled production dials + bitext recall audit + the
+    # Arrow/BLAS assignment contrast row
     "dedup_winnow_recall_sampled",
     "embedding_bitext_recall",
+    "embedding_assign_arrow_agreement",
 ]
 
 

@@ -108,6 +108,10 @@ NESTED_LOOP_WHITELIST = {
                                    # join BY DEFINITION (measurement harness;
                                    # sample_frac^2 dial + the banded miner
                                    # are the production paths)
+    "embedding_assign_arrow_agreement",  # contrast row: the fold-exact side
+                                   # is ivf_assign's broadcast-centroid
+                                   # crossJoin (bounded); the Arrow side is
+                                   # map-only mapInPandas
     "embedding_semantic_dedup_trained",  # k-means|| sketch + assignment:
                                    # crossJoin(broadcast(k x d centroids))
                                    # over the corpus -- candidate set is
@@ -217,6 +221,37 @@ def test_random_projection_is_map_only(spark, sf_oracle):
     plan = _plan(QUERIES["embedding_random_projection"](spark, sf_oracle))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ivf_assignment_has_no_window_shuffle(spark, sf_oracle):
+    """The nearest-centroid assignment (r11 rewrite) must run as a
+    map-side-combinable max_by aggregation, NEVER the old row_number
+    window that shuffled and sorted all n x k candidate rows -- at
+    trained-quantizer scale (k ~ n/64) that window was the dominant cost
+    of every assignment pass (measured 10.9 -> 4.4 s at 8k x 256).
+    Same guard for the two-level router's probe and fine-argmax stages."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+        two_level_assign,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    plan = _plan(ivf_assign(emb, 8))
+    assert "Window" not in plan, plan
+    # broadcast of the centroid table is the ONLY exchange family allowed
+    # beyond at most one hash exchange of the n output rows
+    n_shuffle = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
+    assert n_shuffle <= 1, plan
+    fine = seeded_centroids(emb, 32)
+    plan2 = _plan(two_level_assign(emb, fine, n_coarse=6, nprobe=3))
+    # the fine->coarse routing window is quantizer-sized (k x kc rows) and
+    # allowed; what must never exist is a window partitioned by the
+    # DATA-SCALE vector id (the old n x kc / n x k/kc shuffle-sorts)
+    assert "windowspecdefinition(vec_id" not in plan2, plan2
+    n_shuffle2 = (plan2.count("Exchange") - plan2.count("BroadcastExchange")) // 2
+    assert n_shuffle2 <= 2, plan2
 
 
 def test_markov_matrix_aggregates_on_bounded_keys(spark, sf_oracle):
