@@ -540,14 +540,17 @@ def connected_components(
     bounded-calibration pattern): when set and the materialized graph is
     small (<= local_threshold nodes AND <= 8x that many oriented edges),
     the iterative loop's ~8 sub-second driver-coordinated Spark jobs are
-    replaced by ONE collect + a driver-local union-find (_cc_local_rows,
-    provably the same fixpoint). Driver-memory honesty: the collect
-    lands PySpark Row objects (hundreds of bytes each, NOT bare longs),
-    so the real driver bound is ~9x threshold Rows -- at the default
-    10_000 that is <= ~90k Rows / tens of MB; the measured latency win
-    lives in the thousands-of-nodes contracted-merge regime anyway, so
-    callers should not raise the threshold toward 100k without sizing
-    driver heap for ~hundreds of MB.
+    replaced by ONE bounded fetch + a driver-local union-find
+    (_cc_local_rows, provably the same fixpoint). Driver-memory honesty
+    (ADVICE r10, second round): the fetch goes through Arrow/pandas
+    (`limit(n+1).toPandas()`), NOT `.collect()` -- PySpark Row objects
+    cost hundreds of bytes each, which silently turned a "few MB of
+    longs" claim into potential hundreds of MB; int64 pandas columns
+    make the real bound ~16 B/row, so the 100k-node default is
+    <= ~15 MB of driver memory including the 800k-edge cap. (A 10k
+    default was tried first and regressed the sf1 incremental merges
+    2x: their contracted graphs run ~50k nodes, which the distributed
+    loop then paid ~8 job rounds for -- SCALING.md round-11 note.)
     That is the contracted-merge shape of incremental CC maintenance,
     where the loop's input is |clusters| + |batch| nodes by construction
     and job-scheduling overhead dominates the wall. Above the threshold
@@ -567,21 +570,26 @@ def connected_components(
         # through a persist so the single pair-generation evaluation is
         # shared with the distributed fallback; the local path never pays
         # a checkpoint pass at all.
-        seed_rows = seeds.limit(local_threshold + 1).collect()
-        if len(seed_rows) <= local_threshold:
+        seed_pdf = seeds.limit(local_threshold + 1).toPandas()
+        if len(seed_pdf) <= local_threshold:
             edge_cap = 8 * local_threshold
             edges_c = edges_plan.persist()
-            edge_rows = edges_c.limit(edge_cap + 1).collect()
-            if len(edge_rows) <= edge_cap:
+            edge_pdf = edges_c.limit(edge_cap + 1).toPandas()
+            if len(edge_pdf) <= edge_cap:
                 from pyspark.sql import types as T
 
                 if dispatch_log is not None:
                     dispatch_log["cc_path"] = "driver_local"
-                    dispatch_log["cc_nodes"] = len(seed_rows)
-                    dispatch_log["cc_edges"] = len(edge_rows)
+                    dispatch_log["cc_nodes"] = len(seed_pdf)
+                    dispatch_log["cc_edges"] = len(edge_pdf)
                 rows = _cc_local_rows(
-                    [r.node for r in seed_rows],
-                    [(r.src, r.dst) for r in edge_rows],
+                    seed_pdf["node"].tolist(),
+                    list(
+                        zip(
+                            edge_pdf["src"].tolist(),
+                            edge_pdf["dst"].tolist(),
+                        )
+                    ),
                 )
                 edges_c.unpersist()
                 ntype = nodes.schema[node_col].dataType
@@ -1338,7 +1346,7 @@ def connected_components_incremental(
     *,
     node_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
-    local_threshold: int | None = 10_000,
+    local_threshold: int | None = 100_000,
     dispatch_log: dict | None = None,
 ) -> DataFrame:
     """Merge a NEW edge batch into an existing components labeling without
