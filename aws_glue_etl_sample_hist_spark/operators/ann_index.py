@@ -32,12 +32,43 @@ from pyspark.sql.window import Window
 from .similarity import auto_centroids, cosine, ivf_assign, seeded_centroids
 
 
+def _assign_for_index(
+    emb: DataFrame,
+    cent: DataFrame,
+    *,
+    vectorized: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Build/append-side assignment dispatch (VERDICT r11 item 7).
+
+    ``vectorized=False`` (default): the fold-exact `ivf_assign` -- the
+    registered index queries keep EXACT brute-force-equality oracles
+    (`embedding_ivf_index_search` == `embedding_cosine_topk`), and a
+    last-ulp argmax flip on a cell boundary could move a vector between
+    cells and change which candidates a probe sees, so exactness is the
+    contract there. ``vectorized=True``: the Arrow/BLAS
+    `assign_cells_arrow` twin for trained-k-scale builds (k toward
+    n/64), where the fold is the bottleneck and the caller's contract
+    is recall-measured rather than fold-replayed; its argmax agreement
+    vs fold-exact is measured by the `embedding_assign_arrow_agreement`
+    row, and keep_vec carries vectors through map-only (no re-join)."""
+    if vectorized:
+        from .similarity import assign_cells_arrow
+
+        return assign_cells_arrow(
+            emb, cent, id_col=id_col, vec_col=vec_col, keep_vec=True
+        )
+    return ivf_assign(emb, 0, centroids=cent, id_col=id_col, vec_col=vec_col)
+
+
 def build_ivf_index(
     emb: DataFrame,
     index_dir: str,
     *,
     n_centroids: int | str = 8,
     centroids: DataFrame | None = None,
+    vectorized: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -50,7 +81,9 @@ def build_ivf_index(
     centroids.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     spark = emb.sparkSession
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    assigned = ivf_assign(emb, 0, centroids=cent, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_for_index(
+        emb, cent, vectorized=vectorized, id_col=id_col, vec_col=vec_col
+    )
     (
         assigned.write.mode("overwrite")
         .partitionBy("cell")
@@ -62,6 +95,7 @@ def append_ivf_index(
     new_emb: DataFrame,
     index_dir: str,
     *,
+    vectorized: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -70,7 +104,9 @@ def append_ivf_index(
     cell ids must stay stable or every existing inverted list is wrong."""
     spark = new_emb.sparkSession
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    assigned = ivf_assign(new_emb, 0, centroids=cent, id_col=id_col, vec_col=vec_col)
+    assigned = _assign_for_index(
+        new_emb, cent, vectorized=vectorized, id_col=id_col, vec_col=vec_col
+    )
     (
         assigned.write.mode("append")
         .partitionBy("cell")

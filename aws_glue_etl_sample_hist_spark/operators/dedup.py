@@ -459,6 +459,27 @@ def contamination_flags_bloom(
     )
 
 
+def _exact_id_list(series, name: str) -> list:
+    """Exact-int extraction from a toPandas() id column (ADVICE r11):
+    a NaN-bearing int64 column has no plain-pandas dtype, so pandas
+    silently coerces to float64 and `tolist()` hands back floats --
+    which then fail (or worse, mislabel) against the LongType schema
+    the local-CC result is rebuilt with. Null ids are a broken graph,
+    not a representable input: fail loudly, and re-cast any float64
+    drift back to exact int64 (values are known-integral once nulls
+    are excluded, since the source columns are integer-typed in Spark)."""
+    if series.isna().any():
+        raise ValueError(
+            f"connected-components local dispatch: null {name} id in "
+            "fetched graph frame (ids must be non-null integers)"
+        )
+    import pandas.api.types as ptypes
+
+    if ptypes.is_float_dtype(series):
+        series = series.astype("int64")
+    return series.tolist()
+
+
 def _cc_local_rows(
     seed_ids: list, edge_list: list[tuple]
 ) -> list[tuple]:
@@ -583,11 +604,11 @@ def connected_components(
                     dispatch_log["cc_nodes"] = len(seed_pdf)
                     dispatch_log["cc_edges"] = len(edge_pdf)
                 rows = _cc_local_rows(
-                    seed_pdf["node"].tolist(),
+                    _exact_id_list(seed_pdf["node"], "node"),
                     list(
                         zip(
-                            edge_pdf["src"].tolist(),
-                            edge_pdf["dst"].tolist(),
+                            _exact_id_list(edge_pdf["src"], "src"),
+                            _exact_id_list(edge_pdf["dst"], "dst"),
                         )
                     ),
                 )

@@ -675,6 +675,7 @@ def semantic_dedup_witness(
     centroids: DataFrame | None = None,
     n_centroids: int | str = 8,
     assigned: DataFrame | None = None,
+    vectorized_assign: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -688,20 +689,33 @@ def semantic_dedup_witness(
                            has cosine >= threshold with me
       keeper_has_none_ok:  not is_dup  =>  no such partner exists
 
-    The two directions are derived through two STRUCTURALLY DIFFERENT
-    reductions over one persisted in-cell pair frame: the production
-    rule's filter -> distinct dup-id set -> broadcast anti-shape join
-    (route A, verbatim `semantic_dedup`) versus an independent
-    max-lower-partner-cosine aggregation per vector (route B). A bug in
-    either reduction -- a dropped dup id, a broadcast-join miss, a
-    threshold drift -- flips a witness to false and reds the hash check.
-    Because the witnesses are CONDITIONED on the actual cell assignment,
-    the contract holds for ANY quantizer (seeded, k-means||-trained,
-    two-level routed): the oracle re-derives only the vec_id key set and
-    asserts every witness true, certifying the prune rule itself while
-    the centroids stay free to be trained. Pair cost is the same
-    cell-bounded equi-join as `semantic_dedup` (persisted once, read by
-    both reductions).
+    The two directions are derived through two INDEPENDENT routes from
+    the cell assignment down (ADVICE r11 -- the first cut shared one
+    persisted pair frame between the routes, so a bug in normalization
+    or the in-cell pair join corrupted both identically and the
+    witnesses stayed TRUE): route A is the production rule verbatim --
+    normalize-then-dot pair frame, filter -> distinct dup-id set ->
+    broadcast anti-shape join, shape-for-shape `semantic_dedup`; route
+    B re-derives its OWN pair frame from the RAW vectors with a
+    reversed join construction (b-side joins a-side, id_b > id_a) and a
+    different cosine formula (dot(raw)/(|a|*|b|) instead of
+    dot-of-pre-normalized), then reduces by max lower-id partner
+    cosine. A bug anywhere below the assignment -- normalization, the
+    pair equi-join, a dropped dup id, a broadcast-join miss, a
+    threshold drift -- now hits the two routes differently and flips a
+    witness to false, redding the hash check. What the witnesses do NOT
+    certify is the cell assignment itself (both routes are CONDITIONED
+    on it by design -- that is what frees the quantizer to be trained);
+    assignment quality is certified separately by the agreement-audit
+    rows (`embedding_two_level_agreement`,
+    `embedding_assign_arrow_agreement`) and the brute-force pytest.
+    The two cosine formulas differ in the last ulp, so a pair landing
+    within ~1e-16 of the threshold could legitimately split the routes;
+    on fixed test data this is deterministic (and absent), at
+    production scale treat a witness flip as a signal to inspect, not
+    necessarily a bug. Pair cost is two cell-bounded equi-joins (route
+    A's frame persisted; route B is audit-class, paid only by witness
+    rows).
 
     ``assigned`` short-circuits the quantizer: pass any
     (id_col, vec_col, cell) frame (e.g. a `two_level_assign` routing
@@ -711,9 +725,23 @@ def semantic_dedup_witness(
     if assigned is None:
         if centroids is None and n_centroids == "auto":
             centroids = auto_centroids(emb, id_col=id_col, vec_col=vec_col)
-        assigned = ivf_assign(
-            emb, n_centroids, centroids=centroids, id_col=id_col, vec_col=vec_col
-        )
+        if vectorized_assign and centroids is not None:
+            # Arrow/BLAS flat assignment (VERDICT r11 item 7): legal here
+            # precisely because the witness contract is conditioned on
+            # the actual cells -- any argmax-level assignment is a valid
+            # quantizer, and the `embedding_assign_arrow_agreement` row
+            # MEASURES the ulp-tie disagreement rate vs the fold-exact
+            # path instead of assuming it. keep_vec carries the vector
+            # through the map-only pass (no corpus re-join). Never the
+            # default: fold-exact stays wherever an oracle replays the
+            # assignment arithmetic.
+            assigned = assign_cells_arrow(
+                emb, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+            )
+        else:
+            assigned = ivf_assign(
+                emb, n_centroids, centroids=centroids, id_col=id_col, vec_col=vec_col
+            )
     normed = assigned.withColumn(
         "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     ).withColumn(
@@ -742,8 +770,34 @@ def semantic_dedup_witness(
         .join(F.broadcast(dup_ids), F.col("vec_id") == F.col("dup_id"), "left")
         .select("vec_id", F.col("dup_id").isNotNull().alias("_is_dup"))
     )
-    # route B: independent reduction -- best lower-id in-cell cosine
-    best = pair_cos.groupBy(F.col("id_b").alias("vec_id")).agg(
+    # route B: INDEPENDENT pair generation from the RAW vectors (ADVICE
+    # r11) -- reversed join construction, dot/(|a|*|b|) cosine, max
+    # lower-id partner reduction. Shares nothing below `assigned` with
+    # route A, so the normalization + pair-join layers are exercised
+    # twice, structurally differently.
+    ra = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("rva"),
+        F.col("cell").alias("cell_a"),
+    )
+    rb = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("rvb"),
+        F.col("cell").alias("cell_rb"),
+    )
+    raw_cos = rb.join(
+        ra, (F.col("cell_rb") == F.col("cell_a")) & (F.col("id_b") > F.col("id_a"))
+    ).select(
+        "id_b",
+        (
+            dot(F.col("rva"), F.col("rvb"))
+            / (
+                F.greatest(norm(F.col("rva")), F.lit(1e-12))
+                * F.greatest(norm(F.col("rvb")), F.lit(1e-12))
+            )
+        ).alias("_cos"),
+    )
+    best = raw_cos.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.max("_cos").alias("_best")
     )
     has_partner = F.coalesce(F.col("_best") >= threshold, F.lit(False))
@@ -1378,9 +1432,12 @@ def kmeans_parallel_centroids(
         Arrow batch against the round's new-candidate matrix. Same
         min-fold semantics; float sums differ from the JVM fold in the
         last ulp, so the sampling draws (and therefore the centroids)
-        are a DIFFERENT-but-deterministic valid k-means|| init -- only
-        callers whose downstream contract is quantizer-agnostic (the
-        witness-oracle SemDeDup row) may use vectorized=True."""
+        are a DIFFERENT valid k-means|| init -- deterministic only for a
+        fixed physical layout (partition count, Arrow batch size, BLAS
+        build), since d2 from (V @ Cn.T) depends on batch boundaries and
+        BLAS blocking. Only callers whose downstream contract is
+        quantizer-agnostic (the witness-oracle SemDeDup row) may use
+        vectorized=True."""
         import pandas as pd
 
         Cn = np.asarray(new_cands, dtype=np.float64)
@@ -1390,6 +1447,8 @@ def kmeans_parallel_centroids(
 
         def upd(batches):
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue  # empty Arrow batch: matmul on (0,) would raise
                 V = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
                 )
@@ -1461,6 +1520,8 @@ def kmeans_parallel_centroids(
 
         def w_assign(batches):
             for pdf in batches:
+                if len(pdf) == 0:
+                    continue  # empty Arrow batch: matmul on (0,) would raise
                 V = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
                 )
@@ -2015,6 +2076,7 @@ def assign_cells_arrow(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized nearest-centroid assignment: the numpy/BLAS twin
     of `ivf_assign`, for the regime where even the max_by-aggregated JVM
@@ -2034,7 +2096,10 @@ def assign_cells_arrow(
     within ~1e-15 relative -- the `embedding_assign_arrow_agreement`
     row MEASURES that rate against the fold-exact assignment (witness:
     >= 99.99% agreement) instead of assuming it. Returns
-    (id_col, cell)."""
+    (id_col, cell), or (id_col, vec_col, cell) with ``keep_vec=True``
+    (the `ivf_assign` output shape, still map-only -- callers that need
+    the vector downstream should carry it through here rather than pay
+    a corpus-scale re-join on the id)."""
     import numpy as np
     import pandas as pd
 
@@ -2045,10 +2110,19 @@ def assign_cells_arrow(
     C = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    out_schema = f"{id_col} long, cell long"
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} long, {vec_col} {vec_type}, cell long"
+        if keep_vec
+        else f"{id_col} long, cell long"
+    )
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                # empty Arrow batch -> np.asarray of an empty list is a
+                # shape-(0,) 1-D array and the matmul raises; skip it
+                continue
             V = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -2056,9 +2130,11 @@ def assign_cells_arrow(
                 np.linalg.norm(V, axis=1, keepdims=True), 1e-12
             )
             best = np.argmax(Vn @ Cn.T, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "cell": cent_ids[best]}
-            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            out["cell"] = cent_ids[best]
+            yield pd.DataFrame(out)
 
     return emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         assign, out_schema
@@ -2288,7 +2364,17 @@ def two_level_assign(
     fine centroid instead (the `embedding_two_level_agreement` row
     MEASURES that rate against the flat assignment; trained coarse +
     nprobe=2 measured 96%+ at sf0.01/sf0.1 vs 42% for the old
-    untrained single-probe). Probed fine sets are disjoint by
+    untrained single-probe). The DUP-PAIR cost of that routing -- what
+    the SemDeDup handoff actually pays -- is likewise measured, not
+    argued (`embedding_two_level_pair_recall`, VERDICT r11 item 3):
+    on a planted-cluster fixture at the production handoff shape
+    (kc=ceil(sqrt(2k)), nprobe=2), tight dup pairs (cos >= 0.9)
+    stay co-routed ~84% and loose tau=0.4 pairs ~47% at sf0.01 --
+    tight pairs are strongly correlated through the router (83%+ vs
+    the ~53% independent-routing floor implied by ~73% per-vector
+    agreement), and the residual loss is the honest price of the 6x
+    assignment win in the regime where flat is the 28x wall.
+    Probed fine sets are disjoint by
     construction (each fine centroid routes to exactly one coarse
     cell), so the final argmax needs no dedup. Returns (vec_id, cell)."""
     if coarse is None:

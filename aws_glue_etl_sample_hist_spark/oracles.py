@@ -2300,10 +2300,14 @@ ORACLE_SQL["customer_id_luhn_audit"] = r"""
 # SemDeDup trained-quantizer CONTRACT oracle (the pagerank-converged
 # witness pattern, VERDICT r10 item 1): the Spark side computes the
 # prune-rule witnesses IN-PLAN conditioned on the actual (k-means||-
-# trained or two-level-routed) cells; the oracle re-derives the exact
-# vec_id key set and asserts every witness TRUE -- certifying the
-# "dropped => lower-id >= tau partner in my cell, kept => none" rule
-# for ANY quantizer the row trains.
+# trained or two-level-routed) cells, through TWO routes that share
+# nothing below the assignment (production normalize-then-dot pair
+# frame vs raw-vector re-derivation with a reversed join -- ADVICE
+# r11); the oracle re-derives the exact vec_id key set and asserts
+# every witness TRUE -- certifying the "dropped => lower-id >= tau
+# partner in my cell, kept => none" rule BELOW the cell assignment.
+# The assignment itself is certified by the agreement-audit rows and
+# the brute-force pytest, not by these witnesses.
 ORACLE_SQL["embedding_semantic_dedup_trained"] = """
     SELECT vec_id,
            TRUE AS dup_has_partner_ok,
@@ -2410,6 +2414,118 @@ def _two_level_agreement_sql(n_fine: int = 32, kc: int = 6, nprobe: int = 3) -> 
 
 
 ORACLE_SQL["embedding_two_level_agreement"] = _two_level_agreement_sql()
+
+
+def _two_level_pair_recall_sql(
+    n_fine: int = 32,
+    kc: int = 8,
+    nprobe: int = 2,
+    tau: float = 0.4,
+    tight: float = 0.9,
+) -> str:
+    """Dup-pair preservation oracle for the two-level handoff (VERDICT
+    r11 item 3): replays (1) the in-plan clustered fixture (each base
+    embedding + two single-coordinate +0.2 perturbed copies, double
+    arithmetic both engines), (2) the greedy k-center coarse chain and
+    both assignment routes over the fixture (the
+    `_two_level_agreement_sql` machinery at the production handoff
+    shape kc=8, nprobe=2), and (3) the flat-cell pair join, tau filter,
+    tight/loose bucket split and preservation counts -- all on the same
+    IEEE doubles, so the measured preservation number is hash-checked,
+    not asserted."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"list_dot_product({x}, {y}) / greatest(sqrt(list_dot_product"
+            f"({x}, {x})) * sqrt(list_dot_product({y}, {y})), 1e-12)"
+        )
+
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "fx AS MATERIALIZED (SELECT vec_id, v FROM e\n"
+        "       UNION ALL\n"
+        "       SELECT vec_id + 1000000, [v[1] + 0.2] || v[2:] FROM e\n"
+        "       UNION ALL\n"
+        "       SELECT vec_id + 2000000, [v[1]] || [v[2] + 0.2] || v[3:] FROM e),",
+        f"f AS MATERIALIZED (SELECT vec_id AS fid, v AS fv FROM e WHERE vec_id < {n_fine}),",
+        "g0 AS MATERIALIZED (SELECT MIN(fid) AS id FROM f),",
+        f"m0 AS MATERIALIZED (SELECT f.fid, f.fv, {cos('f.fv', 's.fv')} AS mc\n"
+        "        FROM f JOIN f s ON s.fid = (SELECT id FROM g0)),",
+    ]
+    for j in range(1, kc):
+        prev = " UNION ALL ".join(f"SELECT id FROM g{i}" for i in range(j))
+        parts.append(
+            f"g{j} AS MATERIALIZED (SELECT fid AS id FROM m{j - 1}\n"
+            f"        WHERE fid NOT IN ({prev})\n"
+            "        ORDER BY mc ASC, fid ASC LIMIT 1),"
+        )
+        if j < kc - 1:
+            parts.append(
+                f"m{j} AS MATERIALIZED (SELECT m.fid, m.fv, greatest(m.mc, "
+                f"{cos('m.fv', 's.fv')}) AS mc\n"
+                f"        FROM m{j - 1} m JOIN f s ON s.fid = (SELECT id FROM g{j})),"
+            )
+    sel = " UNION ALL ".join(f"SELECT id FROM g{i}" for i in range(kc))
+    parts.append(
+        f"c AS MATERIALIZED (SELECT fid AS cid, fv AS cv FROM f WHERE fid IN ({sel})),"
+    )
+    parts.append(
+        f"""f2c AS MATERIALIZED (
+        SELECT cid, fid, fv FROM (
+            SELECT c.cid, f.fid, f.fv,
+                   ROW_NUMBER() OVER (PARTITION BY f.fid ORDER BY
+                       {cos('c.cv', 'f.fv')} DESC, c.cid ASC) AS rn
+            FROM c CROSS JOIN f)
+        WHERE rn = 1
+    ),
+    vc AS MATERIALIZED (
+        SELECT vec_id, v, cid FROM (
+            SELECT fx.vec_id, fx.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+                       {cos('c.cv', 'fx.v')} DESC, c.cid ASC) AS rn
+            FROM fx CROSS JOIN c)
+        WHERE rn <= {nprobe}
+    ),
+    two AS MATERIALIZED (
+        SELECT vec_id, fid AS cell_2l FROM (
+            SELECT vc.vec_id, f2c.fid,
+                   ROW_NUMBER() OVER (PARTITION BY vc.vec_id ORDER BY
+                       {cos('f2c.fv', 'vc.v')} DESC, f2c.fid ASC) AS rn
+            FROM vc JOIN f2c ON vc.cid = f2c.cid)
+        WHERE rn = 1
+    ),
+    ex AS MATERIALIZED (
+        SELECT vec_id, v, fid AS cell_exact FROM (
+            SELECT fx.vec_id, fx.v, f.fid,
+                   ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+                       {cos('f.fv', 'fx.v')} DESC, f.fid ASC) AS rn
+            FROM fx CROSS JOIN f)
+        WHERE rn = 1
+    ),
+    truth AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {cos('a.v', 'b.v')} AS c
+        FROM ex a JOIN ex b
+          ON a.cell_exact = b.cell_exact AND a.vec_id < b.vec_id
+        WHERE {cos('a.v', 'b.v')} >= {tau!r}
+    )
+    SELECT CASE WHEN t.c >= {tight!r} THEN 'tight_ge90'
+                ELSE 'loose_40_90' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ta.cell_2l = tb.cell_2l
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved,
+           (10000 * CAST(SUM(CASE WHEN ta.cell_2l = tb.cell_2l
+                             THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) AS preserved_bp
+    FROM truth t
+    JOIN two ta ON ta.vec_id = t.id_a
+    JOIN two tb ON tb.vec_id = t.id_b
+    GROUP BY 1"""
+    )
+    return "\n    ".join(parts)
+
+
+ORACLE_SQL["embedding_two_level_pair_recall"] = _two_level_pair_recall_sql()
 
 ORACLE_SQL["training_corpus"] = ORACLE_SQL["cleaned_corpus"].replace(
     "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5",

@@ -1640,10 +1640,16 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
     conditioned on the actual cells (operators.similarity.
     semantic_dedup_witness): `dup_has_partner_ok` (flagged => a
     lower-id >= threshold partner exists in my cell, via the production
-    distinct-dup-set route) and `keeper_has_none_ok` (kept => none, via
-    an independent max-partner-cosine aggregation). The DuckDB oracle
-    re-derives the vec_id key set and asserts every witness TRUE -- so
-    the driver hash-certifies the prune rule for ANY trained quantizer."""
+    normalize-then-dot pair frame and distinct-dup-set route) and
+    `keeper_has_none_ok` (kept => none, via a FULLY INDEPENDENT route
+    that re-derives its own pair frame from the raw vectors with a
+    reversed join and a different cosine formula -- ADVICE r11; the
+    routes share nothing below the cell assignment). The DuckDB oracle
+    re-derives the vec_id key set and asserts every witness TRUE -- the
+    driver hash-certifies the prune rule BELOW the cell assignment for
+    any trained quantizer; the assignment itself is certified
+    separately (embedding_two_level_agreement /
+    embedding_assign_arrow_agreement audits + brute-force pytest)."""
     from .operators.sampling import hash_sample
     from .operators.similarity import (
         kmeans_parallel_centroids,
@@ -1682,7 +1688,11 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
             two_level_assign(emb, cents, n_coarse=kc, nprobe=2), "vec_id"
         )
         return semantic_dedup_witness(emb, assigned=assigned)
-    return semantic_dedup_witness(emb, centroids=cents)
+    # flat regime (k <= 256): the Arrow/BLAS assignment (VERDICT r11
+    # item 7) -- eligible because this row's oracle is the witness
+    # contract (assignment-agnostic), and the argmax agreement vs the
+    # fold-exact path is MEASURED by embedding_assign_arrow_agreement
+    return semantic_dedup_witness(emb, centroids=cents, vectorized_assign=True)
 
 
 def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
@@ -1723,6 +1733,100 @@ def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct(F.col("cell_2l")).alias("n_cells_used"),
     ).withColumn(
         "agreement_bp", F.expr("(10000 * n_agree) DIV n_vectors")
+    )
+
+
+def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Dup-PAIR preservation audit for the two-level handoff regime
+    (VERDICT r11 item 3 -- the accounting discipline every other
+    approximate family already carries, applied to the k>256 routing
+    that trained SemDeDup deploys): on a CLUSTERED fixture, how many of
+    the dup pairs the FLAT assignment's in-cell pruning would catch at
+    the production tau=0.4 stay co-located under `two_level_assign`?
+
+    The r11 verdict's open question was exactly this: near-uniform
+    synthetic vectors at cosine ~0.4 route independently (~50% pair
+    preservation measured at sf0.1), while "tight dups co-route" was an
+    argument, not a number. The fixture plants the tight clusters
+    IN-PLAN so the oracle can replay them: every base embedding gets
+    two single-coordinate +0.2 perturbed copies (ids offset by 1M/2M;
+    unit-norm base => within-cluster cosines ~0.96-0.99), giving a
+    corpus where both regimes exist -- planted tight pairs (cos >=
+    0.9) and whatever loose (0.4..0.9) pairs the base corpus carries.
+    Truth = pairs co-located under FLAT assignment with cosine >= tau
+    (what the k<=256 production path prunes on); preserved = the pair
+    is also co-located under the two-level route at the production
+    handoff shape (k=32 seeded fine, kc=ceil(sqrt(2k))=8, nprobe=2).
+    One row per tightness bucket: (bucket, n_pairs, n_preserved,
+    preserved_bp). EXACT oracle: fixture construction, the greedy
+    k-center coarse chain, all argmax stages, the pair join and the
+    bucket split replayed in SQL over the same IEEE doubles."""
+    from .operators.similarity import (
+        cosine,
+        ivf_assign,
+        seeded_centroids,
+        two_level_assign,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dv.alias("embedding"))
+    p1 = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(dv, 1) + F.lit(0.2)), F.slice(dv, 2, 63)
+        ).alias("embedding"),
+    )
+    p2 = emb.select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.concat(
+            F.slice(dv, 1, 1),
+            F.array(F.element_at(dv, 2) + F.lit(0.2)),
+            F.slice(dv, 3, 62),
+        ).alias("embedding"),
+    )
+    fixture = base.unionAll(p1).unionAll(p2)
+    fine = seeded_centroids(emb, 32)
+    flat = ivf_assign(fixture, 32, centroids=fine)
+    two = two_level_assign(fixture, fine, n_coarse=8, nprobe=2)
+    a = flat.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("cell").alias("cell_a"),
+    )
+    b = flat.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    truth = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("_cos"))
+        .filter(F.col("_cos") >= 0.4)
+    )
+    ta = two.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("two_a"))
+    tb = two.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("two_b"))
+    return (
+        truth.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            F.when(F.col("_cos") >= 0.9, F.lit("tight_ge90"))
+            .otherwise(F.lit("loose_40_90"))
+            .alias("bucket"),
+            (F.col("two_a") == F.col("two_b")).cast("long").alias("_kept"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_kept").alias("n_preserved"),
+        )
+        .withColumn(
+            "preserved_bp", F.expr("(10000 * n_preserved) DIV n_pairs")
+        )
     )
 
 
@@ -5913,27 +6017,86 @@ def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-11 rotation (VERDICT r10 item 4): slots
-    # 1-3 the three r10-late rows that have never had a driver row, slot 4
-    # the trained-SemDeDup row whose NEW witness-contract oracle must
-    # replace its r10 `err: no_oracle` record, slots 5-6 the two round-11
-    # additions (sampled winnowing recall, bitext recall audit), slots
-    # 7-50 the 44 stalest reference-spine rows (r6 evidence). Past slot
-    # 50, blocks stay ordered oldest-evidence-first (the 6 remaining
-    # r6-stale rows queued FIRST for r12, then r7, r8, r9, r10 blocks) so
-    # future rotations keep pointing at the stalest rows. Everything past
-    # slot 50 stays oracle-checked every round via
-    # tests/test_oracle_parity.py.
-    # --- never-driver-checked r10-late rows (3) ---
+    # the FIRST 50 entries. Round-12 rotation (VERDICT r11 item 2): slot 1
+    # the round-12 audit addition (two-level dup-pair recall), slot 2 the
+    # one never-driver-checked row (embedding_assign_arrow_agreement,
+    # r11-late), slots 3-8 the six r6-stale rows, slots 9-14 the
+    # production similarity/dedup family the verdict named, slots 15-50
+    # the 36 oldest remaining r7-stale rows. Past slot 50, blocks stay
+    # ordered oldest-evidence-first (the 8 remaining r7-stale rows queued
+    # FIRST for r13, then r8, r9, r10, r11 blocks). Everything past slot
+    # 50 stays oracle-checked every round via tests/test_oracle_parity.py.
+    # --- round-12 addition: two-level handoff dup-pair recall audit (1) ---
+    "embedding_two_level_pair_recall": q_embedding_two_level_pair_recall,
+    # --- r11-late, never driver-checked (1) ---
+    "embedding_assign_arrow_agreement": q_embedding_assign_arrow_agreement,
+    # --- r6-stale rows, refreshed (6) ---
+    "events_json_extract": q_events_json_extract,
+    "events_daily_pivot": q_events_daily_pivot,
+    "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_type_stats_salted": q_events_type_stats_salted,
+    "product_category_revenue_salted": q_product_category_revenue_salted,
+    # --- r7-stale: production similarity/dedup family first (6) ---
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "embedding_pq_topk": q_embedding_pq_topk,
+    "training_corpus": q_training_corpus,
+    "dedup_incremental": q_dedup_incremental,
+    "stream_events_dedup": q_stream_events_dedup,
+    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+    # --- r7-stale, oldest-first (36) ---
+    "nations_pagerank_converged": q_nations_pagerank_converged,
+    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
+    "corpus_dsir_select": q_corpus_dsir_select,
+    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
+    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
+    "embedding_pca": q_embedding_pca,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
+    "embedding_pca_incremental": q_embedding_pca_incremental,
+    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
+    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
+    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
+    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
+    "multimodal_image_dedup": q_multimodal_image_dedup,
+    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
+    "stream_embedding_pca": q_stream_embedding_pca,
+    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
+    "orders_target_encoding": q_orders_target_encoding,
+    "multimodal_video_dedup": q_multimodal_video_dedup,
+    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
+    "customer_k_anonymity": q_customer_k_anonymity,
+    "stream_events_session_native": q_stream_events_session_native,
+    "text_gopher_quality": q_text_gopher_quality,
+    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
+    "events_incident_windows": q_events_incident_windows,
+    "customer_rolling_revenue": q_customer_rolling_revenue,
+    "events_daily_gapfill": q_events_daily_gapfill,
+    "events_user_state_scd2": q_events_user_state_scd2,
+    "events_funnel": q_events_funnel,
+    "customer_cohort_retention": q_customer_cohort_retention,
+    "customer_rfm": q_customer_rfm,
+    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
+    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+    "text_pii_redact": q_text_pii_redact,
+    "corpus_chunk": q_corpus_chunk,
+    "text_token_dedup": q_text_token_dedup,
+    # --- past slot 50: remaining r7-stale rows (8), queued FIRST for r13 ---
+    "text_perplexity": q_text_perplexity,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_mixture": q_corpus_mixture,
+    "embedding_cell_stats": q_embedding_cell_stats,
+    "stream_events_cdc_lake": q_stream_events_cdc_lake,
+    "corpus_decontamination": q_corpus_decontamination,
+    "events_asof_last_order": q_events_asof_last_order,
+    "stream_events_purchase_follow": q_stream_events_purchase_follow,
+    # --- r11-evidence block (oldest-evidence-first) ---
     "embedding_bitext_mine": q_embedding_bitext_mine,
     "customer_id_luhn_audit": q_customer_id_luhn_audit,
     "embedding_two_level_agreement": q_embedding_two_level_agreement,
-    # --- re-oracled this round: witness contract replaces rows-only (1) ---
     "embedding_semantic_dedup_trained": q_embedding_semantic_dedup_trained,
-    # --- round-11 additions (2) ---
     "dedup_winnow_recall_sampled": q_dedup_winnow_recall_sampled,
     "embedding_bitext_recall": q_embedding_bitext_recall,
-    # --- r6-stale reference spine, refreshed (44) ---
     "bronze_purchases": q_bronze_purchases,
     "silver_denorm": q_silver_denorm,
     "pricing_summary": q_pricing_summary,
@@ -5978,67 +6141,7 @@ QUERIES = {
     "events_session_window": q_events_session_window,
     "stream_events_sessionize": q_stream_events_sessionize,
     "stream_events_windowed": q_stream_events_windowed,
-    # --- past slot 50: remaining r6-stale rows (6), queued first for r12 ---
-    "events_json_extract": q_events_json_extract,
-    "events_daily_pivot": q_events_daily_pivot,
-    "events_rollup": q_events_rollup,
-    "events_cube": q_events_cube,
-    "events_type_stats_salted": q_events_type_stats_salted,
-    "product_category_revenue_salted": q_product_category_revenue_salted,
-    # --- r11-late (rotate into the r12 window) ---
-    "embedding_assign_arrow_agreement": q_embedding_assign_arrow_agreement,
-    # --- r7 block (50) ---
-    "nations_pagerank_converged": q_nations_pagerank_converged,
-    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
-    "corpus_dsir_select": q_corpus_dsir_select,
-    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
-    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
-    "embedding_pca": q_embedding_pca,
-    "embedding_hard_negatives": q_embedding_hard_negatives,
-    "embedding_pca_incremental": q_embedding_pca_incremental,
-    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
-    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
-    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
-    "multimodal_audio_segments": q_multimodal_audio_segments,
-    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
-    "multimodal_image_dedup": q_multimodal_image_dedup,
-    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
-    "stream_embedding_pca": q_stream_embedding_pca,
-    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
-    "orders_target_encoding": q_orders_target_encoding,
-    "multimodal_video_dedup": q_multimodal_video_dedup,
-    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
-    "customer_k_anonymity": q_customer_k_anonymity,
-    "stream_events_session_native": q_stream_events_session_native,
-    "text_gopher_quality": q_text_gopher_quality,
-    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
-    "embedding_semantic_dedup": q_embedding_semantic_dedup,
-    "embedding_pq_topk": q_embedding_pq_topk,
-    "dedup_incremental": q_dedup_incremental,
-    "events_incident_windows": q_events_incident_windows,
-    "customer_rolling_revenue": q_customer_rolling_revenue,
-    "events_daily_gapfill": q_events_daily_gapfill,
-    "events_user_state_scd2": q_events_user_state_scd2,
-    "events_funnel": q_events_funnel,
-    "customer_cohort_retention": q_customer_cohort_retention,
-    "customer_rfm": q_customer_rfm,
-    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
-    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-    "text_pii_redact": q_text_pii_redact,
-    "corpus_chunk": q_corpus_chunk,
-    "text_token_dedup": q_text_token_dedup,
-    "text_perplexity": q_text_perplexity,
-    "corpus_shuffle": q_corpus_shuffle,
-    "corpus_mixture": q_corpus_mixture,
-    "embedding_cell_stats": q_embedding_cell_stats,
-    "stream_events_cdc_lake": q_stream_events_cdc_lake,
-    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
-    "training_corpus": q_training_corpus,
-    "corpus_decontamination": q_corpus_decontamination,
-    "events_asof_last_order": q_events_asof_last_order,
-    "stream_events_dedup": q_stream_events_dedup,
-    "stream_events_purchase_follow": q_stream_events_purchase_follow,
-    # --- r8-fresh block ---
+    # --- r8-evidence block (oldest-evidence-first) ---
     "text_quality_auc": q_text_quality_auc,
     "quality_rater_agreement": q_quality_rater_agreement,
     "quality_calibration": q_quality_calibration,
@@ -6088,7 +6191,7 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- r9-checked rows (freshest driver evidence, rotate last) ---
+    # --- r9-evidence block (oldest-evidence-first) ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "corpus_mixture_temperature": q_corpus_mixture_temperature,
     "dedup_lsh_precision": q_dedup_lsh_precision,
@@ -6139,7 +6242,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
-    # --- r10-checked rows (freshest driver evidence, rotate last) ---
+    # --- r10-evidence block (oldest-evidence-first) ---
     "dedup_cluster_keeper": q_dedup_cluster_keeper,
     "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
     "corpus_epoch_plan": q_corpus_epoch_plan,

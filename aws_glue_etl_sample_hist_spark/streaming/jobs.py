@@ -67,6 +67,24 @@ SESSION_SCHEMA = StructType(
 )
 
 
+
+def _mkscratch(prefix: str) -> str:
+    """Streaming scratch allocator (VERDICT r11 item 6): every state-store
+    checkpoint / file-stream staging dir in this module comes through here.
+    By default it is plain tempfile (usually /tmp, disk-backed); pointing
+    SPARK_GRAFT_STREAM_SCRATCH at a tmpfs (e.g. /dev/shm/stream_scratch)
+    moves ALL streaming state I/O to memory -- the dial that separates
+    disk-bound state-store writes from compute in the bench's streaming
+    rows (PERF.md records the disk-vs-tmpfs wall split; the HDFS-backed
+    state store fsyncs its delta files per micro-batch, so a loaded /tmp
+    disk shows up as stream wall time that no engine change can move)."""
+    root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource wants a directory or glob (a bare file path fails with
     # "Option 'basePath' must be a directory") -- glob the single file.
@@ -105,7 +123,7 @@ def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 6
     import time
 
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    ckpt_root = tempfile.mkdtemp(prefix="stream_ckpt_")
+    ckpt_root = _mkscratch(prefix="stream_ckpt_")
     ckpt = os.path.join(ckpt_root, "ckpt")
     q = (
         result.writeStream.format("memory")
@@ -295,7 +313,7 @@ def stream_events_cdc_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the final lake state: purchases at 2x/v2, the rest at
     1x/v1. IO per batch is proportional to the TOUCHED partitions, never
     the lake (upsert_partitioned prunes by the updates' partition values)."""
-    lake = tempfile.mkdtemp(prefix="cdc_lake_") + "/events"
+    lake = _mkscratch(prefix="cdc_lake_") + "/events"
 
     def _upsert(batch: DataFrame, _batch_id: int) -> None:
         latest = (
@@ -315,7 +333,7 @@ def stream_events_cdc_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_partitioned(latest, lake, partition_by=["event_date"])
 
     def _run(source: DataFrame) -> None:
-        ckpt = os.path.join(tempfile.mkdtemp(prefix="cdc_ckpt_"), "ckpt")
+        ckpt = os.path.join(_mkscratch(prefix="cdc_ckpt_"), "ckpt")
         q = (
             source.writeStream.foreachBatch(_upsert)
             .option("checkpointLocation", ckpt)
@@ -579,9 +597,9 @@ def stream_pca_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pca_from_moments, pca_moments
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    src_dir = tempfile.mkdtemp(prefix="pca_stream_src_")
+    src_dir = _mkscratch(prefix="pca_stream_src_")
     emb.repartition(3).write.mode("overwrite").parquet(src_dir)
-    state_dir = tempfile.mkdtemp(prefix="pca_stream_state_")
+    state_dir = _mkscratch(prefix="pca_stream_state_")
 
     def _accumulate(batch: DataFrame, batch_id: int) -> None:
         # foreachBatch can receive EMPTY batches on checkpoint replay /
@@ -593,7 +611,7 @@ def stream_pca_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(state_dir, f"batch_{batch_id}.json"), "w") as f:
             json.dump({"n": n, "s": list(s), "ss": list(ss.ravel())}, f)
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="pca_stream_ckpt_"), "ckpt")
+    ckpt = os.path.join(_mkscratch(prefix="pca_stream_ckpt_"), "ckpt")
     q = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)
@@ -704,7 +722,7 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ref_n.get(b, 0) + 1) / (ref_tot + n_buckets) for b in range(n_buckets)
     ]
 
-    src_dir = tempfile.mkdtemp(prefix="drift_stream_src_")
+    src_dir = _mkscratch(prefix="drift_stream_src_")
     for s in range(3):
         ev.filter(F.col("split") == s).coalesce(1).write.mode(
             "overwrite"
@@ -736,7 +754,7 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi = round(psi, 6)
         results.append((split, tot, psi, psi > thr))
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="drift_stream_ckpt_"), "ckpt")
+    ckpt = os.path.join(_mkscratch(prefix="drift_stream_ckpt_"), "ckpt")
     q = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -791,17 +809,17 @@ def stream_dedup_clusters(
 
     _t0 = _time.perf_counter()
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    src_dir = tempfile.mkdtemp(prefix="cc_stream_src_")
+    src_dir = _mkscratch(prefix="cc_stream_src_")
     for s in range(3):
         docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(src_dir, f"s{s}"))
     if timings is not None:
         timings["setup_sec"] = round(_time.perf_counter() - _t0, 3)
-    _state_root = tempfile.mkdtemp(prefix="cc_stream_state_")
+    _state_root = _mkscratch(prefix="cc_stream_state_")
     sh_dir = os.path.join(_state_root, "sh")
     sizes_dir = os.path.join(_state_root, "sizes")
-    labels_root = tempfile.mkdtemp(prefix="cc_stream_labels_")
+    labels_root = _mkscratch(prefix="cc_stream_labels_")
     state = {"labels_path": None, "n_batches": 0}
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
@@ -935,7 +953,7 @@ def stream_dedup_clusters(
                 _time.perf_counter() - _bt0, 3
             )
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="cc_stream_ckpt_"), "ckpt")
+    ckpt = os.path.join(_mkscratch(prefix="cc_stream_ckpt_"), "ckpt")
     _st0 = _time.perf_counter()
     q = (
         spark.readStream.schema(docs.schema)
@@ -974,7 +992,7 @@ def stream_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     phi = 0.0075
     k = int(2.0 / phi)
     ev = spark.read.parquet(table_path(sf_dir, "events"))
-    src_dir = tempfile.mkdtemp(prefix="hh_stream_src_")
+    src_dir = _mkscratch(prefix="hh_stream_src_")
     for s in range(3):
         ev.filter(F.col("event_id") % 3 == s).coalesce(1).write.mode(
             "overwrite"
@@ -988,7 +1006,7 @@ def stream_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = misra_gries_partials(batch, "user_id", k).collect()
         state = merge_mg_summary(state, [(r.user_id, r.cnt) for r in rows], k)
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="hh_stream_ckpt_"), "ckpt")
+    ckpt = os.path.join(_mkscratch(prefix="hh_stream_ckpt_"), "ckpt")
     q = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1028,12 +1046,12 @@ def stream_events_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import ab_ztest_readout
 
     ev = spark.read.parquet(table_path(sf_dir, "events"))
-    src_dir = tempfile.mkdtemp(prefix="ab_stream_src_")
+    src_dir = _mkscratch(prefix="ab_stream_src_")
     for s in range(3):
         ev.filter(F.col("event_id") % 3 == s).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(src_dir, f"s{s}"))
-    state_dir = tempfile.mkdtemp(prefix="ab_stream_state_")
+    state_dir = _mkscratch(prefix="ab_stream_state_")
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1052,7 +1070,7 @@ def stream_events_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(state_dir, "per_user"))
         )
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="ab_stream_ckpt_"), "ckpt")
+    ckpt = os.path.join(_mkscratch(prefix="ab_stream_ckpt_"), "ckpt")
     q = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1102,12 +1120,12 @@ def stream_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     WIDTH, NBINS = 16, 64
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    src_dir = tempfile.mkdtemp(prefix="qq_stream_src_")
+    src_dir = _mkscratch(prefix="qq_stream_src_")
     for s in range(3):
         docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(src_dir, f"s{s}"))
-    state_dir = tempfile.mkdtemp(prefix="qq_stream_state_")
+    state_dir = _mkscratch(prefix="qq_stream_state_")
 
     bin_col = F.least(
         F.floor(token_count(F.col("text")) / WIDTH), F.lit(NBINS - 1)
@@ -1125,7 +1143,7 @@ def stream_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(state_dir, f"batch_{batch_id}"))
         )
 
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="qq_stream_ckpt_"), "ckpt")
+    ckpt = os.path.join(_mkscratch(prefix="qq_stream_ckpt_"), "ckpt")
     q = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

@@ -158,6 +158,8 @@ HEADLINE = [
     "dedup_winnow_recall_sampled",
     "embedding_bitext_recall",
     "embedding_assign_arrow_agreement",
+    # round-12: two-level handoff dup-pair preservation audit
+    "embedding_two_level_pair_recall",
 ]
 
 
@@ -232,7 +234,8 @@ def main() -> None:
     # INTERLEAVE rows timestamps machine state THROUGH the loop, so every
     # query gets a ratio to its NEAREST-in-time sentinel -- a row is a
     # real regression only if that LOCAL ratio moved.
-    interleave = int(os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "10"))
+    # clamp: 0 or negative would ZeroDivisionError the loop (ADVICE r11)
+    interleave = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "10")))
     sentinel_track: list[tuple[int, float]] = [
         (-1, statistics.median(sentinel_trials))
     ]
@@ -260,40 +263,59 @@ def main() -> None:
     sentinel_track.append((len(query_pos), statistics.median(sentinel_trials[n_trials:])))
     sentinel_sec = round(statistics.median(sentinel_trials), 3)
     job_overhead_sec = round(statistics.median(overhead_trials), 3)
-    # per-query ratio to the NEAREST interleaved sentinel, plus that
-    # sentinel's own value: a slow row next to an elevated sentinel is
-    # machine load on the record, not an engine regression
-    ratios_nearest: dict[str, list[float]] = {}
-    for name, qi in query_pos.items():
-        near = min(sentinel_track, key=lambda s: (abs(s[0] - qi), s[0]))[1]
-        ratios_nearest[name] = [
-            round(timings[name] / max(near, 1e-9), 2),
-            round(near, 3),
-        ]
 
-    with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
+    # ---- pipeline phase: sentinel-bracketed (r11 VERDICT item 1) ----
+    # The r11 bench's only unexplained regression (curation_pipeline +32%)
+    # sat exactly where the interleaved sentinel could not see: the
+    # pipeline rows run AFTER the bracketed headline loop, so they
+    # reported ratio=None and environment-vs-code was unadjudicable. Each
+    # pipeline timing now gets its own position on the sentinel-track
+    # axis with one frozen trial AFTER every row, and the plan runners'
+    # per-stage wall splits land in bench_result.json so a genuine code
+    # regression is stage-named, not pipeline-blamed.
+    pipe_pos = len(query_pos) + 1  # +1: endpoint sentinel owns len(query_pos)
+    pipeline_stages: dict[str, dict[str, float]] = {}
+
+    def _pipeline_row(name: str, fn) -> None:
+        nonlocal pipe_pos
         t0 = time.perf_counter()
-        run_medallion(spark, sf_dir, tmp)
-        pipeline_sec = round(time.perf_counter() - t0, 3)
-    timings["medallion_pipeline"] = pipeline_sec
+        stages = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if isinstance(stages, dict):
+            pipeline_stages[name] = {
+                k: round(v, 3) for k, v in stages.items()
+            }
+        query_pos[name] = pipe_pos
+        release_operator_caches()
+        sentinel_track.append((pipe_pos, _sentinel_trial(spark, sf_dir)))
+        pipe_pos += 1
+
+    def _run_medallion_row():
+        with tempfile.TemporaryDirectory(prefix="medallion_bench_") as tmp:
+            return run_medallion(spark, sf_dir, tmp)
+
+    _pipeline_row("medallion_pipeline", _run_medallion_row)
+    pipeline_sec = timings["medallion_pipeline"]
 
     # the LLM-curation DAG (stats ∥ benchmark -> cleaned -> released ->
     # training ∥ manifest), same materialized-tier architecture
     from aws_glue_etl_sample_hist_spark.plans.curation import run_curation
 
-    with tempfile.TemporaryDirectory(prefix="curation_bench_") as tmp:
-        t0 = time.perf_counter()
-        run_curation(spark, sf_dir, tmp)
-        timings["curation_pipeline"] = round(time.perf_counter() - t0, 3)
+    def _run_curation_row():
+        with tempfile.TemporaryDirectory(prefix="curation_bench_") as tmp:
+            return run_curation(spark, sf_dir, tmp)
+
+    _pipeline_row("curation_pipeline", _run_curation_row)
 
     # the retrieval-serving DAG (cleaned -> postings ∥ lengths ∥ ivf ∥ pq ->
     # hybrid serve from artifacts only)
     from aws_glue_etl_sample_hist_spark.plans.retrieval import run_retrieval
 
-    with tempfile.TemporaryDirectory(prefix="retrieval_bench_") as tmp:
-        t0 = time.perf_counter()
-        run_retrieval(spark, sf_dir, tmp)
-        timings["retrieval_pipeline"] = round(time.perf_counter() - t0, 3)
+    def _run_retrieval_row():
+        with tempfile.TemporaryDirectory(prefix="retrieval_bench_") as tmp:
+            return run_retrieval(spark, sf_dir, tmp)
+
+    _pipeline_row("retrieval_pipeline", _run_retrieval_row)
 
     # incremental-CC PRODUCTION path: standing labels + batch pairs are
     # artifacts at rest (staged untimed); the timed part is ONLY what the
@@ -325,24 +347,37 @@ def main() -> None:
             os.path.join(tmp, "bnodes")
         )
         release_operator_caches()
-        trials = []
-        for _ in range(n_trials):
-            t0 = time.perf_counter()
-            connected_components_incremental(
-                spark.read.parquet(os.path.join(tmp, "labels")),
-                spark.read.parquet(os.path.join(tmp, "bnodes")),
-                spark.read.parquet(os.path.join(tmp, "bpairs")),
-            ).write.format("noop").mode("overwrite").save()
-            trials.append(time.perf_counter() - t0)
+
+        def _run_cc_merge_row():
+            trials = []
+            for _ in range(n_trials):
+                t0 = time.perf_counter()
+                connected_components_incremental(
+                    spark.read.parquet(os.path.join(tmp, "labels")),
+                    spark.read.parquet(os.path.join(tmp, "bnodes")),
+                    spark.read.parquet(os.path.join(tmp, "bpairs")),
+                ).write.format("noop").mode("overwrite").save()
+                trials.append(time.perf_counter() - t0)
+            # report the median like the headline rows; _pipeline_row
+            # re-times the whole fn, so overwrite with the median after
+            return {"merge_median_of_trials": statistics.median(trials)}
+
+        _pipeline_row(
+            "dedup_clusters_incremental_merge_only", _run_cc_merge_row
+        )
         timings["dedup_clusters_incremental_merge_only"] = round(
-            statistics.median(trials), 3
+            pipeline_stages["dedup_clusters_incremental_merge_only"][
+                "merge_median_of_trials"
+            ],
+            3,
         )
 
     # bucketed-bronze variant: the shuffle-free T1 layout (plans.medallion)
-    with tempfile.TemporaryDirectory(prefix="medallion_bkt_bench_") as tmp:
-        t0 = time.perf_counter()
-        run_medallion(spark, sf_dir, tmp, bucketed=True)
-        timings["medallion_pipeline_bucketed"] = round(time.perf_counter() - t0, 3)
+    def _run_medallion_bkt_row():
+        with tempfile.TemporaryDirectory(prefix="medallion_bkt_bench_") as tmp:
+            return run_medallion(spark, sf_dir, tmp, bucketed=True)
+
+    _pipeline_row("medallion_pipeline_bucketed", _run_medallion_bkt_row)
     from aws_glue_etl_sample_hist_spark.io.bucketing import drop_table
     from aws_glue_etl_sample_hist_spark.plans.medallion import (
         FACT_BKT_TABLE,
@@ -350,6 +385,20 @@ def main() -> None:
     )
     drop_table(spark, FACT_BKT_TABLE)
     drop_table(spark, ORDERS_BKT_TABLE)
+
+    # per-query ratio to the NEAREST interleaved sentinel, plus that
+    # sentinel's own value: a slow row next to an elevated sentinel is
+    # machine load on the record, not an engine regression. Computed
+    # AFTER the pipeline phase so pipeline rows carry ratios too
+    # (r11 VERDICT item 1: curation_pipeline's +32% was unattributable
+    # exactly because these rows had none).
+    ratios_nearest: dict[str, list[float]] = {}
+    for name, qi in query_pos.items():
+        near = min(sentinel_track, key=lambda s: (abs(s[0] - qi), s[0]))[1]
+        ratios_nearest[name] = [
+            round(timings[name] / max(near, 1e-9), 2),
+            round(near, 3),
+        ]
 
     # Human-readable ratio table -> stderr ONLY. BENCH_r04 failed to parse
     # because carrying both the walls dict and the ratios dict pushed the
@@ -374,6 +423,10 @@ def main() -> None:
         # query (bench_result.json only; the compact stdout line carries
         # sentinel_track, from which drift windows are readable directly)
         "ratios_to_nearest_sentinel": ratios_nearest,
+        # per-stage wall splits from the plan runners (bench_result.json
+        # only): if a pipeline row regresses ratio-high, the stage that
+        # moved is named here instead of re-running the DAG by hand
+        "pipeline_stages": pipeline_stages,
         "sentinel_track": [
             [i, round(s, 3)] for i, s in sentinel_track
         ],
@@ -402,6 +455,7 @@ def main() -> None:
     # record alone
     del line["queries_min"]
     del line["ratios_to_nearest_sentinel"]
+    del line["pipeline_stages"]
     kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = kept

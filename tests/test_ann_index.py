@@ -126,3 +126,26 @@ def test_pq_index_roundtrip_equals_inplan_adc(spark, sf_small, tmp_path):
     assert len(inc) == len(qids) * 5
     ids_in_index = {r.vec_id for r in emb.select("vec_id").collect()}
     assert {r[1] for r in inc} <= ids_in_index
+
+
+def test_vectorized_build_matches_fold_exact_assignment(spark, sf_small, tmp_path):
+    """The Arrow/BLAS build path (VERDICT r11 item 7): `build_ivf_index(
+    vectorized=True)` routes assignment through `assign_cells_arrow`
+    (keep_vec=True, map-only). On this corpus its argmax agrees with the
+    fold-exact `ivf_assign` 100% (the `embedding_assign_arrow_agreement`
+    audit measures the rate instead of assuming it), so the two builds
+    must land every vector in the same cell partition -- and the
+    vectorized index must carry the vectors (same ids per cell)."""
+    emb = _emb(spark, sf_small)
+    idx_exact = str(tmp_path / "ivf_exact")
+    idx_arrow = str(tmp_path / "ivf_arrow")
+    build_ivf_index(emb, idx_exact, n_centroids=N_CELLS)
+    build_ivf_index(emb, idx_arrow, n_centroids=N_CELLS, vectorized=True)
+    exact = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(f"{idx_exact}/vectors").collect()
+    }
+    arrow_rows = spark.read.parquet(f"{idx_arrow}/vectors").collect()
+    arrow = {(r.vec_id, r.cell) for r in arrow_rows}
+    assert arrow == exact
+    assert all(r.embedding is not None and len(r.embedding) > 0 for r in arrow_rows)
