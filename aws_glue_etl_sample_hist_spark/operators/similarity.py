@@ -742,6 +742,12 @@ def semantic_dedup_witness(
             assigned = ivf_assign(
                 emb, n_centroids, centroids=centroids, id_col=id_col, vec_col=vec_col
             )
+    # the assignment feeds FOUR consumers now that route B is independent
+    # (route A's pair frame, the flagged key set, route B's two pair
+    # sides); without a persist the quantizer pass -- the expensive part
+    # at trained k -- re-executes per consumer (r12: the independent
+    # route B doubled the sf1 wall until this landed)
+    assigned = tracked_persist(assigned)
     normed = assigned.withColumn(
         "_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
     ).withColumn(
@@ -775,27 +781,28 @@ def semantic_dedup_witness(
     # lower-id partner reduction. Shares nothing below `assigned` with
     # route A, so the normalization + pair-join layers are exercised
     # twice, structurally differently.
+    # norms hoisted per SIDE (one fold per vector, not two per pair) --
+    # greatest(norm(x), 1e-12) is computed on the same doubles either
+    # way, so every pair cosine is bit-identical to the unhoisted form
     ra = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("rva"),
+        F.greatest(norm(F.col(vec_col)), F.lit(1e-12)).alias("_na"),
         F.col("cell").alias("cell_a"),
     )
     rb = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("rvb"),
+        F.greatest(norm(F.col(vec_col)), F.lit(1e-12)).alias("_nb"),
         F.col("cell").alias("cell_rb"),
     )
     raw_cos = rb.join(
         ra, (F.col("cell_rb") == F.col("cell_a")) & (F.col("id_b") > F.col("id_a"))
     ).select(
         "id_b",
-        (
-            dot(F.col("rva"), F.col("rvb"))
-            / (
-                F.greatest(norm(F.col("rva")), F.lit(1e-12))
-                * F.greatest(norm(F.col("rvb")), F.lit(1e-12))
-            )
-        ).alias("_cos"),
+        (dot(F.col("rva"), F.col("rvb")) / (F.col("_na") * F.col("_nb"))).alias(
+            "_cos"
+        ),
     )
     best = raw_cos.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.max("_cos").alias("_best")

@@ -2441,13 +2441,19 @@ def _two_level_pair_recall_sql(
         )
 
     parts = [
-        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        # base-corpus cap (~2000 vectors) through the portable md5 draw,
+        # threshold computed from the LIVE count exactly like the Spark
+        # side's int(min(1, 2000/n) * 1e6) (FLOOR == python int() here)
+        "e AS MATERIALIZED (SELECT vec_id, v FROM e0\n"
+        "       WHERE CAST(('0x' || substr(md5('tlpair:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000\n"
+        "             < FLOOR(least(1.0, 2000.0 / (SELECT COUNT(*) FROM e0)) * 1000000)),",
         "fx AS MATERIALIZED (SELECT vec_id, v FROM e\n"
         "       UNION ALL\n"
         "       SELECT vec_id + 1000000, [v[1] + 0.2] || v[2:] FROM e\n"
         "       UNION ALL\n"
         "       SELECT vec_id + 2000000, [v[1]] || [v[2] + 0.2] || v[3:] FROM e),",
-        f"f AS MATERIALIZED (SELECT vec_id AS fid, v AS fv FROM e WHERE vec_id < {n_fine}),",
+        f"f AS MATERIALIZED (SELECT vec_id AS fid, v AS fv FROM e ORDER BY vec_id LIMIT {n_fine}),",
         "g0 AS MATERIALIZED (SELECT MIN(fid) AS id FROM f),",
         f"m0 AS MATERIALIZED (SELECT f.fid, f.fv, {cos('f.fv', 's.fv')} AS mc\n"
         "        FROM f JOIN f s ON s.fid = (SELECT id FROM g0)),",
@@ -2502,12 +2508,21 @@ def _two_level_pair_recall_sql(
             FROM fx CROSS JOIN f)
         WHERE rn = 1
     ),
+    exn AS MATERIALIZED (
+        -- normalize ONCE before the pair join (the semantic_dedup perf
+        -- form, mirrored by the Spark side so floats stay in lockstep):
+        -- per-pair cost is one dot, not dot + two norms
+        SELECT vec_id, cell_exact,
+               list_transform(v, x -> x /
+                   greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv
+        FROM ex
+    ),
     truth AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {cos('a.v', 'b.v')} AS c
-        FROM ex a JOIN ex b
+               list_dot_product(a.nv, b.nv) AS c
+        FROM exn a JOIN exn b
           ON a.cell_exact = b.cell_exact AND a.vec_id < b.vec_id
-        WHERE {cos('a.v', 'b.v')} >= {tau!r}
+        WHERE list_dot_product(a.nv, b.nv) >= {tau!r}
     )
     SELECT CASE WHEN t.c >= {tight!r} THEN 'tight_ge90'
                 ELSE 'loose_40_90' END AS bucket,

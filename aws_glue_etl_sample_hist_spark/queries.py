@@ -1760,15 +1760,29 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
     One row per tightness bucket: (bucket, n_pairs, n_preserved,
     preserved_bp). EXACT oracle: fixture construction, the greedy
     k-center coarse chain, all argmax stages, the pair join and the
-    bucket split replayed in SQL over the same IEEE doubles."""
+    bucket split replayed in SQL over the same IEEE doubles.
+
+    Scale shape: the oracle's unrolled replay pins k at 32, so in-cell
+    pair count over the raw corpus would grow ~n^2/k; the audit
+    therefore caps the BASE corpus at ~2000 vectors through the
+    portable md5 draw (threshold least(1, 2000/n) computed from the
+    live count in BOTH engines -- full corpus at sf<=0.1), and the
+    fine centroids are the 32 smallest SAMPLED ids (ORDER BY/LIMIT,
+    replayable), so fixture size and pair cost are bounded at any
+    scale -- the measured rate is what matters, not the corpus pass."""
+    from .operators._cache import tracked_persist
+    from .operators.sampling import sample_hash
     from .operators.similarity import (
-        cosine,
+        dot,
         ivf_assign,
-        seeded_centroids,
+        norm,
         two_level_assign,
     )
 
-    emb = load_table(spark, sf, "embeddings")
+    emb_full = load_table(spark, sf, "embeddings")
+    n = emb_full.count()
+    thr = int(min(1.0, 2000.0 / n) * 1_000_000)
+    emb = emb_full.filter(sample_hash(F.col("vec_id"), "tlpair") < thr)
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", dv.alias("embedding"))
     p1 = emb.select(
@@ -1786,17 +1800,34 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
         ).alias("embedding"),
     )
     fixture = base.unionAll(p1).unionAll(p2)
-    fine = seeded_centroids(emb, 32)
-    flat = ivf_assign(fixture, 32, centroids=fine)
-    two = two_level_assign(fixture, fine, n_coarse=8, nprobe=2)
-    a = flat.select(
+    fine = (
+        emb.orderBy("vec_id")
+        .limit(32)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    # both assignments feed two consumers each (the two pair sides);
+    # persist so the quantizer passes run once, not per side
+    flat = tracked_persist(ivf_assign(fixture, 32, centroids=fine))
+    two = tracked_persist(two_level_assign(fixture, fine, n_coarse=8, nprobe=2))
+    # normalize ONCE before the pair join (the semantic_dedup perf
+    # pattern): per-pair work drops from dot + two norms to one dot --
+    # the dominant term, since the fixture keeps k fixed at 32 for the
+    # oracle's unrolled replay and in-cell pair count therefore grows
+    # ~n^2/k. The oracle mirrors normalize-then-dot so floats stay in
+    # lockstep.
+    normed = flat.withColumn(
+        "_norm", F.greatest(norm(F.col("embedding")), F.lit(1e-12))
+    ).withColumn(
+        "_nv", F.transform(F.col("embedding"), lambda x: x / F.col("_norm"))
+    )
+    a = normed.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        F.col("_nv").alias("va"),
         F.col("cell").alias("cell_a"),
     )
-    b = flat.select(
+    b = normed.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        F.col("_nv").alias("vb"),
         F.col("cell").alias("cell_b"),
     )
     truth = (
@@ -1805,7 +1836,7 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
             (F.col("cell_a") == F.col("cell_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("_cos"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("_cos"))
         .filter(F.col("_cos") >= 0.4)
     )
     ta = two.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("two_a"))
