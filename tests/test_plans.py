@@ -112,6 +112,12 @@ NESTED_LOOP_WHITELIST = {
                                    # is ivf_assign's broadcast-centroid
                                    # crossJoin (bounded); the Arrow side is
                                    # map-only mapInPandas
+    "embedding_two_level_pair_recall",  # handoff dup-pair audit: flat +
+                                   # two-level assignment of the md5-capped
+                                   # fixture, each a crossJoin of a
+                                   # BROADCAST <=32-centroid frame; the
+                                   # pair joins themselves are cell
+                                   # equi-joins (never nested-loop)
     "embedding_semantic_dedup_trained",  # k-means|| sketch + assignment:
                                    # crossJoin(broadcast(k x d centroids))
                                    # over the corpus -- candidate set is
