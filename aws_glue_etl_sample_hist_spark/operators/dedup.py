@@ -47,6 +47,11 @@ def _distinct_shingles(
         F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), n))).alias("shingle"),
     )
     if max_df is not None:
+        # the exploded base feeds BOTH the df-count aggregate and the
+        # filter join; unpersisted it re-runs the tokenize+shingle+explode
+        # pass twice (measured ~2x the whole shingle-build cost at sf0.1,
+        # r12) -- persist once, released with the operator caches
+        sh = tracked_persist(sh)
         df_counts = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
         sh = (
             sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
