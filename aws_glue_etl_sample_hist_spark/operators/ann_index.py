@@ -80,6 +80,15 @@ def build_ivf_index(
             centroids = seeded_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
     centroids.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     spark = emb.sparkSession
+    # record which argmax convention built this index (ADVICE r12): a
+    # fold-exact build appended with vectorized=True (or vice versa) can
+    # place ulp-tie boundary vectors of ONE index under different cells,
+    # quietly weakening nprobe=1 recall. One-row Spark-written dataset
+    # (not a driver-local open()) so the meta lands on the same
+    # filesystem as the index -- object stores included.
+    spark.createDataFrame(
+        [("arrow" if vectorized else "fold_exact",)], "assign_mode string"
+    ).coalesce(1).write.mode("overwrite").json(os.path.join(index_dir, "meta"))
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = _assign_for_index(
         emb, cent, vectorized=vectorized, id_col=id_col, vec_col=vec_col
@@ -91,18 +100,46 @@ def build_ivf_index(
     )
 
 
+def recorded_assign_mode(spark: SparkSession, index_dir: str) -> str | None:
+    """The assignment convention an on-disk index was built with
+    ('fold_exact' | 'arrow'), or None for a pre-meta index."""
+    try:
+        rows = spark.read.json(os.path.join(index_dir, "meta")).collect()
+    except Exception:  # noqa: BLE001 -- pre-meta index: no recorded mode
+        return None
+    return rows[0].assign_mode if rows else None
+
+
 def append_ivf_index(
     new_emb: DataFrame,
     index_dir: str,
     *,
-    vectorized: bool = False,
+    vectorized: bool | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Assign a NEW batch with the persisted centroids and append its files
     into the existing cell partitions. Centroids are never retrained here:
-    cell ids must stay stable or every existing inverted list is wrong."""
+    cell ids must stay stable or every existing inverted list is wrong.
+
+    ``vectorized=None`` (default) appends with the RECORDED build mode
+    (ADVICE r12) so one index never mixes argmax conventions; passing an
+    explicit mode that contradicts the record warns but is honored (the
+    operator may be deliberately migrating an index)."""
+    import warnings
+
     spark = new_emb.sparkSession
+    recorded = recorded_assign_mode(spark, index_dir)
+    if vectorized is None:
+        vectorized = recorded == "arrow"
+    elif recorded is not None and vectorized != (recorded == "arrow"):
+        warnings.warn(
+            f"append_ivf_index: index at {index_dir} was built with "
+            f"assign_mode={recorded!r} but this append uses "
+            f"vectorized={vectorized}; ulp-tie boundary vectors may land "
+            "in different cells than the build pass placed them",
+            stacklevel=2,
+        )
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     assigned = _assign_for_index(
         new_emb, cent, vectorized=vectorized, id_col=id_col, vec_col=vec_col

@@ -19,6 +19,8 @@ Scale design notes
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -709,11 +711,12 @@ def semantic_dedup_witness(
     assignment quality is certified separately by the agreement-audit
     rows (`embedding_two_level_agreement`,
     `embedding_assign_arrow_agreement`) and the brute-force pytest.
-    The two cosine formulas differ in the last ulp, so a pair landing
-    within ~1e-16 of the threshold could legitimately split the routes;
-    on fixed test data this is deterministic (and absent), at
-    production scale treat a witness flip as a signal to inspect, not
-    necessarily a bug. Pair cost is two cell-bounded equi-joins (route
+    The two cosine formulas differ in the last ulp; both routes
+    therefore compare through integer micro-cosines (floor(x*1e6+0.5),
+    the bitext-mining pattern -- ADVICE r12), so a representation tie
+    exactly at threshold can no longer split the routes on regenerated
+    or production-scale data: a witness flip now means a logic bug
+    below the assignment, not float formatting. Pair cost is two cell-bounded equi-joins (route
     A's frame persisted; route B is audit-class, paid only by witness
     rows).
 
@@ -765,9 +768,19 @@ def semantic_dedup_witness(
             b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
         ).select("id_b", dot(F.col("va"), F.col("vb")).alias("_cos"))
     )
+    # Both routes compare through integer MICRO-cosines (floor(x*1e6+0.5),
+    # the engine-portable bitext-mining pattern -- ADVICE r12): the two
+    # cosine formulas differ in the last ulp, and a representation tie
+    # exactly at threshold would otherwise flip one route's compare and
+    # red the all-TRUE oracle with no engine bug. After quantization the
+    # routes can only diverge when a cosine sits within ~1 ulp of the
+    # exact micro-boundary that IS the threshold -- i.e. on genuine
+    # logic bugs, not float formatting.
+    mthr = math.floor(threshold * 1e6 + 0.5)
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5))  # noqa: E731
     # route A: the production prune rule, shape-for-shape semantic_dedup
     dup_ids = (
-        pair_cos.filter(F.col("_cos") >= threshold)
+        pair_cos.filter(micro(F.col("_cos")) >= F.lit(mthr))
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
@@ -804,10 +817,12 @@ def semantic_dedup_witness(
             "_cos"
         ),
     )
+    # floor is monotone, so quantize-after-max == max-of-quantized; the
+    # compare happens in the same integer micro-space as route A's
     best = raw_cos.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.max("_cos").alias("_best")
     )
-    has_partner = F.coalesce(F.col("_best") >= threshold, F.lit(False))
+    has_partner = F.coalesce(micro(F.col("_best")) >= F.lit(mthr), F.lit(False))
     return flagged.join(best, "vec_id", "left").select(
         "vec_id",
         (~F.col("_is_dup") | has_partner).alias("dup_has_partner_ok"),

@@ -2432,7 +2432,18 @@ def _two_level_pair_recall_sql(
     shape kc=8, nprobe=2), and (3) the flat-cell pair join, tau filter,
     tight/loose bucket split and preservation counts -- all on the same
     IEEE doubles, so the measured preservation number is hash-checked,
-    not asserted."""
+    not asserted.
+
+    PRECONDITION (ADVICE r12): the md5-sampled base corpus must yield
+    >= ``n_fine`` (32) vectors -- the fine-centroid LIMIT and the kc
+    greedy g_j CTEs assume it; with a degenerate corpus the scalar
+    subselects go NULL inside the cosine and the replay silently
+    diverges from Spark's `kcenter_coarse`, which clamps via
+    min(n_coarse, len(ids)). The Spark query guards this loudly
+    (queries.py q_embedding_two_level_pair_recall raises on a sampled
+    corpus < 32), so a degenerate run fails with a clear error instead
+    of a confusing hash mismatch. Current fixtures (>= 500 rows at
+    every sf, cap 2000) sample the full corpus at sf <= 0.1."""
 
     def cos(x: str, y: str) -> str:
         return (

@@ -1783,12 +1783,28 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
     n = emb_full.count()
     thr = int(min(1.0, 2000.0 / n) * 1_000_000)
     emb = emb_full.filter(sample_hash(F.col("vec_id"), "tlpair") < thr)
+    # oracle precondition (ADVICE r12): the unrolled greedy replay
+    # assumes >= 32 sampled vectors (fine-centroid LIMIT + kc seed
+    # chain); fail loudly on a degenerate corpus instead of letting the
+    # oracle's NULL-cosine CTEs produce a confusing hash mismatch. One
+    # ~2000-row count job on an audit-class row.
+    sampled_n = emb.count()
+    if sampled_n < 32:
+        raise ValueError(
+            f"two_level_pair_recall needs >= 32 sampled vectors, got "
+            f"{sampled_n} (corpus n={n}); the DuckDB replay's greedy "
+            "chain would silently diverge below that"
+        )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", dv.alias("embedding"))
+    # dimension-agnostic slices (ADVICE r12): derive the tail length from
+    # the live array so a re-dimensioned embeddings fixture fails loudly
+    # in the oracle compare instead of silently truncating the copies
     p1 = emb.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.concat(
-            F.array(F.element_at(dv, 1) + F.lit(0.2)), F.slice(dv, 2, 63)
+            F.array(F.element_at(dv, 1) + F.lit(0.2)),
+            F.slice(dv, 2, F.size(dv) - 1),
         ).alias("embedding"),
     )
     p2 = emb.select(
@@ -1796,7 +1812,7 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
         F.concat(
             F.slice(dv, 1, 1),
             F.array(F.element_at(dv, 2) + F.lit(0.2)),
-            F.slice(dv, 3, 62),
+            F.slice(dv, 3, F.size(dv) - 2),
         ).alias("embedding"),
     )
     fixture = base.unionAll(p1).unionAll(p2)

@@ -210,6 +210,67 @@ def _job_overhead_trial(spark) -> float:
     return time.perf_counter() - t0
 
 
+GATE_HEADROOM = 1.15
+
+
+def gate_reference() -> dict[str, float]:
+    """Settled probe values the closing artifact is gated against
+    (VERDICT r12 item 7). Committed BENCH_GATE.json carries the DRIVER
+    box's settled medians (r9-r11 band); env overrides let a build box
+    with a different floor gate against its OWN settled values
+    (SPARK_GRAFT_GATE_SENTINEL / SPARK_GRAFT_GATE_OVERHEAD, seconds)."""
+    ref: dict[str, float] = {}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_GATE.json"
+    )
+    if os.path.exists(path):
+        with open(path) as f:
+            ref.update(
+                {
+                    k: float(v)
+                    for k, v in json.load(f).items()
+                    if k in ("sentinel_sec", "job_overhead_sec")
+                }
+            )
+    for key, env in (
+        ("sentinel_sec", "SPARK_GRAFT_GATE_SENTINEL"),
+        ("job_overhead_sec", "SPARK_GRAFT_GATE_OVERHEAD"),
+    ):
+        v = os.environ.get(env)
+        if v:
+            ref[key] = float(v)
+    return ref
+
+
+def probe_gate(
+    sentinel_sec: float, job_overhead_sec: float, ref: dict[str, float]
+) -> tuple[bool, dict]:
+    """Is this run's machine state settled enough for its numbers to be
+    the round's closing artifact? Pure decision logic (unit-tested):
+    each probe must read within GATE_HEADROOM (~15%) of its settled
+    reference; probes without a reference pass vacuously (first round
+    on a new box)."""
+    checks: dict[str, dict] = {}
+    passed = True
+    for key, got in (
+        ("sentinel_sec", sentinel_sec),
+        ("job_overhead_sec", job_overhead_sec),
+    ):
+        settled = ref.get(key)
+        if settled is None:
+            continue
+        limit = settled * GATE_HEADROOM
+        ok = got <= limit
+        checks[key] = {
+            "got": round(got, 3),
+            "settled": round(settled, 3),
+            "limit": round(limit, 3),
+            "ok": ok,
+        }
+        passed = passed and ok
+    return passed, checks
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -224,8 +285,34 @@ def main() -> None:
     # median of 3 trials per query: run-to-run machine-load variance was
     # measured at ~25%, which buried real regressions between rounds
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # the very first sentinel trials read 1.5-2.5x settled even on an idle
+    # box (shuffle/codegen paths still warming -- r11 track0 0.969 vs
+    # settled 0.387), so two DISCARDED trials warm the probe before any
+    # value that feeds the gate or the record
+    for _ in range(2):
+        _sentinel_trial(spark, sf_dir)
     sentinel_trials = [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
     overhead_trials = [_job_overhead_trial(spark) for _ in range(n_trials)]
+    gate_ref = gate_reference()
+    # strict mode: refuse up front (seconds, not 40 minutes) when the
+    # box is visibly degraded -- local closing-bench workflow
+    if os.environ.get("SPARK_GRAFT_BENCH_GATE", "") == "strict":
+        early_ok, early_checks = probe_gate(
+            statistics.median(sentinel_trials),
+            statistics.median(overhead_trials),
+            gate_ref,
+        )
+        if not early_ok:
+            print(
+                "PROBE GATE (strict): box not settled -- "
+                f"{json.dumps(early_checks)}; re-run when idle "
+                "(no pytest/Spark session alongside), or override the "
+                "reference via SPARK_GRAFT_GATE_SENTINEL / "
+                "SPARK_GRAFT_GATE_OVERHEAD",
+                file=sys.stderr,
+            )
+            spark.stop()
+            sys.exit(3)
     # INTERLEAVED sentinel (r10 VERDICT item 2): the r9/r10 driver benches
     # recorded 3-20x inflation on a CONTIGUOUS stretch of headline rows
     # that the before/after endpoint probes never saw (a mid-run load
@@ -432,13 +519,33 @@ def main() -> None:
         ],
         "sf": _sf_from_dir(sf_dir),
     }
+    # ---- closing-artifact probe gate (VERDICT r12 item 7) ----
+    # r12 shipped a closing bench_result.json from a box whose probes
+    # read +36%/+42% over settled, and 27 rows had to be re-adjudicated
+    # by hand. The gate uses the FULL-RUN medians (the settled numbers
+    # the verdict compares), so a mid-run load window that inflated the
+    # record also refuses the artifact.
+    gate_ok, gate_checks = probe_gate(sentinel_sec, job_overhead_sec, gate_ref)
+    result["probe_gate"] = {"passed": gate_ok, "checks": gate_checks}
     # ALSO write the result as its own intact JSON artifact: the driver's
     # stdout tail-capture truncated BENCH_r06/r07 into an unparseable
     # string (r7 VERDICT item 4); bench_result.json is always whole and
-    # machine-diffable round over round
+    # machine-diffable round over round -- UNLESS the gate failed: a
+    # known-degraded run must not become the committed closing artifact
+    # (the stdout line below still prints, so a driver-side record
+    # always exists, stamped with probe_gate.passed=false).
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+    if gate_ok or os.environ.get("SPARK_GRAFT_BENCH_GATE", "") == "off":
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    else:
+        print(
+            "PROBE GATE: run degraded -- "
+            f"{json.dumps(gate_checks)}; bench_result.json NOT "
+            "overwritten. Re-run on a settled box (no concurrent "
+            "pytest/Spark), or SPARK_GRAFT_BENCH_GATE=off to force.",
+            file=sys.stderr,
+        )
 
     # The driver captures only the LAST ~2 KB of stdout, and the full
     # queries dict (86 rows, ~2.6 KB compact) can never fit -- that is why
@@ -456,6 +563,9 @@ def main() -> None:
     del line["queries_min"]
     del line["ratios_to_nearest_sentinel"]
     del line["pipeline_stages"]
+    # compact gate verdict for the driver record; full checks live in
+    # bench_result.json (when written) and on stderr
+    line["probe_gate"] = gate_ok
     kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = kept

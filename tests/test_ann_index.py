@@ -149,3 +149,42 @@ def test_vectorized_build_matches_fold_exact_assignment(spark, sf_small, tmp_pat
     arrow = {(r.vec_id, r.cell) for r in arrow_rows}
     assert arrow == exact
     assert all(r.embedding is not None and len(r.embedding) > 0 for r in arrow_rows)
+
+
+def test_index_records_assign_mode_and_append_defaults_to_it(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r12: the build writes its argmax convention to
+    <index>/meta; append with vectorized=None follows the record, and an
+    explicit contradicting mode warns (mixing conventions can split
+    ulp-tie boundary vectors of ONE index across cells)."""
+    import warnings
+
+    from aws_glue_etl_sample_hist_spark.operators.ann_index import (
+        recorded_assign_mode,
+    )
+
+    emb = _emb(spark, sf_small)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "ivf_arrowmode")
+    build_ivf_index(half_a, idx, n_centroids=N_CELLS, vectorized=True)
+    assert recorded_assign_mode(spark, idx) == "arrow"
+
+    # default append follows the record (no warning)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        append_ivf_index(half_b.filter(F.col("vec_id") < 100), idx)
+
+    # contradicting explicit mode warns but is honored
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        append_ivf_index(
+            half_b.filter(F.col("vec_id") >= 100), idx, vectorized=False
+        )
+    assert any("assign_mode" in str(x.message) for x in w)
+
+    idx2 = str(tmp_path / "ivf_foldmode")
+    build_ivf_index(half_a, idx2, n_centroids=N_CELLS)
+    assert recorded_assign_mode(spark, idx2) == "fold_exact"
