@@ -2445,12 +2445,60 @@ def _two_level_pair_recall_sql(
     of a confusing hash mismatch. Current fixtures (>= 500 rows at
     every sf, cap 2000) sample the full corpus at sf <= 0.1."""
 
-    def cos(x: str, y: str) -> str:
-        return (
-            f"list_dot_product({x}, {y}) / greatest(sqrt(list_dot_product"
-            f"({x}, {x})) * sqrt(list_dot_product({y}, {y})), 1e-12)"
-        )
+    parts = _two_level_fixture_parts(n_fine, kc)
+    cos = _tl_cos
+    parts.append(
+        f"""vc AS MATERIALIZED (
+        SELECT vec_id, v, cid FROM (
+            SELECT fx.vec_id, fx.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+                       {cos('c.cv', 'fx.v')} DESC, c.cid ASC) AS rn
+            FROM fx CROSS JOIN c)
+        WHERE rn <= {nprobe}
+    ),
+    two AS MATERIALIZED (
+        SELECT vec_id, fid AS cell_2l FROM (
+            SELECT vc.vec_id, f2c.fid,
+                   ROW_NUMBER() OVER (PARTITION BY vc.vec_id ORDER BY
+                       {cos('f2c.fv', 'vc.v')} DESC, f2c.fid ASC) AS rn
+            FROM vc JOIN f2c ON vc.cid = f2c.cid)
+        WHERE rn = 1
+    ),
+    {_two_level_truth_ctes(tau)}
+    SELECT CASE WHEN t.c >= {tight!r} THEN 'tight_ge90'
+                ELSE 'loose_40_90' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ta.cell_2l = tb.cell_2l
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved,
+           (10000 * CAST(SUM(CASE WHEN ta.cell_2l = tb.cell_2l
+                             THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(COUNT(*) AS BIGINT) AS preserved_bp
+    FROM truth t
+    JOIN two ta ON ta.vec_id = t.id_a
+    JOIN two tb ON tb.vec_id = t.id_b
+    GROUP BY 1"""
+    )
+    return "\n    ".join(parts)
 
+
+def _tl_cos(x: str, y: str) -> str:
+    """Raw-double cosine in DuckDB list algebra (the ivf_assign oracle
+    convention), shared by the two-level replay generators."""
+    return (
+        f"list_dot_product({x}, {y}) / greatest(sqrt(list_dot_product"
+        f"({x}, {x})) * sqrt(list_dot_product({y}, {y})), 1e-12)"
+    )
+
+
+def _two_level_fixture_parts(n_fine: int, kc: int) -> list[str]:
+    """Shared CTE prefix of the two-level handoff audits: the md5-capped
+    planted-cluster fixture, the 32 seeded fine centroids, the unrolled
+    greedy k-center coarse chain (every CTE MATERIALIZED -- DuckDB
+    inlines plain CTEs and the doubly-self-referencing chain explodes
+    exponentially otherwise), and the fine->coarse routing f2c. Ends
+    mid-WITH; callers append their probe/assignment CTEs + final
+    SELECT. Mirrors queries._two_level_recall_fixture float-for-float."""
+    cos = _tl_cos
     parts = [
         "WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
         # base-corpus cap (~2000 vectors) through the portable md5 draw,
@@ -2494,24 +2542,16 @@ def _two_level_pair_recall_sql(
                        {cos('c.cv', 'f.fv')} DESC, c.cid ASC) AS rn
             FROM c CROSS JOIN f)
         WHERE rn = 1
-    ),
-    vc AS MATERIALIZED (
-        SELECT vec_id, v, cid FROM (
-            SELECT fx.vec_id, fx.v, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
-                       {cos('c.cv', 'fx.v')} DESC, c.cid ASC) AS rn
-            FROM fx CROSS JOIN c)
-        WHERE rn <= {nprobe}
-    ),
-    two AS MATERIALIZED (
-        SELECT vec_id, fid AS cell_2l FROM (
-            SELECT vc.vec_id, f2c.fid,
-                   ROW_NUMBER() OVER (PARTITION BY vc.vec_id ORDER BY
-                       {cos('f2c.fv', 'vc.v')} DESC, f2c.fid ASC) AS rn
-            FROM vc JOIN f2c ON vc.cid = f2c.cid)
-        WHERE rn = 1
-    ),
-    ex AS MATERIALIZED (
+    ),"""
+    )
+    return parts
+
+
+def _two_level_truth_ctes(tau: float) -> str:
+    """The exact/flat assignment + normalized truth-pair CTEs shared by
+    both audit tails (ex -> exn -> truth), as one mid-WITH fragment."""
+    cos = _tl_cos
+    return f"""ex AS MATERIALIZED (
         SELECT vec_id, v, fid AS cell_exact FROM (
             SELECT fx.vec_id, fx.v, f.fid,
                    ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
@@ -2534,8 +2574,53 @@ def _two_level_pair_recall_sql(
         FROM exn a JOIN exn b
           ON a.cell_exact = b.cell_exact AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.nv, b.nv) >= {tau!r}
+    )"""
+
+
+def _two_level_nprobe_curve_sql(
+    n_fine: int = 32,
+    kc: int = 8,
+    nprobes: tuple[int, ...] = (2, 3, 4),
+    tau: float = 0.4,
+    tight: float = 0.9,
+) -> str:
+    """The nprobe preservation-vs-cost curve oracle (VERDICT r12 item 4):
+    ONE shared fixture / k-center chain / truth replay, with the probe
+    window widened per curve point -- vc keeps its rank column cut at
+    max(nprobes), and each two_{np} re-runs only the within-probe fine
+    argmax over the rn <= np prefix (exactly how Spark's sweep reuses
+    one trained coarse level across probe depths). Final SELECT is the
+    per-np preservation UNION ALL, one row per (nprobe, bucket)."""
+    cos = _tl_cos
+    parts = _two_level_fixture_parts(n_fine, kc)
+    parts.append(
+        f"""vc AS MATERIALIZED (
+        SELECT vec_id, v, cid, rn FROM (
+            SELECT fx.vec_id, fx.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY fx.vec_id ORDER BY
+                       {cos('c.cv', 'fx.v')} DESC, c.cid ASC) AS rn
+            FROM fx CROSS JOIN c)
+        WHERE rn <= {max(nprobes)}
+    ),"""
     )
-    SELECT CASE WHEN t.c >= {tight!r} THEN 'tight_ge90'
+    for np_ in nprobes:
+        parts.append(
+            f"""two_{np_} AS MATERIALIZED (
+        SELECT vec_id, fid AS cell_2l FROM (
+            SELECT vcp.vec_id, f2c.fid,
+                   ROW_NUMBER() OVER (PARTITION BY vcp.vec_id ORDER BY
+                       {cos('f2c.fv', 'vcp.v')} DESC, f2c.fid ASC) AS rn2
+            FROM (SELECT * FROM vc WHERE rn <= {np_}) vcp
+            JOIN f2c ON vcp.cid = f2c.cid)
+        WHERE rn2 = 1
+    ),"""
+        )
+    parts.append(_two_level_truth_ctes(tau))
+    selects = []
+    for np_ in nprobes:
+        selects.append(
+            f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CASE WHEN t.c >= {tight!r} THEN 'tight_ge90'
                 ELSE 'loose_40_90' END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(CASE WHEN ta.cell_2l = tb.cell_2l
@@ -2544,14 +2629,16 @@ def _two_level_pair_recall_sql(
                              THEN 1 ELSE 0 END) AS BIGINT))
                // CAST(COUNT(*) AS BIGINT) AS preserved_bp
     FROM truth t
-    JOIN two ta ON ta.vec_id = t.id_a
-    JOIN two tb ON tb.vec_id = t.id_b
-    GROUP BY 1"""
-    )
+    JOIN two_{np_} ta ON ta.vec_id = t.id_a
+    JOIN two_{np_} tb ON tb.vec_id = t.id_b
+    GROUP BY 1, 2"""
+        )
+    parts.append("\n    UNION ALL\n    ".join(selects))
     return "\n    ".join(parts)
 
 
 ORACLE_SQL["embedding_two_level_pair_recall"] = _two_level_pair_recall_sql()
+ORACLE_SQL["embedding_two_level_nprobe_curve"] = _two_level_nprobe_curve_sql()
 
 ORACLE_SQL["training_corpus"] = ORACLE_SQL["cleaned_corpus"].replace(
     "WHERE labeled.cluster_id = q.doc_id AND q.quality_score >= 0.5",

@@ -1736,48 +1736,18 @@ def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Dup-PAIR preservation audit for the two-level handoff regime
-    (VERDICT r11 item 3 -- the accounting discipline every other
-    approximate family already carries, applied to the k>256 routing
-    that trained SemDeDup deploys): on a CLUSTERED fixture, how many of
-    the dup pairs the FLAT assignment's in-cell pruning would catch at
-    the production tau=0.4 stay co-located under `two_level_assign`?
-
-    The r11 verdict's open question was exactly this: near-uniform
-    synthetic vectors at cosine ~0.4 route independently (~50% pair
-    preservation measured at sf0.1), while "tight dups co-route" was an
-    argument, not a number. The fixture plants the tight clusters
-    IN-PLAN so the oracle can replay them: every base embedding gets
-    two single-coordinate +0.2 perturbed copies (ids offset by 1M/2M;
-    unit-norm base => within-cluster cosines ~0.96-0.99), giving a
-    corpus where both regimes exist -- planted tight pairs (cos >=
-    0.9) and whatever loose (0.4..0.9) pairs the base corpus carries.
-    Truth = pairs co-located under FLAT assignment with cosine >= tau
-    (what the k<=256 production path prunes on); preserved = the pair
-    is also co-located under the two-level route at the production
-    handoff shape (k=32 seeded fine, kc=ceil(sqrt(2k))=8, nprobe=2).
-    One row per tightness bucket: (bucket, n_pairs, n_preserved,
-    preserved_bp). EXACT oracle: fixture construction, the greedy
-    k-center coarse chain, all argmax stages, the pair join and the
-    bucket split replayed in SQL over the same IEEE doubles.
-
-    Scale shape: the oracle's unrolled replay pins k at 32, so in-cell
-    pair count over the raw corpus would grow ~n^2/k; the audit
-    therefore caps the BASE corpus at ~2000 vectors through the
-    portable md5 draw (threshold least(1, 2000/n) computed from the
-    live count in BOTH engines -- full corpus at sf<=0.1), and the
-    fine centroids are the 32 smallest SAMPLED ids (ORDER BY/LIMIT,
-    replayable), so fixture size and pair cost are bounded at any
-    scale -- the measured rate is what matters, not the corpus pass."""
+def _two_level_recall_fixture(spark: SparkSession, sf: str):
+    """Shared planted-cluster fixture for the two-level handoff audits
+    (`embedding_two_level_pair_recall`, `embedding_two_level_nprobe_curve`):
+    md5-capped ~2000-vector base + two single-coordinate +0.2 perturbed
+    copies per base vector, 32 seeded fine centroids, the persisted FLAT
+    assignment, and the tau=0.4 truth pairs (pairs co-located under flat
+    assignment with cosine >= tau -- what the k<=256 production path
+    prunes on). Returns (fixture, fine, truth); float arithmetic is
+    byte-for-byte what the unrolled DuckDB replays mirror."""
     from .operators._cache import tracked_persist
     from .operators.sampling import sample_hash
-    from .operators.similarity import (
-        dot,
-        ivf_assign,
-        norm,
-        two_level_assign,
-    )
+    from .operators.similarity import dot, ivf_assign, norm
 
     emb_full = load_table(spark, sf, "embeddings")
     n = emb_full.count()
@@ -1821,10 +1791,9 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
         .limit(32)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
     )
-    # both assignments feed two consumers each (the two pair sides);
-    # persist so the quantizer passes run once, not per side
+    # the flat assignment feeds the two truth-pair sides; persist so the
+    # quantizer pass runs once, not per side
     flat = tracked_persist(ivf_assign(fixture, 32, centroids=fine))
-    two = tracked_persist(two_level_assign(fixture, fine, n_coarse=8, nprobe=2))
     # normalize ONCE before the pair join (the semantic_dedup perf
     # pattern): per-pair work drops from dot + two norms to one dot --
     # the dominant term, since the fixture keeps k fixed at 32 for the
@@ -1855,6 +1824,12 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
         .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("_cos"))
         .filter(F.col("_cos") >= 0.4)
     )
+    return fixture, fine, truth
+
+
+def _two_level_preservation(truth: DataFrame, two: DataFrame) -> DataFrame:
+    """Bucketed preservation counts of the truth pairs under a two-level
+    routing `two` (vec_id, cell): one row per tightness bucket."""
     ta = two.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("two_a"))
     tb = two.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("two_b"))
     return (
@@ -1875,6 +1850,93 @@ def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame
             "preserved_bp", F.expr("(10000 * n_preserved) DIV n_pairs")
         )
     )
+
+
+def q_embedding_two_level_pair_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Dup-PAIR preservation audit for the two-level handoff regime
+    (VERDICT r11 item 3 -- the accounting discipline every other
+    approximate family already carries, applied to the k>256 routing
+    that trained SemDeDup deploys): on a CLUSTERED fixture, how many of
+    the dup pairs the FLAT assignment's in-cell pruning would catch at
+    the production tau=0.4 stay co-located under `two_level_assign`?
+
+    The r11 verdict's open question was exactly this: near-uniform
+    synthetic vectors at cosine ~0.4 route independently (~50% pair
+    preservation measured at sf0.1), while "tight dups co-route" was an
+    argument, not a number. The fixture plants the tight clusters
+    IN-PLAN so the oracle can replay them: every base embedding gets
+    two single-coordinate +0.2 perturbed copies (ids offset by 1M/2M;
+    unit-norm base => within-cluster cosines ~0.96-0.99), giving a
+    corpus where both regimes exist -- planted tight pairs (cos >=
+    0.9) and whatever loose (0.4..0.9) pairs the base corpus carries.
+    Truth = pairs co-located under FLAT assignment with cosine >= tau
+    (what the k<=256 production path prunes on); preserved = the pair
+    is also co-located under the two-level route at the production
+    handoff shape (k=32 seeded fine, kc=ceil(sqrt(2k))=8, nprobe=2).
+    One row per tightness bucket: (bucket, n_pairs, n_preserved,
+    preserved_bp). EXACT oracle: fixture construction, the greedy
+    k-center coarse chain, all argmax stages, the pair join and the
+    bucket split replayed in SQL over the same IEEE doubles.
+
+    Scale shape: the oracle's unrolled replay pins k at 32, so in-cell
+    pair count over the raw corpus would grow ~n^2/k; the audit
+    therefore caps the BASE corpus at ~2000 vectors through the
+    portable md5 draw (threshold least(1, 2000/n) computed from the
+    live count in BOTH engines -- full corpus at sf<=0.1), and the
+    fine centroids are the 32 smallest SAMPLED ids (ORDER BY/LIMIT,
+    replayable), so fixture size and pair cost are bounded at any
+    scale -- the measured rate is what matters, not the corpus pass."""
+    from .operators._cache import tracked_persist
+    from .operators.similarity import two_level_assign
+
+    fixture, fine, truth = _two_level_recall_fixture(spark, sf)
+    # the routing feeds the two pair sides; persist so the quantizer
+    # pass runs once, not per side
+    two = tracked_persist(two_level_assign(fixture, fine, n_coarse=8, nprobe=2))
+    return _two_level_preservation(truth, two)
+
+
+def q_embedding_two_level_nprobe_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """The nprobe preservation-vs-cost DIAL for the two-level handoff
+    (VERDICT r12 item 4): `embedding_two_level_pair_recall` pins the
+    production shape at nprobe=2 (~84% tight / ~47% loose preserved);
+    a 100 TB operator pruning at a LOOSE tau needs the recall-buyback
+    curve measured, not guessed -- probing one more coarse cell
+    multiplies step-4 assignment work by ~nprobe/(nprobe-1) (total
+    O(n * (kc + nprobe*k/kc)), similarity.two_level_assign) and buys
+    back co-routing for pairs whose members' true cells sit in
+    adjacent coarse regions. Same planted-cluster fixture, same truth
+    pairs, the SAME greedy k-center coarse level (computed once and
+    shared across the sweep, exactly like a production index reused at
+    different probe depths): one row per (nprobe in {2,3,4}, tightness
+    bucket) with preservation counts; the wall cost per point rides
+    the bench row. EXACT oracle: one shared fixture/k-center/truth
+    replay with the probe window rn <= nprobe widened per curve point
+    (oracles._two_level_nprobe_curve_sql)."""
+    from .operators._cache import tracked_persist
+    from .operators.similarity import kcenter_coarse, two_level_assign
+
+    fixture, fine, truth = _two_level_recall_fixture(spark, sf)
+    truth = tracked_persist(truth)  # consumed by all three curve points
+    coarse = kcenter_coarse(fine, 8)  # train ONCE; the dial is probe-only
+    curves = []
+    for np_ in (2, 3, 4):
+        two = tracked_persist(
+            two_level_assign(fixture, fine, n_coarse=8, nprobe=np_, coarse=coarse)
+        )
+        curves.append(
+            _two_level_preservation(truth, two).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "bucket",
+                "n_pairs",
+                "n_preserved",
+                "preserved_bp",
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionAll(c)
+    return out
 
 
 def q_customer_id_luhn_audit(spark: SparkSession, sf: str) -> DataFrame:
@@ -6064,71 +6126,17 @@ def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-12 rotation (VERDICT r11 item 2): slot 1
-    # the round-12 audit addition (two-level dup-pair recall), slot 2 the
-    # one never-driver-checked row (embedding_assign_arrow_agreement,
-    # r11-late), slots 3-8 the six r6-stale rows, slots 9-14 the
-    # production similarity/dedup family the verdict named, slots 15-50
-    # the 36 oldest remaining r7-stale rows. Past slot 50, blocks stay
-    # ordered oldest-evidence-first (the 8 remaining r7-stale rows queued
-    # FIRST for r13, then r8, r9, r10, r11 blocks). Everything past slot
-    # 50 stays oracle-checked every round via tests/test_oracle_parity.py.
-    # --- round-12 addition: two-level handoff dup-pair recall audit (1) ---
-    "embedding_two_level_pair_recall": q_embedding_two_level_pair_recall,
-    # --- r11-late, never driver-checked (1) ---
-    "embedding_assign_arrow_agreement": q_embedding_assign_arrow_agreement,
-    # --- r6-stale rows, refreshed (6) ---
-    "events_json_extract": q_events_json_extract,
-    "events_daily_pivot": q_events_daily_pivot,
-    "events_rollup": q_events_rollup,
-    "events_cube": q_events_cube,
-    "events_type_stats_salted": q_events_type_stats_salted,
-    "product_category_revenue_salted": q_product_category_revenue_salted,
-    # --- r7-stale: production similarity/dedup family first (6) ---
-    "embedding_semantic_dedup": q_embedding_semantic_dedup,
-    "embedding_pq_topk": q_embedding_pq_topk,
-    "training_corpus": q_training_corpus,
-    "dedup_incremental": q_dedup_incremental,
-    "stream_events_dedup": q_stream_events_dedup,
-    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
-    # --- r7-stale, oldest-first (36) ---
-    "nations_pagerank_converged": q_nations_pagerank_converged,
-    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
-    "corpus_dsir_select": q_corpus_dsir_select,
-    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
-    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
-    "embedding_pca": q_embedding_pca,
-    "embedding_hard_negatives": q_embedding_hard_negatives,
-    "embedding_pca_incremental": q_embedding_pca_incremental,
-    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
-    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
-    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
-    "multimodal_audio_segments": q_multimodal_audio_segments,
-    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
-    "multimodal_image_dedup": q_multimodal_image_dedup,
-    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
-    "stream_embedding_pca": q_stream_embedding_pca,
-    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
-    "orders_target_encoding": q_orders_target_encoding,
-    "multimodal_video_dedup": q_multimodal_video_dedup,
-    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
-    "customer_k_anonymity": q_customer_k_anonymity,
-    "stream_events_session_native": q_stream_events_session_native,
-    "text_gopher_quality": q_text_gopher_quality,
-    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
-    "events_incident_windows": q_events_incident_windows,
-    "customer_rolling_revenue": q_customer_rolling_revenue,
-    "events_daily_gapfill": q_events_daily_gapfill,
-    "events_user_state_scd2": q_events_user_state_scd2,
-    "events_funnel": q_events_funnel,
-    "customer_cohort_retention": q_customer_cohort_retention,
-    "customer_rfm": q_customer_rfm,
-    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
-    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
-    "text_pii_redact": q_text_pii_redact,
-    "corpus_chunk": q_corpus_chunk,
-    "text_token_dedup": q_text_token_dedup,
-    # --- past slot 50: remaining r7-stale rows (8), queued FIRST for r13 ---
+    # the FIRST 50 entries. Round-13 rotation (VERDICT r12 item 2): slot 1
+    # the round-13 audit addition (nprobe preservation-vs-cost curve,
+    # never-checked), slots 2-9 the eight remaining r7-stale rows, slots
+    # 10-50 the 41 oldest r8-stale rows. Past slot 50, blocks stay
+    # ordered oldest-evidence-first (the 8 remaining r8-stale rows queued
+    # FIRST for r14, then the r9, r10, r11, r12 blocks). Everything past
+    # slot 50 stays oracle-checked every round via
+    # tests/test_oracle_parity.py.
+    # --- round-13 addition: two-level handoff nprobe dial (1) ---
+    "embedding_two_level_nprobe_curve": q_embedding_two_level_nprobe_curve,
+    # --- r7-stale rows, the last of their class (8) ---
     "text_perplexity": q_text_perplexity,
     "corpus_shuffle": q_corpus_shuffle,
     "corpus_mixture": q_corpus_mixture,
@@ -6137,58 +6145,7 @@ QUERIES = {
     "corpus_decontamination": q_corpus_decontamination,
     "events_asof_last_order": q_events_asof_last_order,
     "stream_events_purchase_follow": q_stream_events_purchase_follow,
-    # --- r11-evidence block (oldest-evidence-first) ---
-    "embedding_bitext_mine": q_embedding_bitext_mine,
-    "customer_id_luhn_audit": q_customer_id_luhn_audit,
-    "embedding_two_level_agreement": q_embedding_two_level_agreement,
-    "embedding_semantic_dedup_trained": q_embedding_semantic_dedup_trained,
-    "dedup_winnow_recall_sampled": q_dedup_winnow_recall_sampled,
-    "embedding_bitext_recall": q_embedding_bitext_recall,
-    "bronze_purchases": q_bronze_purchases,
-    "silver_denorm": q_silver_denorm,
-    "pricing_summary": q_pricing_summary,
-    "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
-    "mart_sales_by_customer": q_mart_sales_by_customer,
-    "mart_sales_by_datetime": q_mart_sales_by_datetime,
-    "mart_sales_by_region": q_mart_sales_by_region,
-    "monthly_revenue": q_monthly_revenue,
-    "weekday_hour_revenue": q_weekday_hour_revenue,
-    "product_category_revenue": q_product_category_revenue,
-    "segment_category_revenue": q_segment_category_revenue,
-    "region_revenue": q_region_revenue,
-    "customer_base_stats": q_customer_base_stats,
-    "customer_monthly_stats": q_customer_monthly_stats,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "cleaned_corpus": q_cleaned_corpus,
-    "embedding_cosine_topk": q_embedding_cosine_topk,
-    "embedding_lsh_ann": q_embedding_lsh_ann,
-    "embedding_ivf_ann": q_embedding_ivf_ann,
-    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
-    "embedding_near_dup": q_embedding_near_dup,
-    "corpus_substring_dedup": q_corpus_substring_dedup,
-    "text_stats": q_text_stats,
-    "text_langid": q_text_langid,
-    "text_tokens": q_text_tokens,
-    "text_fingerprint": q_text_fingerprint,
-    "multimodal_media_meta": q_multimodal_media_meta,
-    "multimodal_type_stats": q_multimodal_type_stats,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "top_parts": q_top_parts,
-    "adhoc_join_limit": q_adhoc_join_limit,
-    "customer_running_total": q_customer_running_total,
-    "customer_order_ranks": q_customer_order_ranks,
-    "order_set_ops": q_order_set_ops,
-    "customers_without_orders": q_customers_without_orders,
-    "events_windowed_agg": q_events_windowed_agg,
-    "events_sessionize": q_events_sessionize,
-    "events_session_window": q_events_session_window,
-    "stream_events_sessionize": q_stream_events_sessionize,
-    "stream_events_windowed": q_stream_events_windowed,
-    # --- r8-evidence block (oldest-evidence-first) ---
+    # --- r8-stale, oldest-first (41) ---
     "text_quality_auc": q_text_quality_auc,
     "quality_rater_agreement": q_quality_rater_agreement,
     "quality_calibration": q_quality_calibration,
@@ -6230,6 +6187,7 @@ QUERIES = {
     "multimodal_thumbnail": q_multimodal_thumbnail,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "sql_monthly_revenue": q_sql_monthly_revenue,
+    # --- past slot 50: remaining r8-stale rows (8), queued FIRST for r14 ---
     "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
     "sql_region_revenue": q_sql_region_revenue,
     "sql_customer_base_stats": q_sql_customer_base_stats,
@@ -6289,7 +6247,7 @@ QUERIES = {
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_y4m_decode": q_multimodal_y4m_decode,
     "orders_price_histogram": q_orders_price_histogram,
-    # --- r10-evidence block (oldest-evidence-first) ---
+    # --- r10-evidence block ---
     "dedup_cluster_keeper": q_dedup_cluster_keeper,
     "embedding_kcenter_coreset": q_embedding_kcenter_coreset,
     "corpus_epoch_plan": q_corpus_epoch_plan,
@@ -6339,6 +6297,108 @@ QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "stream_events_enriched": q_stream_events_enriched,
     "events_user_trend_pandas": q_events_user_trend_pandas,
+    # --- r11-evidence block ---
+    "embedding_bitext_mine": q_embedding_bitext_mine,
+    "customer_id_luhn_audit": q_customer_id_luhn_audit,
+    "embedding_two_level_agreement": q_embedding_two_level_agreement,
+    "embedding_semantic_dedup_trained": q_embedding_semantic_dedup_trained,
+    "dedup_winnow_recall_sampled": q_dedup_winnow_recall_sampled,
+    "embedding_bitext_recall": q_embedding_bitext_recall,
+    "bronze_purchases": q_bronze_purchases,
+    "silver_denorm": q_silver_denorm,
+    "pricing_summary": q_pricing_summary,
+    "mart_sales_by_segment_product": q_mart_sales_by_segment_product,
+    "mart_sales_by_customer": q_mart_sales_by_customer,
+    "mart_sales_by_datetime": q_mart_sales_by_datetime,
+    "mart_sales_by_region": q_mart_sales_by_region,
+    "monthly_revenue": q_monthly_revenue,
+    "weekday_hour_revenue": q_weekday_hour_revenue,
+    "product_category_revenue": q_product_category_revenue,
+    "segment_category_revenue": q_segment_category_revenue,
+    "region_revenue": q_region_revenue,
+    "customer_base_stats": q_customer_base_stats,
+    "customer_monthly_stats": q_customer_monthly_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "cleaned_corpus": q_cleaned_corpus,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_lsh_ann": q_embedding_lsh_ann,
+    "embedding_ivf_ann": q_embedding_ivf_ann,
+    "embedding_cosine_topk_pandas": q_embedding_cosine_topk_pandas,
+    "embedding_near_dup": q_embedding_near_dup,
+    "corpus_substring_dedup": q_corpus_substring_dedup,
+    "text_stats": q_text_stats,
+    "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_media_meta": q_multimodal_media_meta,
+    "multimodal_type_stats": q_multimodal_type_stats,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "top_parts": q_top_parts,
+    "adhoc_join_limit": q_adhoc_join_limit,
+    "customer_running_total": q_customer_running_total,
+    "customer_order_ranks": q_customer_order_ranks,
+    "order_set_ops": q_order_set_ops,
+    "customers_without_orders": q_customers_without_orders,
+    "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
+    "stream_events_sessionize": q_stream_events_sessionize,
+    "stream_events_windowed": q_stream_events_windowed,
+    # --- r12-evidence block ---
+    "embedding_two_level_pair_recall": q_embedding_two_level_pair_recall,
+    "embedding_assign_arrow_agreement": q_embedding_assign_arrow_agreement,
+    "events_json_extract": q_events_json_extract,
+    "events_daily_pivot": q_events_daily_pivot,
+    "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
+    "events_type_stats_salted": q_events_type_stats_salted,
+    "product_category_revenue_salted": q_product_category_revenue_salted,
+    "embedding_semantic_dedup": q_embedding_semantic_dedup,
+    "embedding_pq_topk": q_embedding_pq_topk,
+    "training_corpus": q_training_corpus,
+    "dedup_incremental": q_dedup_incremental,
+    "stream_events_dedup": q_stream_events_dedup,
+    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+    "nations_pagerank_converged": q_nations_pagerank_converged,
+    "corpus_substring_dedup_apply": q_corpus_substring_dedup_apply,
+    "corpus_dsir_select": q_corpus_dsir_select,
+    "multimodal_audio_spectrogram": q_multimodal_audio_spectrogram,
+    "multimodal_shot_boundaries": q_multimodal_shot_boundaries,
+    "embedding_pca": q_embedding_pca,
+    "embedding_hard_negatives": q_embedding_hard_negatives,
+    "embedding_pca_incremental": q_embedding_pca_incremental,
+    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
+    "corpus_substring_dedup_keep_first": q_corpus_substring_dedup_keep_first,
+    "corpus_substring_dedup_apply_keep_first": q_corpus_substring_dedup_apply_keep_first,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
+    "embedding_kmeans_parallel": q_embedding_kmeans_parallel,
+    "multimodal_image_dedup": q_multimodal_image_dedup,
+    "multimodal_shot_keyframes": q_multimodal_shot_keyframes,
+    "stream_embedding_pca": q_stream_embedding_pca,
+    "corpus_skipgram_pairs": q_corpus_skipgram_pairs,
+    "orders_target_encoding": q_orders_target_encoding,
+    "multimodal_video_dedup": q_multimodal_video_dedup,
+    "corpus_negative_sampling_table": q_corpus_negative_sampling_table,
+    "customer_k_anonymity": q_customer_k_anonymity,
+    "stream_events_session_native": q_stream_events_session_native,
+    "text_gopher_quality": q_text_gopher_quality,
+    "corpus_strip_boilerplate": q_corpus_strip_boilerplate,
+    "events_incident_windows": q_events_incident_windows,
+    "customer_rolling_revenue": q_customer_rolling_revenue,
+    "events_daily_gapfill": q_events_daily_gapfill,
+    "events_user_state_scd2": q_events_user_state_scd2,
+    "events_funnel": q_events_funnel,
+    "customer_cohort_retention": q_customer_cohort_retention,
+    "customer_rfm": q_customer_rfm,
+    "corpus_decontamination_bloom": q_corpus_decontamination_bloom,
+    "corpus_split_leakage_safe": q_corpus_split_leakage_safe,
+    "text_pii_redact": q_text_pii_redact,
+    "corpus_chunk": q_corpus_chunk,
+    "text_token_dedup": q_text_token_dedup,
 }
 
 

@@ -160,6 +160,9 @@ HEADLINE = [
     "embedding_assign_arrow_agreement",
     # round-12: two-level handoff dup-pair preservation audit
     "embedding_two_level_pair_recall",
+    # round-13: the nprobe preservation-vs-cost dial (3-point sweep over
+    # one shared coarse level; wall here is the full sweep's cost)
+    "embedding_two_level_nprobe_curve",
 ]
 
 

@@ -118,6 +118,11 @@ NESTED_LOOP_WHITELIST = {
                                    # BROADCAST <=32-centroid frame; the
                                    # pair joins themselves are cell
                                    # equi-joins (never nested-loop)
+    "embedding_two_level_nprobe_curve",  # same audit swept at nprobe 2/3/4
+                                   # over ONE shared coarse level: the only
+                                   # crossJoins are the same bounded
+                                   # broadcast-centroid assignment passes,
+                                   # once per curve point
     "embedding_semantic_dedup_trained",  # k-means|| sketch + assignment:
                                    # crossJoin(broadcast(k x d centroids))
                                    # over the corpus -- candidate set is
