@@ -62,10 +62,13 @@ def compare(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     flag = 2.0
-    if "--flag" in sys.argv:
-        flag = float(sys.argv[sys.argv.index("--flag") + 1])
+    if "--flag" in argv:
+        i = argv.index("--flag")
+        flag = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     if len(args) != 2:
         raise SystemExit(__doc__)
     old, new = _load(args[0]), _load(args[1])
