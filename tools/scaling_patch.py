@@ -54,6 +54,29 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # probe gate (round 13): the first r13 sf1 stamps were taken on a
+    # window whose job-overhead probe read 4.2 s vs the ~1-1.5 s settled
+    # band and had to be discarded wholesale (medallion sf1 read 110 s vs
+    # the settled 36.8). Same discipline as bench.py's closing-artifact
+    # gate: measure both probes after warmup, refuse to patch SCALING.md
+    # from a visibly degraded box. --force overrides (and says so).
+    import statistics
+
+    from bench import _job_overhead_trial, _sentinel_trial, gate_reference, probe_gate
+
+    sf01 = os.path.join(ROOT, "sf0.1")
+    for _ in range(2):
+        _sentinel_trial(spark, sf01)
+    s_med = statistics.median(_sentinel_trial(spark, sf01) for _ in range(3))
+    o_med = statistics.median(_job_overhead_trial(spark) for _ in range(3))
+    ok, checks = probe_gate(s_med, o_med, gate_reference())
+    print(f"probes: sentinel {s_med:.3f} overhead {o_med:.3f} gate_ok {ok}")
+    if not ok and "--force" not in sys.argv:
+        raise SystemExit(
+            f"PROBE GATE: box not settled -- {checks}; re-run when idle, "
+            "re-base via SPARK_GRAFT_GATE_SENTINEL/_OVERHEAD, or --force"
+        )
+
     walls: dict[str, dict[str, float]] = {}
     for sf, sf_dir in sfs:
         for name in names:
