@@ -87,6 +87,7 @@ def weighted_pagerank_converged(
     eps: float = 1e-9,
     max_iter: int = 50,
     checkpoint_every: int = 4,
+    check_every: int = 1,
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
@@ -105,12 +106,28 @@ def weighted_pagerank_converged(
                             + dangling_mass / n)
 
     Scale shape: same one-keyed-shuffle-per-round as the fixed twin; per
-    round the ONLY driver traffic is one two-scalar row (L1 delta vs the
-    previous round + next round's dangling mass, fused into a single agg
-    over the node-sized old⋈new rank join); ``localCheckpoint`` every
-    ``checkpoint_every`` rounds truncates the growing lineage exactly like
-    the connected-components loop. Returns (node, rank, n_rounds) with
-    rank quantized to 12 dp each round for partitioning invariance."""
+    CHECK the ONLY driver traffic is one two-scalar row (L1 delta of the
+    last consecutive round pair + next round's dangling mass, fused into
+    a single agg over the node-sized old⋈new rank join);
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    growing lineage exactly like the connected-components loop.
+
+    ``check_every`` (round 13) batches the convergence check: K rank
+    updates compose LAZILY (within a batch the next round's dangling
+    mass rides in-plan as a broadcast one-row crossJoin instead of a
+    collected scalar), then ONE driver action tests the eps stop --
+    driver barriers drop K-fold. The stop still tests the LAST
+    consecutive round pair's L1 delta, so the converged ranks are those
+    of per-round checking run to the next multiple of K: same fixpoint,
+    possibly up to K-1 extra (sub-eps) rounds. ``check_every=1``
+    (default) reproduces the per-round path exactly (the numpy-parity
+    pin in tests). WHEN TO USE: only for graphs converging over many
+    rounds on a cluster where driver round-trips dominate -- on the
+    25-node registered audit (5-6 rounds to converge) K=3 measured
+    SLOWER (17.9 vs 12.5 s warm at sf0.1: one extra sub-eps round plus
+    deeper lazy plans outweigh the saved barriers), so the registered
+    row keeps the default. Returns (node, rank, n_rounds) with rank
+    quantized to 12 dp each round for partitioning invariance."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -135,35 +152,62 @@ def weighted_pagerank_converged(
     # the uniform start is round(1/n, 12) per node, so its dangling mass is
     # exactly n_dangling copies of that quantized value
     dangling_mass = n_dangling * round(1.0 / n, 12)
-    rounds = 0
-    for rounds in range(1, max_iter + 1):
+
+    def _advance(cur: DataFrame, dm_over_n, dm_row: DataFrame | None = None) -> DataFrame:
+        """One rank update from `cur` (node, rank) with the dangling-mass
+        term supplied either as a literal (batch head: the scalar the last
+        check collected) or as an in-plan column from the broadcast
+        one-row ``dm_row`` (inside a batch)."""
         contrib = (
-            norm.join(ranks, norm["_s"] == ranks["node"])
+            norm.join(cur, norm["_s"] == cur["node"])
             .groupBy("_d")
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
         )
-        new_ranks = nodes.join(
-            contrib, nodes["node"] == contrib["_d"], "left"
-        ).select(
+        out = nodes.join(contrib, nodes["node"] == contrib["_d"], "left")
+        if dm_row is not None:
+            out = out.crossJoin(F.broadcast(dm_row))
+        return out.select(
             "node",
             "_dangling",
             F.round(
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
-                * (
-                    F.coalesce(F.col("_in"), F.lit(0.0))
-                    + F.lit(dangling_mass / n)
-                ),
+                * (F.coalesce(F.col("_in"), F.lit(0.0)) + dm_over_n),
                 12,
             ).alias("rank"),
         )
-        if rounds % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint()
-        # ONE bounded scalar row per round: convergence delta + the next
-        # round's dangling mass, fused into a single node-sized agg
+
+    rounds = 0
+    while rounds < max_iter:
+        batch = min(check_every, max_iter - rounds)
+        prev = ranks  # (node, rank) one round behind `new_ranks`
+        new_ranks = None
+        for b in range(batch):
+            if b == 0:
+                rounds += 1
+                new_ranks = _advance(ranks, F.lit(dangling_mass / n))
+            else:
+                # in-plan dangling mass of the previous (lazy) round: a
+                # one-row agg broadcast-crossJoined into the update --
+                # no driver action inside the batch
+                dm_row = new_ranks.agg(
+                    F.sum(
+                        F.when(F.col("_dangling"), F.col("rank")).otherwise(0.0)
+                    ).alias("_dm")
+                )
+                prev = new_ranks.select("node", "rank")
+                rounds += 1
+                new_ranks = _advance(
+                    prev, F.col("_dm") / F.lit(float(n)), dm_row
+                )
+            if rounds % checkpoint_every == 0:
+                new_ranks = new_ranks.localCheckpoint()
+        # ONE bounded scalar row per CHECK: the last consecutive round
+        # pair's L1 delta + the next batch's dangling mass, fused into a
+        # single node-sized agg
         stats = (
             new_ranks.alias("new")
-            .join(ranks.alias("old"), "node")
+            .join(prev.alias("old"), "node")
             .agg(
                 F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias(
                     "delta"

@@ -4672,7 +4672,12 @@ def q_nations_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
     round cap. The DuckDB oracle recomputes the node set from the edges
     and asserts every flag true, making the row hash-checkable; the rank
     VALUES are pinned by the numpy power-iteration parity test
-    (tests/test_operators_unit.py) and the 3-round twin's exact oracle."""
+    (tests/test_operators_unit.py) and the 3-round twin's exact oracle.
+    The operator's check_every dial (round 13) can batch K lazy rank
+    updates per driver action for long-converging graphs; this trade
+    graph converges in 5-6 rounds (measured), so batching pays an extra
+    sub-eps round for nothing -- the registered row stays per-round
+    (same-session A/B: K=3 read 17.9 s vs K=1's 12.5 warm at sf0.1)."""
     from .operators.graph import weighted_pagerank_converged
 
     li = load_table(spark, sf, "lineitem")

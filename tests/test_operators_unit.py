@@ -1835,6 +1835,64 @@ def test_converged_pagerank_matches_numpy_with_dangling(spark):
         assert abs(sum(got.values()) - 1.0) < 1e-6, sum(got.values())
 
 
+def test_converged_pagerank_check_every_batches_the_stop(spark):
+    """check_every=K (round 13): K lazy rank updates per driver action,
+    eps stop on the LAST consecutive round pair -- same fixpoint as
+    per-round checking, with n_rounds rounded up to the next multiple of
+    K (possibly K-1 extra sub-eps rounds). Mirrored against the same
+    literal numpy power iteration with the batched stop."""
+    import numpy as np
+
+    from aws_glue_etl_sample_hist_spark.operators.graph import (
+        weighted_pagerank_converged,
+    )
+
+    edge_list = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("c", "b", 1.0), ("c", "d", 3.0)
+    ]
+    edges = spark.createDataFrame(edge_list, ["src", "dst", "weight"])
+    K = 3
+    rows = weighted_pagerank_converged(edges, eps=1e-9, check_every=K).collect()
+    got = {r.node: r.rank for r in rows}
+    got_rounds = rows[0].n_rounds
+
+    names = sorted({s for s, _, _ in edge_list} | {d for _, d, _ in edge_list})
+    idx = {v: i for i, v in enumerate(names)}
+    n = len(names)
+    outw: dict = {}
+    for s, _, w in edge_list:
+        outw[s] = outw.get(s, 0.0) + w
+    P = np.zeros((n, n))
+    for s, d, w in edge_list:
+        P[idx[d], idx[s]] += round(w / outw[s], 12)
+    dangling = np.array([v not in outw for v in names])
+    r = np.round(np.full(n, 1.0 / n), 12)
+    dm = int(dangling.sum()) * round(1.0 / n, 12)
+    rounds = 0
+    stop = False
+    while rounds < 50 and not stop:
+        for _ in range(min(K, 50 - rounds)):
+            prev = r
+            new = np.round(0.15 / n + 0.85 * (P @ r + dm / n), 12)
+            dm = new[dangling].sum()
+            r = new
+            rounds += 1
+        if np.abs(r - prev).sum() < 1e-9:
+            stop = True
+
+    assert got_rounds == rounds and got_rounds % K == 0
+    for v in names:
+        assert abs(got[v] - r[idx[v]]) < 1e-10, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # same fixpoint as the per-round stop, within quantization
+    per_round = {
+        x.node: x.rank
+        for x in weighted_pagerank_converged(edges, eps=1e-9).collect()
+    }
+    for v in names:
+        assert abs(got[v] - per_round[v]) < 1e-8, (v, got[v], per_round[v])
+
+
 def test_substring_dedup_spans_hand_computed(spark):
     """Pins ExactSubstr span semantics on a hand-computed fixture with
     k=3: (A) a cross-doc shared 4-token run yields one maximal span per
