@@ -102,11 +102,21 @@ def build_ivf_index(
 
 def recorded_assign_mode(spark: SparkSession, index_dir: str) -> str | None:
     """The assignment convention an on-disk index was built with
-    ('fold_exact' | 'arrow'), or None for a pre-meta index."""
+    ('fold_exact' | 'arrow'), or None for a pre-meta index.
+
+    Only a MISSING meta path means "pre-meta index" (ADVICE r13): any
+    other read failure (IO/permission/corruption) re-raises, because
+    silently defaulting an arrow-built index to fold_exact is exactly
+    the mixed-convention cell-split hazard the record exists to stop."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.json(os.path.join(index_dir, "meta")).collect()
-    except Exception:  # noqa: BLE001 -- pre-meta index: no recorded mode
-        return None
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None  # pre-meta index: no recorded mode
+        raise
     return rows[0].assign_mode if rows else None
 
 

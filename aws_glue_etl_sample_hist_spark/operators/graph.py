@@ -126,8 +126,17 @@ def weighted_pagerank_converged(
     25-node registered audit (5-6 rounds to converge) K=3 measured
     SLOWER (17.9 vs 12.5 s warm at sf0.1: one extra sub-eps round plus
     deeper lazy plans outweigh the saved barriers), so the registered
-    row keeps the default. Returns (node, rank, n_rounds) with rank
+    row keeps the default. Note (ADVICE r13): ``localCheckpoint()`` is
+    EAGER, so when a checkpoint lands mid-batch it inserts a driver
+    action there -- for ``check_every >= checkpoint_every`` the
+    barriers drop by the checkpoint cadence, not the full K-fold.
+    Returns (node, rank, n_rounds) with rank
     quantized to 12 dp each round for partitioning invariance."""
+    if check_every < 1:
+        raise ValueError(
+            f"check_every must be >= 1, got {check_every}: a non-positive "
+            "batch would skip every rank update"
+        )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

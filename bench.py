@@ -213,7 +213,30 @@ def _job_overhead_trial(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _next_job_id(spark) -> int | None:
+    """Total Spark jobs submitted so far -- DAGScheduler.numTotalJobs
+    read through py4j (a read-only accessor on the scheduler's job-id
+    counter; Scala ``private[spark]`` compiles to public bytecode, so
+    the gateway reaches it). The delta across a row's trials is its JOB
+    COUNT, which is what makes overhead-bound rows comparable across
+    runs with different per-job latency floors (VERDICT r13 item 1):
+    normalized wall = wall - jobs * per_job_overhead. Counting via job
+    groups would MISS Structured Streaming microbatches (the stream
+    runner overrides the group id), and the UI statusStore evicts past
+    spark.ui.retainedJobs; every job, microbatches included, bumps this
+    counter forever. Returns None if the internal moved in some future
+    Spark -- job columns are then simply absent, never wrong."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs())
+    except Exception:  # noqa: BLE001 -- internals moved: record no counts
+        return None
+
+
 GATE_HEADROOM = 1.15
+# a single interleaved sentinel trial is noisier than an endpoint median,
+# so the mid-run-window check gets looser headroom: the failure mode it
+# exists for (r9/r10 contiguous-row inflation) read 3-20x, not 1.2x
+TRACK_HEADROOM = 2.0
 
 
 def gate_reference() -> dict[str, float]:
@@ -246,13 +269,21 @@ def gate_reference() -> dict[str, float]:
 
 
 def probe_gate(
-    sentinel_sec: float, job_overhead_sec: float, ref: dict[str, float]
+    sentinel_sec: float,
+    job_overhead_sec: float,
+    ref: dict[str, float],
+    sentinel_track_vals: list[float] | None = None,
 ) -> tuple[bool, dict]:
     """Is this run's machine state settled enough for its numbers to be
     the round's closing artifact? Pure decision logic (unit-tested):
     each probe must read within GATE_HEADROOM (~15%) of its settled
     reference; probes without a reference pass vacuously (first round
-    on a new box)."""
+    on a new box). ``sentinel_track_vals`` (ADVICE r13): the interleaved
+    single-trial sentinel readings taken THROUGH the loop -- the gated
+    medians are endpoint-heavy, so a mid-run load window (the r9/r10
+    failure mode) can hide between settled endpoints; the worst
+    interleaved reading must stay under TRACK_HEADROOM (2x) of the
+    settled sentinel or the artifact is refused."""
     checks: dict[str, dict] = {}
     passed = True
     for key, got in (
@@ -271,6 +302,18 @@ def probe_gate(
             "ok": ok,
         }
         passed = passed and ok
+    settled = ref.get("sentinel_sec")
+    if sentinel_track_vals and settled is not None:
+        worst = max(sentinel_track_vals)
+        limit = settled * TRACK_HEADROOM
+        ok = worst <= limit
+        checks["sentinel_track_max"] = {
+            "got": round(worst, 3),
+            "settled": round(settled, 3),
+            "limit": round(limit, 3),
+            "ok": ok,
+        }
+        passed = passed and ok
     return passed, checks
 
 
@@ -279,6 +322,14 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    # per-row Spark JOB COUNTS (VERDICT r13 item 1): jobs-per-trial from
+    # the DAGScheduler counter delta across the row's trials. Rows whose
+    # wall is mostly jobs x per-job scheduling latency (streaming drains,
+    # iterative graph loops) inflate with the box's job-latency floor,
+    # which sentinel RATIOS cannot normalize -- wall - jobs * per_job
+    # can, across ANY two runs that both carry counts.
+    jobs: dict[str, float] = {}
+    track_singles: list[float] = []  # interleaved sentinel readings (gate)
 
     # JVM / codegen / file-listing warmup (not timed): exercise scan + agg +
     # noop-write machinery once so the first timed query isn't charged for it
@@ -332,10 +383,14 @@ def main() -> None:
     query_pos: dict[str, int] = {}
     for qi, name in enumerate(n for n in HEADLINE if n in QUERIES):
         trials = []
+        j0 = _next_job_id(spark)
         for _ in range(n_trials):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
+        j1 = _next_job_id(spark)
+        if j0 is not None and j1 is not None:
+            jobs[name] = round((j1 - j0) / n_trials, 1)
         timings[name] = round(statistics.median(trials), 3)
         # min-of-trials is the load-jitter-robust floor: a row whose driver
         # MEDIAN inflates while its MIN matches the local run is transient
@@ -347,7 +402,9 @@ def main() -> None:
         # later timings with eviction pressure
         release_operator_caches()
         if (qi + 1) % interleave == 0:
-            sentinel_track.append((qi, _sentinel_trial(spark, sf_dir)))
+            s = _sentinel_trial(spark, sf_dir)
+            sentinel_track.append((qi, s))
+            track_singles.append(s)
     sentinel_trials += [_sentinel_trial(spark, sf_dir) for _ in range(n_trials)]
     overhead_trials += [_job_overhead_trial(spark) for _ in range(n_trials)]
     sentinel_track.append((len(query_pos), statistics.median(sentinel_trials[n_trials:])))
@@ -368,16 +425,22 @@ def main() -> None:
 
     def _pipeline_row(name: str, fn) -> None:
         nonlocal pipe_pos
+        j0 = _next_job_id(spark)
         t0 = time.perf_counter()
         stages = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        j1 = _next_job_id(spark)
+        if j0 is not None and j1 is not None:
+            jobs[name] = float(j1 - j0)  # pipelines run once, not n_trials
         if isinstance(stages, dict):
             pipeline_stages[name] = {
                 k: round(v, 3) for k, v in stages.items()
             }
         query_pos[name] = pipe_pos
         release_operator_caches()
-        sentinel_track.append((pipe_pos, _sentinel_trial(spark, sf_dir)))
+        s = _sentinel_trial(spark, sf_dir)
+        sentinel_track.append((pipe_pos, s))
+        track_singles.append(s)
         pipe_pos += 1
 
     def _run_medallion_row():
@@ -461,6 +524,12 @@ def main() -> None:
             ],
             3,
         )
+        # this "pipeline" row is n_trials merges; per-trial jobs like the
+        # headline rows so wall (a median of one trial) and jobs agree
+        if "dedup_clusters_incremental_merge_only" in jobs:
+            jobs["dedup_clusters_incremental_merge_only"] = round(
+                jobs["dedup_clusters_incremental_merge_only"] / n_trials, 1
+            )
 
     # bucketed-bronze variant: the shuffle-free T1 layout (plans.medallion)
     def _run_medallion_bkt_row():
@@ -520,15 +589,28 @@ def main() -> None:
         "sentinel_track": [
             [i, round(s, 3)] for i, s in sentinel_track
         ],
+        # jobs-per-trial per row (DAGScheduler counter delta): with
+        # job_overhead_sec (a 20-job probe -> per_job = /20) this is the
+        # normalization that makes overhead-bound rows comparable across
+        # runs -- tools/bench_ratio_compare.py consumes both
+        "jobs": jobs,
         "sf": _sf_from_dir(sf_dir),
     }
     # ---- closing-artifact probe gate (VERDICT r12 item 7) ----
     # r12 shipped a closing bench_result.json from a box whose probes
     # read +36%/+42% over settled, and 27 rows had to be re-adjudicated
-    # by hand. The gate uses the FULL-RUN medians (the settled numbers
-    # the verdict compares), so a mid-run load window that inflated the
-    # record also refuses the artifact.
-    gate_ok, gate_checks = probe_gate(sentinel_sec, job_overhead_sec, gate_ref)
+    # by hand. The sentinel axis is gated on the median of ALL sentinel
+    # observations (endpoint trials + every interleaved reading, ADVICE
+    # r13 -- endpoint-only medians were blind to mid-run load windows),
+    # and the WORST interleaved reading separately at TRACK_HEADROOM so
+    # a short degraded window inside the loop also refuses the artifact.
+    sentinel_all_med = statistics.median(sentinel_trials + track_singles)
+    gate_ok, gate_checks = probe_gate(
+        sentinel_all_med,
+        job_overhead_sec,
+        gate_ref,
+        sentinel_track_vals=track_singles,
+    )
     result["probe_gate"] = {"passed": gate_ok, "checks": gate_checks}
     # ALSO write the result as its own intact JSON artifact: the driver's
     # stdout tail-capture truncated BENCH_r06/r07 into an unparseable
@@ -542,11 +624,21 @@ def main() -> None:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
     else:
+        # quarantine, don't vanish (ADVICE r13): a wrapper that runs
+        # bench.py then reads bench_result.json must not silently
+        # attribute the PREVIOUS run's numbers to this code -- the
+        # refused run lands whole in bench_result.degraded.json so
+        # staleness is detectable, and the stale main artifact's mtime
+        # now predates the degraded one.
+        with open(out_path.replace(".json", ".degraded.json"), "w") as f:
+            json.dump(result, f, indent=1)
         print(
             "PROBE GATE: run degraded -- "
             f"{json.dumps(gate_checks)}; bench_result.json NOT "
-            "overwritten. Re-run on a settled box (no concurrent "
-            "pytest/Spark), or SPARK_GRAFT_BENCH_GATE=off to force.",
+            "overwritten (refused run written to "
+            "bench_result.degraded.json). Re-run on a settled box (no "
+            "concurrent pytest/Spark), or SPARK_GRAFT_BENCH_GATE=off "
+            "to force.",
             file=sys.stderr,
         )
 
@@ -572,6 +664,11 @@ def main() -> None:
     kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = kept
+        # job counts ride the driver line for exactly the kept (slowest)
+        # rows -- the overhead-bound suspects are always among them, and
+        # without jobs ON the graded artifact the normalization can't be
+        # applied across driver rounds (VERDICT r13 item 1)
+        line["jobs"] = {k: jobs[k] for k in kept if k in jobs}
         line["queries_omitted"] = len(timings) - len(kept)
         s = json.dumps(line, separators=(",", ":"))
         if len(s) <= 1800 or not kept:

@@ -90,6 +90,27 @@ def main() -> None:
                 )
             print(f"{sf} {name}: {walls[name][sf]:.3f}s", flush=True)
 
+    # closing probe gate (ADVICE r13): the box's job-overhead probe
+    # oscillates 1->4 s on a ~15-minute period, and an sf1 sweep runs
+    # long enough to straddle a window that degrades AFTER the opening
+    # gate passed. Mirror bench.py's before-and-after discipline: re-run
+    # both probes and refuse to patch SCALING.md from a sweep whose
+    # closing state is degraded (the measured walls stay on stdout above
+    # for recovery; --force overrides and says so).
+    s_med = statistics.median(_sentinel_trial(spark, sf01) for _ in range(3))
+    o_med = statistics.median(_job_overhead_trial(spark) for _ in range(3))
+    ok, checks = probe_gate(s_med, o_med, gate_reference())
+    print(
+        f"closing probes: sentinel {s_med:.3f} overhead {o_med:.3f} "
+        f"gate_ok {ok}"
+    )
+    if not ok and "--force" not in sys.argv:
+        raise SystemExit(
+            f"CLOSING PROBE GATE: box degraded during the sweep -- "
+            f"{checks}; SCALING.md NOT patched (walls printed above). "
+            "Re-run when idle, or --force"
+        )
+
     path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(path) as f:
         text = f.read()
