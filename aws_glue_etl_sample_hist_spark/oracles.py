@@ -6207,3 +6207,82 @@ def _kcore_sql(k: int = 2, rounds: int = 16) -> str:
 # k-core of the near-dup graph: iterative peeling replayed as unrolled
 # fixpoint-stable rounds over the max_df-guarded pair graph
 ORACLE_SQL["dedup_kcore"] = _kcore_sql(k=2, rounds=16)
+
+
+# composed corpus-refresh DAG (VERDICT r13 item 3): exact replay of the
+# dedup_incremental banded-MinHash verify with the 80/20 batch split,
+# union'd into the refreshed corpus, joined to the seeded-centroid argmax
+# cell replay (the embedding_cell_stats assignment CTE); the maintenance
+# witnesses (incremental == from-scratch, manifest accounting) assert
+# TRUE, version 2
+ORACLE_SQL["corpus_refresh_pipeline"] = r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents)
+    ), w AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS x1,
+               CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) * 2 + 1 AS step
+        FROM sh
+    ), hashes AS (
+        SELECT doc_id, i.h AS h, MIN(x1 + i.h * step) AS min_hash
+        FROM w CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) i
+        GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, h // 3 AS band,
+               string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY h) AS band_sig
+        FROM hashes GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+        WHERE n.doc_id % 10 >= 8 AND o.doc_id % 10 < 8
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        JOIN cand c ON c.new_id = a.doc_id AND c.old_id = b.doc_id
+        GROUP BY 1, 2
+    ), dup AS (
+        SELECT DISTINCT new_id
+        FROM inter
+        JOIN sizes sn ON inter.new_id = sn.doc_id
+        JOIN sizes so ON inter.old_id = so.doc_id
+        WHERE ROUND(n_common / (sn.n + so.n - n_common), 4) >= 0.5
+    ), corpus AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 < 8
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 >= 8
+          AND doc_id NOT IN (SELECT new_id FROM dup)
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c AS (
+        SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8
+    ), scored AS (
+        SELECT e.vec_id, c.cent_id,
+               list_dot_product(c.cv, e.v)
+               / greatest(sqrt(list_dot_product(c.cv, c.cv))
+                          * sqrt(list_dot_product(e.v, e.v)), 1e-12) AS cent_cos
+        FROM e CROSS JOIN c
+    ), a AS (
+        SELECT vec_id, cent_id AS cell
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cent_cos DESC, cent_id ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    )
+    SELECT corpus.doc_id,
+           CASE WHEN corpus.doc_id % 10 < 8 THEN 'standing'
+                ELSE 'new' END AS src,
+           a.cell AS cell,
+           TRUE AS in_index,
+           TRUE AS cell_match_scratch,
+           CAST(2 AS BIGINT) AS manifest_version,
+           TRUE AS manifest_rows_ok
+    FROM corpus JOIN a ON a.vec_id = corpus.doc_id
+"""

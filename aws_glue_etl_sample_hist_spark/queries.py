@@ -2081,6 +2081,28 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_refresh_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed incremental corpus-refresh DAG (plans/refresh.py -- the
+    monthly-crawl shape of the reference's incremental load, ref:
+    document/stepfunction.md:187-189, lifted to the LLM-corpus tier):
+    standing corpus + IVF index at rest (manifest v1) -> new batch ->
+    incremental MinHash dedup (batch x standing candidates only) ->
+    survivors' embeddings appended into the persisted index under its
+    RECORDED assign mode -> atomic manifest v2 publish. Returns the
+    per-document audit frame: refreshed membership and each member's
+    PERSISTED index cell (exact oracle: the seeded-centroid argmax
+    replay), plus all-true witnesses that incremental maintenance equals
+    the from-scratch build -- corpus set AND cell-for-cell index state
+    (the stream_dedup_clusters contract) -- and that the committed
+    manifest's version/row accounting holds."""
+    from .plans.refresh import refresh_audit, run_corpus_refresh
+
+    root = _cached_index_dir(
+        "refresh", sf, lambda d: run_corpus_refresh(spark, sf, d)
+    )
+    return refresh_audit(spark, sf, root)
+
+
 def q_events_incident_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Keyless range join via time-bin bucketing
     (operators.asof.interval_join_binned): each day's first error event
@@ -6131,68 +6153,18 @@ def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-13 rotation (VERDICT r12 item 2): slot 1
-    # the round-13 audit addition (nprobe preservation-vs-cost curve,
-    # never-checked), slots 2-9 the eight remaining r7-stale rows, slots
-    # 10-50 the 41 oldest r8-stale rows. Past slot 50, blocks stay
-    # ordered oldest-evidence-first (the 8 remaining r8-stale rows queued
-    # FIRST for r14, then the r9, r10, r11, r12 blocks). Everything past
+    # the FIRST 50 entries. Round-14 rotation (VERDICT r13 item 2): slot 1
+    # the round-14 composition addition (corpus-refresh DAG,
+    # never-checked), slots 2-9 the eight remaining r8-stale rows (the
+    # whole Athena-SQL-twin surface first), slots 10-50 the 41 oldest
+    # r9-stale rows. Past slot 50, blocks stay ordered
+    # oldest-evidence-first (the 9 remaining r9-stale rows queued FIRST
+    # for r15, then the r10, r11, r12, r13 blocks). Everything past
     # slot 50 stays oracle-checked every round via
     # tests/test_oracle_parity.py.
-    # --- round-13 addition: two-level handoff nprobe dial (1) ---
-    "embedding_two_level_nprobe_curve": q_embedding_two_level_nprobe_curve,
-    # --- r7-stale rows, the last of their class (8) ---
-    "text_perplexity": q_text_perplexity,
-    "corpus_shuffle": q_corpus_shuffle,
-    "corpus_mixture": q_corpus_mixture,
-    "embedding_cell_stats": q_embedding_cell_stats,
-    "stream_events_cdc_lake": q_stream_events_cdc_lake,
-    "corpus_decontamination": q_corpus_decontamination,
-    "events_asof_last_order": q_events_asof_last_order,
-    "stream_events_purchase_follow": q_stream_events_purchase_follow,
-    # --- r8-stale, oldest-first (41) ---
-    "text_quality_auc": q_text_quality_auc,
-    "quality_rater_agreement": q_quality_rater_agreement,
-    "quality_calibration": q_quality_calibration,
-    "events_ab_fdr": q_events_ab_fdr,
-    "retrieval_mmr": q_retrieval_mmr,
-    "events_dp_counts": q_events_dp_counts,
-    "quality_conformal": q_quality_conformal,
-    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
-    "multimodal_image_near_dup": q_multimodal_image_near_dup,
-    "embedding_ivf_recall": q_embedding_ivf_recall,
-    "embedding_pq_recall": q_embedding_pq_recall,
-    "corpus_dsir_quality": q_corpus_dsir_quality,
-    "dedup_containment": q_dedup_containment,
-    "corpus_context_pack": q_corpus_context_pack,
-    "corpus_psi_drift": q_corpus_psi_drift,
-    "stream_quality_drift": q_stream_quality_drift,
-    "corpus_token_cms": q_corpus_token_cms,
-    "corpus_unigram_train": q_corpus_unigram_train,
-    "corpus_kn_perplexity": q_corpus_kn_perplexity,
-    "corpus_balanced_sample": q_corpus_balanced_sample,
-    "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
-    "dedup_clusters_incremental": q_dedup_clusters_incremental,
-    "stream_dedup_clusters": q_stream_dedup_clusters,
-    "customer_survival_km": q_customer_survival_km,
-    "embedding_pq_trained": q_embedding_pq_trained,
-    "nations_communities": q_nations_communities,
-    "customer_l_diversity": q_customer_l_diversity,
-    "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
-    "customer_survival_logrank": q_customer_survival_logrank,
-    "events_ab_test": q_events_ab_test,
-    "retrieval_ndcg": q_retrieval_ndcg,
-    "corpus_sample": q_corpus_sample,
-    "corpus_sample_stratified": q_corpus_sample_stratified,
-    "corpus_shard_pack": q_corpus_shard_pack,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_bigram_lm": q_text_bigram_lm,
-    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
-    "multimodal_byte_features": q_multimodal_byte_features,
-    "multimodal_thumbnail": q_multimodal_thumbnail,
-    "embedding_quantize_int8": q_embedding_quantize_int8,
-    "sql_monthly_revenue": q_sql_monthly_revenue,
-    # --- past slot 50: remaining r8-stale rows (8), queued FIRST for r14 ---
+    # --- round-14 addition: composed incremental corpus-refresh DAG (1) ---
+    "corpus_refresh_pipeline": q_corpus_refresh_pipeline,
+    # --- r8-stale rows, the last of their class (8) ---
     "sql_weekday_hour_revenue": q_sql_weekday_hour_revenue,
     "sql_region_revenue": q_sql_region_revenue,
     "sql_customer_base_stats": q_sql_customer_base_stats,
@@ -6201,7 +6173,7 @@ QUERIES = {
     "sql_customer_monthly_stats": q_sql_customer_monthly_stats,
     "corpus_lang_source_chi2": q_corpus_lang_source_chi2,
     "local_supplier_volume": q_local_supplier_volume,
-    # --- r9-evidence block (oldest-evidence-first) ---
+    # --- r9-stale, oldest-first (41) ---
     "dedup_lsh_recall": q_dedup_lsh_recall,
     "corpus_mixture_temperature": q_corpus_mixture_temperature,
     "dedup_lsh_precision": q_dedup_lsh_precision,
@@ -6243,6 +6215,7 @@ QUERIES = {
     "hybrid_retrieval_rrf": q_hybrid_retrieval_rrf,
     "text_repetition": q_text_repetition,
     "orders_median_mode": q_orders_median_mode,
+    # --- past slot 50: remaining r9-stale rows (9), queued FIRST for r15 ---
     "corpus_winsorized_length": q_corpus_winsorized_length,
     "corpus_tokens_hof": q_corpus_tokens_hof,
     "events_ohlc": q_events_ohlc,
@@ -6404,6 +6377,57 @@ QUERIES = {
     "text_pii_redact": q_text_pii_redact,
     "corpus_chunk": q_corpus_chunk,
     "text_token_dedup": q_text_token_dedup,
+    # --- r13-evidence block (the round-13 window, newest evidence) ---
+    "embedding_two_level_nprobe_curve": q_embedding_two_level_nprobe_curve,
+    "text_perplexity": q_text_perplexity,
+    "corpus_shuffle": q_corpus_shuffle,
+    "corpus_mixture": q_corpus_mixture,
+    "embedding_cell_stats": q_embedding_cell_stats,
+    "stream_events_cdc_lake": q_stream_events_cdc_lake,
+    "corpus_decontamination": q_corpus_decontamination,
+    "events_asof_last_order": q_events_asof_last_order,
+    "stream_events_purchase_follow": q_stream_events_purchase_follow,
+    "text_quality_auc": q_text_quality_auc,
+    "quality_rater_agreement": q_quality_rater_agreement,
+    "quality_calibration": q_quality_calibration,
+    "events_ab_fdr": q_events_ab_fdr,
+    "retrieval_mmr": q_retrieval_mmr,
+    "events_dp_counts": q_events_dp_counts,
+    "quality_conformal": q_quality_conformal,
+    "corpus_ccnet_buckets": q_corpus_ccnet_buckets,
+    "multimodal_image_near_dup": q_multimodal_image_near_dup,
+    "embedding_ivf_recall": q_embedding_ivf_recall,
+    "embedding_pq_recall": q_embedding_pq_recall,
+    "corpus_dsir_quality": q_corpus_dsir_quality,
+    "dedup_containment": q_dedup_containment,
+    "corpus_context_pack": q_corpus_context_pack,
+    "corpus_psi_drift": q_corpus_psi_drift,
+    "stream_quality_drift": q_stream_quality_drift,
+    "corpus_token_cms": q_corpus_token_cms,
+    "corpus_unigram_train": q_corpus_unigram_train,
+    "corpus_kn_perplexity": q_corpus_kn_perplexity,
+    "corpus_balanced_sample": q_corpus_balanced_sample,
+    "embedding_matryoshka_recall": q_embedding_matryoshka_recall,
+    "dedup_clusters_incremental": q_dedup_clusters_incremental,
+    "stream_dedup_clusters": q_stream_dedup_clusters,
+    "customer_survival_km": q_customer_survival_km,
+    "embedding_pq_trained": q_embedding_pq_trained,
+    "nations_communities": q_nations_communities,
+    "customer_l_diversity": q_customer_l_diversity,
+    "stream_events_heavy_hitters": q_stream_events_heavy_hitters,
+    "customer_survival_logrank": q_customer_survival_logrank,
+    "events_ab_test": q_events_ab_test,
+    "retrieval_ndcg": q_retrieval_ndcg,
+    "corpus_sample": q_corpus_sample,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_shard_pack": q_corpus_shard_pack,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_bigram_lm": q_text_bigram_lm,
+    "quality_quantiles_by_lang": q_quality_quantiles_by_lang,
+    "multimodal_byte_features": q_multimodal_byte_features,
+    "multimodal_thumbnail": q_multimodal_thumbnail,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "sql_monthly_revenue": q_sql_monthly_revenue,
 }
 
 

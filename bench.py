@@ -470,6 +470,17 @@ def main() -> None:
 
     _pipeline_row("retrieval_pipeline", _run_retrieval_row)
 
+    # the incremental corpus-refresh DAG (standing corpus + IVF index at
+    # rest -> batch-only dedup -> index append under the recorded assign
+    # mode -> atomic manifest cutover -> from-scratch audit twin)
+    from aws_glue_etl_sample_hist_spark.plans.refresh import run_corpus_refresh
+
+    def _run_refresh_row():
+        with tempfile.TemporaryDirectory(prefix="refresh_bench_") as tmp:
+            return run_corpus_refresh(spark, sf_dir, tmp)
+
+    _pipeline_row("corpus_refresh_pipeline", _run_refresh_row)
+
     # incremental-CC PRODUCTION path: standing labels + batch pairs are
     # artifacts at rest (staged untimed); the timed part is ONLY what the
     # daily-crawl job pays -- read the artifacts and run the contracted
