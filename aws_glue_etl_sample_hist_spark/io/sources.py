@@ -255,8 +255,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     NotImplementedError and lights up UNCHANGED the moment the jar appears
     on the classpath (tests/test_io_and_lsh_properties.py::
     test_avro_roundtrip_gated_or_real is the slot-in: gated assertion now,
-    real value-lossless roundtrip then). Last re-probed round 13
-    (2026-08-16): pyspark 4.1.2 jars dir still carries only avro-core
+    real value-lossless roundtrip then). Last re-probed round 14
+    (2026-08-17): pyspark 4.1.2 jars dir still carries only avro-core
     ipc/mapred, no spark-avro module jar."""
     try:
         return spark.read.format("avro").load(path)

@@ -85,6 +85,29 @@ def _mkscratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix)
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _state_provider_override() -> str | None:
+    """SPARK_GRAFT_STREAM_STATE_PROVIDER dial (VERDICT r13 item 5):
+    'rocksdb' drains every stream in this module under the RocksDB
+    state-store provider -- off-heap state with background compaction
+    instead of the default HDFS-backed provider's heap-resident maps +
+    per-micro-batch delta fsyncs. The default (unset) keeps the
+    HDFS-backed provider for round-over-round bench comparability;
+    RocksDB is the provider a 100 TB-state deployment would run (and the
+    one the transformWithState path already requires), so PERF.md
+    records the dedup drain's wall under both. Any other value is passed
+    through as a provider class name."""
+    v = os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER")
+    if not v:
+        return None
+    return _ROCKSDB_PROVIDER if v.strip().lower() == "rocksdb" else v
+
+
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource wants a directory or glob (a bare file path fails with
     # "Option 'basePath' must be a directory") -- glob the single file.
@@ -125,14 +148,29 @@ def _run_to_memory(result: DataFrame, output_mode: str, drain_timeout: float = 6
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt_root = _mkscratch(prefix="stream_ckpt_")
     ckpt = os.path.join(ckpt_root, "ckpt")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # provider dial: the providerClass conf is read at query START, so
+    # setting it here scopes it to this drain; restored after .start()
+    # returns (the running query keeps the provider it started with)
+    spark_sess = result.sparkSession
+    override = _state_provider_override()
+    prev_provider = spark_sess.conf.get(_PROVIDER_KEY, None) if override else None
+    if override:
+        spark_sess.conf.set(_PROVIDER_KEY, override)
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if override:
+            if prev_provider is None:
+                spark_sess.conf.unset(_PROVIDER_KEY)
+            else:
+                spark_sess.conf.set(_PROVIDER_KEY, prev_provider)
     deadline = time.monotonic() + drain_timeout
     while time.monotonic() < deadline:
         # sub-second poll: the drained condition shows up ~2 micro-batches in,
