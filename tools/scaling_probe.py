@@ -143,7 +143,13 @@ PROBE = [
 ]
 # full-DAG rows (tempdir-materialized tiers, 1 trial -- these are pipelines,
 # not single plans, so min-of-2 would double a multi-minute sf1 run)
-PIPELINES = ["medallion_pipeline", "curation_pipeline"]
+PIPELINES = [
+    "medallion_pipeline",
+    "curation_pipeline",
+    "medallion_pipeline_bucketed",
+    "retrieval_pipeline",
+    "corpus_refresh_pipeline",
+]
 N_TRIALS = 2
 HEAVY_CUTOFF_S = 5.0  # second trial skipped at sf1 past this first-trial wall
 
@@ -167,8 +173,30 @@ def _time_query(spark, name: str, sf_dir: str, trials: int) -> float:
 def _time_pipeline(spark, name: str, sf_dir: str) -> float:
     from aws_glue_etl_sample_hist_spark.plans.curation import run_curation
     from aws_glue_etl_sample_hist_spark.plans.medallion import run_medallion
+    from aws_glue_etl_sample_hist_spark.plans.refresh import run_corpus_refresh
+    from aws_glue_etl_sample_hist_spark.plans.retrieval import run_retrieval
 
-    fn = run_medallion if name == "medallion_pipeline" else run_curation
+    def _medallion_bkt(spark, sf_dir, tmp):
+        from aws_glue_etl_sample_hist_spark.io.bucketing import drop_table
+        from aws_glue_etl_sample_hist_spark.plans.medallion import (
+            FACT_BKT_TABLE,
+            ORDERS_BKT_TABLE,
+        )
+
+        try:
+            return run_medallion(spark, sf_dir, tmp, bucketed=True)
+        finally:
+            # saveAsTable state outlives the tempdir; same hygiene as bench
+            drop_table(spark, FACT_BKT_TABLE)
+            drop_table(spark, ORDERS_BKT_TABLE)
+
+    fn = {
+        "medallion_pipeline": run_medallion,
+        "medallion_pipeline_bucketed": _medallion_bkt,
+        "curation_pipeline": run_curation,
+        "retrieval_pipeline": run_retrieval,
+        "corpus_refresh_pipeline": run_corpus_refresh,
+    }[name]
     with tempfile.TemporaryDirectory(prefix=f"{name}_probe_") as tmp:
         t0 = time.perf_counter()
         fn(spark, sf_dir, tmp)
