@@ -47,7 +47,12 @@ def _report(check_id: str, table: str, n_rows: Column, n_viol: Column) -> list[C
 def row_checks(df: DataFrame, table: str, checks: list[RowCheck]) -> DataFrame:
     """Run every per-row check in ONE scan of ``df``: a single agg of
     conditional sums (count rows where the violation predicate holds).
-    Returns one report row per check."""
+    Returns one report row per check.
+
+    r14: the report rows come from ONE explode over the single agg row --
+    the previous union of k projections re-executed the full scan-agg once
+    per check (the audited plan carried k duplicate scans per table), which
+    contradicted this docstring's own "ONE scan" claim."""
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
@@ -55,14 +60,20 @@ def row_checks(df: DataFrame, table: str, checks: list[RowCheck]) -> DataFrame:
             for i, c in enumerate(checks)
         ],
     )
-    reports = [
-        agg.select(*_report(c.check_id, table, F.col("_n"), F.coalesce(F.col(f"_v{i}"), F.lit(0))))
-        for i, c in enumerate(checks)
-    ]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    viol = [F.coalesce(F.col(f"_v{i}"), F.lit(0)) for i in range(len(checks))]
+    report_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c.check_id).alias("check_id"),
+                F.lit(table).alias("table_name"),
+                F.col("_n").cast("long").alias("n_rows"),
+                v.cast("long").alias("n_violations"),
+                (v == 0).alias("passed"),
+            )
+            for c, v in zip(checks, viol)
+        ]
+    )
+    return agg.select(F.explode(report_structs).alias("_r")).select("_r.*")
 
 
 def unique_check(df: DataFrame, table: str, key_cols: list[str], check_id: str) -> DataFrame:
@@ -94,10 +105,16 @@ def fk_check(
     if broadcast_parent:
         keys = F.broadcast(keys)
     nonnull = child.filter(F.col(child_key).isNotNull())
-    orphans = nonnull.join(keys, nonnull[child_key] == keys["_pk"], "left_anti")
-    n = nonnull.agg(F.count(F.lit(1)).alias("_n"))
-    v = orphans.agg(F.count(F.lit(1)).alias("_v"))
-    return n.crossJoin(v).select(*_report(check_id, child_table, F.col("_n"), F.col("_v")))
+    # ONE pass (r14): a left join against the DISTINCT parent keys preserves
+    # the child row count exactly, so total rows and orphan rows (null _pk)
+    # come out of the same agg -- the old anti-join + separate count scanned
+    # the child twice per check
+    joined = nonnull.join(keys, nonnull[child_key] == keys["_pk"], "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.coalesce(F.sum(F.col("_pk").isNull().cast("long")), F.lit(0)).alias("_v"),
+    )
+    return agg.select(*_report(check_id, child_table, F.col("_n"), F.col("_v")))
 
 
 def star_schema_audit(tables: dict[str, DataFrame]) -> DataFrame:

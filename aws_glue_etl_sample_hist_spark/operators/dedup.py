@@ -1025,10 +1025,17 @@ def prefix_filter_jaccard_join(
     if block not in (1, 2):
         raise ValueError(f"block must be 1 or 2, got {block}")
 
-    toks = records.select(
-        F.col(id_col).alias("rid"),
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
-    ).filter(F.col("tok") != "")
+    # persist the exploded token frame (r14): it feeds sizes, dfreq AND both
+    # sides of the verification join below -- unpersisted, the audit plan
+    # re-ran the tokenize+explode scan subtree 8+ times (44 duplicate scans
+    # in the registered part-profile row). Same shingle-persist rationale
+    # as _distinct_shingles; released via release_operator_caches.
+    toks = tracked_persist(
+        records.select(
+            F.col(id_col).alias("rid"),
+            F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
     sizes = toks.groupBy("rid").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -1047,6 +1054,10 @@ def prefix_filter_jaccard_join(
         )
         .select("rid", "pos", "tok", "sz")
     )
+    # ranked feeds the block=2 pair-key self-join (both sides) plus the
+    # single-token side channel, and keyed feeds both sides of the candidate
+    # self-join -- persist each so the df-rank window runs once (r14)
+    ranked = tracked_persist(ranked)
     if block == 1:
         keyed = ranked.select("rid", F.col("tok").alias("key"), "sz")
     else:
@@ -1084,7 +1095,10 @@ def prefix_filter_jaccard_join(
             ranked.filter(F.col("sz") <= max_partner_sz)
             .select("rid", F.concat_ws("\x1f", F.lit("1"), "tok").alias("key"), "sz")
         )
-        keyed = pair_keys.unionByName(single_keys)
+        # the pair-key union is itself a self-join product -- persist it so
+        # the candidate self-join's two sides don't build it twice (block=1's
+        # keyed is a plain projection of the already-persisted ranked)
+        keyed = tracked_persist(pair_keys.unionByName(single_keys))
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), "key")

@@ -45,7 +45,14 @@ def weighted_pagerank(
     on dst. n_iter is a fixed hyperparameter (rank converges geometrically;
     production runs use 10-20 rounds and, like the CC loop, would truncate
     lineage with a localCheckpoint every few rounds -- at 3 rounds the plan
-    stays shallow enough that truncation would only add IO)."""
+    stays shallow enough that truncation would only add IO).
+
+    The INPUT edge frame is persisted too (r14): nodes (a union of two
+    selects over it), outw, and norm each re-execute the caller's whole
+    edge-building subtree otherwise -- for the registered trade-graph rows
+    that subtree is a fact-scale join+agg, and the plan audit measured it
+    recomputed ~5x per call (144 duplicate scans in one plan)."""
+    edges = tracked_persist(edges.select(src, dst, weight))
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -137,6 +144,10 @@ def weighted_pagerank_converged(
             f"check_every must be >= 1, got {check_every}: a non-positive "
             "batch would skip every rank update"
         )
+    # persist the caller's edge subtree (r14): nodes/outw/norm would each
+    # re-execute it otherwise (the registered row's fact-scale join+agg ran
+    # ~5x per call -- 74 duplicate scans in the audited plan)
+    edges = tracked_persist(edges.select(src, dst, weight))
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -260,14 +271,22 @@ def label_propagation(
     (dst, label) for the weight sums, one per-node argmax window -- both
     partitioned by node, no driver traffic at all (the loop is a fixed
     count, not a convergence check). Returns (node, label)."""
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    ).unionByName(
+    # persist the symmetrized edges and the node frame (r14): sym feeds
+    # every round's vote join AND the node derivation, and each of the
+    # n_iter lazily-composed rounds re-executed the caller's whole edge
+    # subtree through it (168 duplicate scans in the audited plan of the
+    # registered trade-graph row); nodes joins into every round's output.
+    # Both are graph-sized -- the same footprint pagerank already persists.
+    sym = tracked_persist(
         edges.select(
-            F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+        ).unionByName(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"), F.col(weight).alias("w")
+            )
         )
     )
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    nodes = tracked_persist(sym.select(F.col("u").alias("node")).distinct())
     labels = nodes.withColumn("label", F.col("node"))
     w_pick = Window.partitionBy("v").orderBy(
         F.col("wsum").desc(), F.col("label").asc()
@@ -317,6 +336,10 @@ def kcore_members(
     Returns (doc_id, core_degree): the k-core members with their degree
     within the final core (core_degree >= k by construction)."""
     a, b = pair_cols
+    # persist the caller's pair subtree first (r14): the orientation union
+    # below consumes it twice, and for the registered row that subtree is
+    # the whole candidate-pair generation
+    pairs = tracked_persist(pairs.select(a, b))
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     # distinct after the orientation union: duplicate or doubly-oriented
     # input pairs would inflate degrees and wrongly retain sub-k nodes.

@@ -691,9 +691,14 @@ def _kn_scored_bigrams(
         train.groupBy("bigram", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     )
     c_bg = c_bg_typed.select("bigram", "c")
-    w1_stats = train.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.count_distinct("w2").alias("n1fw"),
+    # w1 stats from the persisted TYPE table, not a second corpus pass
+    # (r14): c1 = occurrence count of w1 as a first word = SUM of its
+    # types' occurrence counts; n1fw = N1+(w1, .) = its number of rows in
+    # the type table (each row is one distinct (w1, w2)). Value-identical
+    # to the old corpus-scale groupBy over `train`, but vocab^2-bounded.
+    w1_stats = c_bg_typed.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).alias("n1fw"),
     )
     # N1+(., w2) = #distinct w1 preceding w2 = that w2's rows in the TYPE
     # table (formerly its own corpus-scale distinct shuffle)
@@ -1071,11 +1076,19 @@ def winnow_overlap_pairs(
     fingerprint creates the ~n^2/2 pair bomb).
 
     Returns (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    from ._cache import tracked_persist
+
+    # persist the per-doc fingerprint sets (r14): fp feeds the max_df hot
+    # table AND both sides of the inverted-index self-join -- unpersisted,
+    # the posexplode + two doc-partitioned windows in _winnow_selected
+    # re-ran once per consumer (guide §1.2; the shingle-persist pattern)
     sel = _winnow_selected(docs, k=k, w=w, text_col=text_col, id_col=id_col)
-    fp = sel.select(
-        F.col(id_col),
-        ((F.col("_win_min") / _WINNOW_POS_MOD).cast("long") + 1).alias("_fp"),
-    ).distinct()
+    fp = tracked_persist(
+        sel.select(
+            F.col(id_col),
+            ((F.col("_win_min") / _WINNOW_POS_MOD).cast("long") + 1).alias("_fp"),
+        ).distinct()
+    )
     if max_df is not None:
         hot = (
             fp.groupBy("_fp")
@@ -1142,15 +1155,21 @@ def winnow_pair_recall(
 
         docs = hash_sample(docs, sample_frac, key_col=id_col, salt="winrecall")
     t = w + k - 1
-    g = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(tokens(F.col(text_col)), t), F.md5
+    from ._cache import tracked_persist
+
+    # persist the truth side's t-gram frame: it feeds both sides of the
+    # inverted-index self-join (r14; the same pattern as fp above)
+    g = tracked_persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(tokens(F.col(text_col)), t), F.md5
+                    )
                 )
-            )
-        ).alias("_g"),
+            ).alias("_g"),
+        )
     )
     a = g.alias("a")
     b = g.alias("b")

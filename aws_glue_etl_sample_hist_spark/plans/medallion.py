@@ -40,9 +40,17 @@ def bronze_fact(spark: SparkSession, sf_dir: str, out_dir: str, months: list[str
     )
     if months:
         li = li.filter(F.concat("purchase_year", "purchase_month").isin(months))
+    # cluster by the Hive partition key before the partitioned write (r14,
+    # guide §6): unclustered, every scan task writes a file into every month
+    # directory (tasks x months small files -- and with the single-file
+    # testdata the whole write ran as ONE task, serially creating all ~84
+    # partition files on one core). One task per month writes exactly one
+    # right-sized file, in parallel; maxRecordsPerFile (FACT_POLICY) still
+    # splits a month that outgrows the file-size target at scale.
+    li = li.repartition(*PARTITION_COLS)
     write_partitioned(
         li, os.path.join(out_dir, "bronze", "purchase"),
-        partition_by=PARTITION_COLS, policy=None,
+        partition_by=PARTITION_COLS, policy=FACT_POLICY,
     )
 
 
@@ -102,6 +110,10 @@ def silver_join(spark: SparkSession, out_dir: str, months: list[str] | None = No
     dims = {n: spark.read.parquet(os.path.join(out_dir, "bronze", n)) for n in DIMS}
     orders = spark.read.parquet(os.path.join(out_dir, "bronze", "orders"))
     wide = _silver_wide(fact, orders, dims)
+    # cluster by the partition key before the write (r14, guide §6): the
+    # T1 join leaves rows partitioned by order key, so every post-join task
+    # would otherwise write a small file into every month directory
+    wide = wide.repartition(*PARTITION_COLS)
     write_partitioned(
         wide, os.path.join(out_dir, "silver", "purchase_all_info"),
         partition_by=PARTITION_COLS, policy=FACT_POLICY,

@@ -3420,7 +3420,10 @@ def q_part_set_similarity_join(spark: SparkSession, sf: str) -> DataFrame:
     would degenerate toward n^2/|V| candidates here."""
     from .operators.dedup import prefix_filter_jaccard_join
 
-    part = load_table(spark, sf, "part").select(
+    # spread=True (r14): the tokenize+explode+self-join pipeline below is
+    # exact int/string math (no float sums), so the scan spread is safe, and
+    # the single-row-group part.parquet would otherwise run it on one core
+    part = load_table(spark, sf, "part", spread=True).select(
         "p_partkey",
         F.concat_ws(
             " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
@@ -5387,10 +5390,18 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from .operators._cache import tracked_persist
+
     docs = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=0.2, max_df=100
-    ).select("doc_a", "doc_b")
+    # persist the candidate pairs (r14): the old-old filter feeding the
+    # standing CC, the batch filter feeding the incremental merge, and the
+    # CC loop's own consumers each re-ran the whole inverted-index
+    # candidate join otherwise (guide §1.2)
+    pairs = tracked_persist(
+        ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_df=100
+        ).select("doc_a", "doc_b")
+    )
     new_a = F.col("doc_a") % 10 >= 8
     new_b = F.col("doc_b") % 10 >= 8
     old_nodes = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id")

@@ -15,6 +15,26 @@ def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _n_data_shuffles(plan: str) -> int:
+    """Number of hash/range/single-partition exchange NODES in a formatted
+    plan -- the data-scale shuffles these guards exist to bound.
+
+    Two exchange families are discounted: BroadcastExchange (small side of
+    a broadcast join) and the catalog's layout-gated round-robin scan
+    spread (r14, guide §2.5): single-file single-row-group testdata gives
+    every scan exactly ONE map task regardless of cores, so load_table
+    round-robin-repartitions such scans; at real scale the layout provides
+    the parallelism and the spread gates itself off, so it is not part of
+    any query's scale story. Formatted mode prints each node once in the
+    tree and once in the detail section ("Exchange" twice per node,
+    "RoundRobinPartitioning" once per spread node)."""
+    return (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - 2 * plan.count("RoundRobinPartitioning")
+    ) // 2
+
+
 def test_silver_dims_broadcast_fact_never_shuffles(spark, sf_oracle):
     """Every dimension join in the silver build is broadcast: the fact side
     reaches the final project without a single hash-partition exchange."""
@@ -22,18 +42,16 @@ def test_silver_dims_broadcast_fact_never_shuffles(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
-    # no shuffle exchanges at all in the join tree (broadcast exchanges only)
-    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+    # no data shuffle exchanges at all in the join tree (broadcast exchanges
+    # and the layout-gated scan spread only)
+    assert _n_data_shuffles(plan) == 0, plan
 
 
 def test_mart_agg_is_single_shuffle_with_partial_agg(spark, sf_oracle):
     """The 7-key mart: partial HashAggregate before the exchange (map-side
     combine), exactly one hash-partition shuffle for the final agg."""
     plan = _plan(QUERIES["mart_sales_by_segment_product"](spark, sf_oracle))
-    # formatted mode lists each node once in the tree and once in detail;
-    # non-broadcast exchange appears iff these counts differ
-    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_shuffle == 2  # 1 node x (tree + detail section)
+    assert _n_data_shuffles(plan) == 1, plan
     assert plan.count("HashAggregate") >= 4  # partial + final, both sections
 
 
@@ -221,8 +239,7 @@ def test_funnel_uses_single_data_scale_exchange(spark, sf_oracle):
     hash(user_id) exchange; the only other exchange is the final
     SinglePartition reduction of the per-user frame to step counts."""
     plan = _plan(QUERIES["events_funnel"](spark, sf_oracle))
-    n_shuffle = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
-    assert n_shuffle == 2, plan  # hashpartitioning(user_id) + SinglePartition
+    assert _n_data_shuffles(plan) == 2, plan  # hashpartitioning(user_id) + SinglePartition
     assert plan.count("hashpartitioning(user_id") >= 1
 
 
@@ -230,7 +247,8 @@ def test_random_projection_is_map_only(spark, sf_oracle):
     """The JL projection never shuffles, broadcasts, or aggregates -- pure
     per-row arithmetic over the scan."""
     plan = _plan(QUERIES["embedding_random_projection"](spark, sf_oracle))
-    assert "Exchange" not in plan
+    assert _n_data_shuffles(plan) == 0, plan
+    assert "BroadcastExchange" not in plan
     assert "Join" not in plan
 
 
@@ -253,16 +271,14 @@ def test_ivf_assignment_has_no_window_shuffle(spark, sf_oracle):
     assert "Window" not in plan, plan
     # broadcast of the centroid table is the ONLY exchange family allowed
     # beyond at most one hash exchange of the n output rows
-    n_shuffle = (plan.count("Exchange") - plan.count("BroadcastExchange")) // 2
-    assert n_shuffle <= 1, plan
+    assert _n_data_shuffles(plan) <= 1, plan
     fine = seeded_centroids(emb, 32)
     plan2 = _plan(two_level_assign(emb, fine, n_coarse=6, nprobe=3))
     # the fine->coarse routing window is quantizer-sized (k x kc rows) and
     # allowed; what must never exist is a window partitioned by the
     # DATA-SCALE vector id (the old n x kc / n x k/kc shuffle-sorts)
     assert "windowspecdefinition(vec_id" not in plan2, plan2
-    n_shuffle2 = (plan2.count("Exchange") - plan2.count("BroadcastExchange")) // 2
-    assert n_shuffle2 <= 2, plan2
+    assert _n_data_shuffles(plan2) <= 2, plan2
 
 
 def test_markov_matrix_aggregates_on_bounded_keys(spark, sf_oracle):
