@@ -319,9 +319,16 @@ def psi_drift(
     bucket = F.least(
         F.floor(F.col(value_col) / bucket_width), F.lit(n_buckets - 1)
     ).alias("bucket")
-    counts = df.select(F.col(group_col).alias("grp"), bucket).groupBy(
-        "grp", "bucket"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    from ._cache import tracked_persist
+
+    # persist the bucket counts (r14, guide §1.2): bounded at groups x
+    # n_buckets rows, but consumed twice (group derivation + densify join)
+    # -- unpersisted, the corpus scan-agg ran once per consumer
+    counts = tracked_persist(
+        df.select(F.col(group_col).alias("grp"), bucket).groupBy(
+            "grp", "bucket"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
     # densify to ALL n_buckets per group so smoothing covers empty buckets
     grps = counts.select("grp").distinct()
     grid = grps.crossJoin(
@@ -438,11 +445,18 @@ def conformal_threshold(
     coverage, coverage_ok)."""
     import math
 
+    from ._cache import tracked_persist
     from .sampling import SAMPLE_MOD, sample_hash
 
     is_cal = sample_hash(F.col(id_col), salt) < int(calib_frac * SAMPLE_MOD)
-    pos = scored.filter(F.col(label_col).cast("int") == 1).select(
-        F.col(id_col), (1.0 - F.col(score_col)).alias("nonconf")
+    # persist the positives (r14, guide §1.2/§5): narrow (id, nonconf)
+    # rows, but consumed by THREE actions (n_cal count, the order-statistic
+    # collect, the coverage agg) -- unpersisted, each action re-ran the
+    # caller's whole scoring pipeline over the corpus
+    pos = tracked_persist(
+        scored.filter(F.col(label_col).cast("int") == 1).select(
+            F.col(id_col), (1.0 - F.col(score_col)).alias("nonconf")
+        )
     )
     cal = pos.filter(is_cal)
     n_cal = cal.count()  # bounded scalar: sets the order-statistic rank

@@ -205,11 +205,19 @@ def mmr_rerank(
     mmr_score)."""
     from .similarity import cosine
 
+    from ._cache import tracked_persist
+
     spark = candidates.sparkSession
     rel_w = F.max(score_col).over(Window.partitionBy())
-    cand = candidates.select(
-        F.col(id_col).alias("_id"),
-        F.round(F.col(score_col) / rel_w, 6).alias("_rel"),
+    # persist the top-n-bounded candidate frame (r14, guide §1.2/§5): it
+    # feeds the rels collect, BOTH sides of the pairwise-cosine frame (via
+    # the vector semi-join), and the sims collect -- unpersisted, every
+    # driver action re-ran the caller's whole retrieval pipeline
+    cand = tracked_persist(
+        candidates.select(
+            F.col(id_col).alias("_id"),
+            F.round(F.col(score_col) / rel_w, 6).alias("_rel"),
+        )
     )
     vecs = emb.join(
         cand.select(F.col("_id").alias(vec_id_col)), vec_id_col, "left_semi"

@@ -646,7 +646,10 @@ def semantic_dedup(
     assigned = ivf_assign(
         emb, n_centroids, centroids=centroids, id_col=id_col, vec_col=vec_col
     )
-    normed = (
+    # persist the assigned+normalized frame (r14, guide §1.2): it feeds BOTH
+    # sides of the cell self-join and the final keep/dup projection --
+    # unpersisted, the fold-cosine cell assignment re-ran once per consumer
+    normed = tracked_persist(
         assigned.withColumn("_norm", F.greatest(norm(F.col(vec_col)), F.lit(1e-12)))
         .withColumn(
             "_nv",
@@ -664,7 +667,9 @@ def semantic_dedup(
         .distinct()
     )
     return (
-        assigned.select(F.col(id_col).alias("vec_id"), "cell")
+        # project from the PERSISTED normed frame (same assigned columns),
+        # so the final pass reads the cache instead of re-assigning
+        normed.select(F.col(id_col).alias("vec_id"), "cell")
         .join(F.broadcast(dup_ids), F.col("vec_id") == F.col("dup_id"), "left")
         .select("vec_id", "cell", F.col("dup_id").isNotNull().alias("is_dup"))
     )

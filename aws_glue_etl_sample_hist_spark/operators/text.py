@@ -422,14 +422,21 @@ def strip_repeated_chunks(
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window)
     )
-    chunks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("_toks"),
-        F.explode(starts).alias("start"),
-    ).select(
-        "doc_id",
-        ((F.col("start") - 1) / window).cast("long").alias("chunk_idx"),
-        F.concat_ws(" ", F.slice("_toks", F.col("start"), F.lit(window))).alias("chunk"),
+    from ._cache import tracked_persist
+
+    # persist the (doc, chunk) frame (r14, guide §1.2): it feeds the hot-set
+    # document-frequency agg AND the mark-and-reassemble join -- unpersisted,
+    # the tokenize+chunk explode over the corpus ran once per consumer
+    chunks = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.explode(starts).alias("start"),
+        ).select(
+            "doc_id",
+            ((F.col("start") - 1) / window).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("_toks", F.col("start"), F.lit(window))).alias("chunk"),
+        )
     )
     hot = (
         chunks.groupBy("chunk")

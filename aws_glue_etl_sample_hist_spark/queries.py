@@ -588,7 +588,10 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup via content-hash group-by (operators.dedup.exact_dedup)."""
     from .operators.dedup import exact_dedup
 
-    return exact_dedup(load_table(spark, sf, "documents"))
+    # spread=False (r14): one md5 per row is the entire map-side work --
+    # cheaper than shuffling the text bytes an extra time; the groupBy's
+    # own exchange already parallelizes the reduce side
+    return exact_dedup(load_table(spark, sf, "documents", spread=False))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -5868,14 +5871,20 @@ def q_text_quality_auc(spark: SparkSession, sf: str) -> DataFrame:
     not significant -- the null case every eval harness must get right).
     Closed-form rank arithmetic; the oracle recomputes both rows
     exactly."""
+    from .operators._cache import tracked_persist
     from .operators.analytics import roc_auc
     from .operators.text import gopher_quality, hashed_linear_score
 
     docs = load_table(spark, sf, "documents")
-    g = gopher_quality(docs).select(
-        "doc_id",
-        F.col("keep").alias("label"),
-        F.round(F.col("stopword_hits") / F.col("n_tokens"), 6).alias("dens"),
+    # persist the rule labels (r14, guide §1.2): narrow (id, label, dens)
+    # rows consumed by BOTH scorer branches of the union -- unpersisted,
+    # the Gopher tokenize pass over the corpus ran once per branch
+    g = tracked_persist(
+        gopher_quality(docs).select(
+            "doc_id",
+            F.col("keep").alias("label"),
+            F.round(F.col("stopword_hits") / F.col("n_tokens"), 6).alias("dens"),
+        )
     )
     model = (
         hashed_linear_score(docs)
