@@ -625,7 +625,20 @@ def connected_components(
                         T.StructField("cluster_id", ntype),
                     ]
                 )
-                return nodes.sparkSession.createDataFrame(rows, schema)
+                # pandas/Arrow conversion + ONE partition (r14, guide §4/§6):
+                # a list-backed createDataFrame is a Python-RDD local
+                # relation -- every downstream action (per-batch label
+                # writes in the streaming merge, the incremental row's
+                # final plan) re-evaluates it through ~defaultParallelism
+                # Python worker launches, measured ~2.6 vs ~0.2 s warm on
+                # the write path; ids on this path are guaranteed exact
+                # int64 (_exact_id_list), so the Arrow path is lossless
+                import pandas as pd
+
+                pdf = pd.DataFrame(rows, columns=[node_col, "cluster_id"])
+                return (
+                    nodes.sparkSession.createDataFrame(pdf, schema).coalesce(1)
+                )
             edges = edges_c.localCheckpoint(eager=True)
             edges_c.unpersist()
         else:
@@ -759,10 +772,20 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_df: int | None = None,
     algorithm: str = "minlabel",
+    local_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Full near-dup resolution: n-gram Jaccard pairs -> connected components
     -> keeper flag (cluster representative = min doc_id). The output one
     would anti-join against the corpus to drop near-duplicates.
+
+    ``local_threshold`` (r14): forwards the minlabel backend's adaptive
+    dispatch -- a materialized graph under the threshold runs ONE bounded
+    Arrow fetch + driver-local union-find instead of ~8 driver-coordinated
+    jobs per loop (same fixpoint, dual-path agreement property-tested; the
+    incremental merge has shipped this dispatch since r10). The decision is
+    data-sized at run time: a 100 TB corpus always exceeds it and takes the
+    distributed loop unchanged. The star backend has no local twin (its
+    value IS the distributed round shape), so the knob is ignored there.
 
     ``max_df`` forwards to the candidate generation: at scale the composed
     path MUST set it, or one corpus-wide shingle turns candidate generation
@@ -779,8 +802,17 @@ def dedup_clusters(
     pairs = ngram_jaccard_pairs(
         docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col, max_df=max_df
     )
-    cc_fn = connected_components if algorithm == "minlabel" else connected_components_star
-    cc = cc_fn(docs, pairs.select("doc_a", "doc_b"), node_col=id_col)
+    if algorithm == "minlabel":
+        cc = connected_components(
+            docs,
+            pairs.select("doc_a", "doc_b"),
+            node_col=id_col,
+            local_threshold=local_threshold,
+        )
+    else:
+        cc = connected_components_star(
+            docs, pairs.select("doc_a", "doc_b"), node_col=id_col
+        )
     return cc.select(
         id_col,
         "cluster_id",

@@ -984,7 +984,12 @@ def shot_keyframes(
     (doc_id, shot_idx, start_frame, end_frame, keyframe_idx)."""
     from pyspark.sql.window import Window
 
-    diffs = video_shot_boundaries(with_payload, threshold=threshold)
+    from ._cache import tracked_persist
+
+    # persist the per-frame diff scores (r14, guide §1.2/§4): narrow rows
+    # consumed by the frame-count agg AND the cut-marker join --
+    # unpersisted, the Python y4m-decode diff pass ran once per consumer
+    diffs = tracked_persist(video_shot_boundaries(with_payload, threshold=threshold))
     # total frame count per doc = max frame_idx + 1 (diff rows exist for
     # every frame >= 1); rebuild the full frame list and mark cut starts
     frames = (
@@ -1054,9 +1059,18 @@ def video_frame_hash_dedup(
                     rows.append((doc_id, _pack_bits_s64(bits.ravel())))
             yield pd.DataFrame(rows, columns=["doc_id", "fhash"])
 
-    hashes = with_payload.mapInPandas(
-        frame_hashes, "doc_id long, fhash long"
-    ).dropDuplicates(["doc_id", "fhash"])
+    from ._cache import tracked_persist
+
+    # persist the per-frame fingerprints (r14, guide §1.2/§4): two longs
+    # per frame, consumed by the stop-frame agg, the rare-join AND both
+    # sides of the inverted-index self-join -- unpersisted, the Python
+    # y4m-decode+dHash stage re-ran once per consumer (4 ArrowEval
+    # subtrees in the audited plan)
+    hashes = tracked_persist(
+        with_payload.mapInPandas(
+            frame_hashes, "doc_id long, fhash long"
+        ).dropDuplicates(["doc_id", "fhash"])
+    )
     rare = (
         hashes.groupBy("fhash")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1101,7 +1115,13 @@ def image_near_dup_hamming(
     every max_df guard in the engine.
 
     Returns (id_a, id_b, hamming), id_a < id_b, exact distances."""
-    hashes = image_dhash(with_payload)
+    from ._cache import tracked_persist
+
+    # persist the fingerprints (r14, guide §1.2/§4): two longs per image,
+    # consumed by the stop-bucket agg, the cool-band join AND both sides of
+    # the candidate self-join -- unpersisted, the Python decode+dHash stage
+    # re-ran once per consumer (4 ArrowEval subtrees in the audited plan)
+    hashes = tracked_persist(image_dhash(with_payload))
     all_bands = hashes.select(
         "doc_id",
         "dhash",

@@ -370,7 +370,10 @@ def dsir_select(
     from ._cache import tracked_persist
 
     if t_counts is None:
-        t_counts = (
+        # persisted (r14, guide §1.2): bounded at n_buckets rows but
+        # consumed twice (the t_total collect + the ratio-map join) --
+        # unpersisted, the target corpus's explode ran once per consumer
+        t_counts = tracked_persist(
             _hashed_grams(target, text_col, None)
             .withColumn("bucket", _gram_bucket(F.col("gram"), n_buckets, salt))
             .groupBy("bucket")

@@ -5409,8 +5409,12 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     new_b = F.col("doc_b") % 10 >= 8
     old_nodes = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id")
     new_nodes = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id")
+    # the standing build takes the same size-adaptive dispatch the merge
+    # has shipped since r10 (r14): under the threshold, one bounded Arrow
+    # fetch + driver-local union-find replaces ~8 loop jobs; a real corpus
+    # exceeds it and runs the distributed loop unchanged
     old_labels = connected_components(
-        old_nodes, pairs.filter(~new_a & ~new_b)
+        old_nodes, pairs.filter(~new_a & ~new_b), local_threshold=100_000
     )
     inc = connected_components_incremental(
         old_labels, new_nodes, pairs.filter(new_a | new_b)

@@ -981,11 +981,14 @@ def stream_dedup_clusters(
             )
             .select("doc_a", "doc_b")
         )
+        # persist the candidate pairs in BOTH modes (r14, guide §1.2): the
+        # CC merge consumes them through the two-orientation edge union,
+        # whose branches do not share a physical subtree -- unpersisted,
+        # the batch-vs-index candidate join ran twice per merge (~3 s/batch
+        # of pure recompute at sf0.1). Profiling mode additionally counts
+        # them here to split pair-gen wall from the CC merge wall.
+        pairs = pairs.persist()
         if timings is not None:
-            # profiling mode only: materialize the candidate pairs to split
-            # pair-generation wall from the CC merge wall (production path
-            # leaves pairs lazy inside the CC plan)
-            pairs = pairs.persist()
             pairs.count()
             timings[f"batch_{batch_id}_pairgen_sec"] = round(
                 _time.perf_counter() - _bt0, 3
@@ -1023,8 +1026,7 @@ def stream_dedup_clusters(
             timings[f"batch_{batch_id}_statewrite_sec"] = round(
                 _time.perf_counter() - _wt0, 3
             )
-        if timings is not None:
-            pairs.unpersist()
+        pairs.unpersist()
         bsh.unpersist()
         state["labels_path"] = out
         state["n_batches"] += 1
