@@ -1360,7 +1360,12 @@ def q_multimodal_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     The real-decoder path (PIL) is stubbed; the Spark plumbing is real."""
     from .operators.multimodal import attach_fake_payload, extract_media_meta
 
-    return extract_media_meta(attach_fake_payload(load_table(spark, sf, "documents")))
+    # spread=False (r14, measured): the fake header parse is ~free per row
+    # (unlike the real jpeg decode row, which keeps the spread), so the
+    # text exchange dominated (interleaved A/B: 0.76 vs 0.42 s median)
+    return extract_media_meta(
+        attach_fake_payload(load_table(spark, sf, "documents", spread=False))
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1608,7 +1613,10 @@ def q_corpus_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     high-cardinality chunk groupBy + a broadcast hot-set join."""
     from .operators.text import strip_repeated_chunks
 
-    return strip_repeated_chunks(load_table(spark, sf, "documents"))
+    # spread=False (r14, measured): chunking is one split pass feeding a
+    # chunk-keyed exchange that parallelizes the reduce side anyway; the
+    # extra text exchange lost (interleaved A/B: 1.99 vs 1.39 s median)
+    return strip_repeated_chunks(load_table(spark, sf, "documents", spread=False))
 
 
 def q_embedding_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -3293,8 +3301,14 @@ def q_documents_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     the shuffle is query-sized, not vocabulary-sized."""
     from .operators.ranking import bm25_topk
 
+    # spread=False (r14, measured): the map side is a tokenize+explode that
+    # immediately pre-filters to 3 query terms -- the work is query-sized,
+    # so the extra full-text exchange costs more than it parallelizes
+    # (interleaved A/B 1.06 vs 1.33 s)
     return bm25_topk(
-        load_table(spark, sf, "documents"), ["spark", "window", "merge"], k=10
+        load_table(spark, sf, "documents", spread=False),
+        ["spark", "window", "merge"],
+        k=10,
     )
 
 
@@ -5437,7 +5451,11 @@ def q_retrieval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     hence DCG -- is engine-stable."""
     from .operators.ranking import bm25_topk
 
-    docs = load_table(spark, sf, "documents")
+    # spread=False (r14, measured): both consumers (BM25 top-10 and the
+    # term-coverage grading) are query-term-sized explodes; each branch
+    # paid its own full-text exchange under the spread for map work too
+    # light to amortize it (interleaved A/B: 2.38 vs 1.14 s median)
+    docs = load_table(spark, sf, "documents", spread=False)
     # 'dup' is the corpus's one genuinely rare term (df 25/500 at sf0.01
     # vs ~380 for the rest of the vocab): coverage grades actually vary
     # (11 docs carry all three, 297 two, 147 one), so the metric
@@ -5879,7 +5897,10 @@ def q_text_quality_auc(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.analytics import roc_auc
     from .operators.text import gopher_quality, hashed_linear_score
 
-    docs = load_table(spark, sf, "documents")
+    # spread=False (r14, measured): the two scorer branches are hash and
+    # token-count passes; each paid its own full-text exchange under the
+    # spread (interleaved A/B: 2.98 vs 2.22 s median)
+    docs = load_table(spark, sf, "documents", spread=False)
     # persist the rule labels (r14, guide §1.2): narrow (id, label, dens)
     # rows consumed by BOTH scorer branches of the union -- unpersisted,
     # the Gopher tokenize pass over the corpus ran once per branch
@@ -5970,8 +5991,12 @@ def q_retrieval_mmr(spark: SparkSession, sf: str) -> DataFrame:
     the row is hash-checked EXACTLY, not a contract."""
     from .operators.ranking import bm25_topk, mmr_rerank
 
-    docs = load_table(spark, sf, "documents")
-    emb = load_table(spark, sf, "embeddings")
+    # spread=False (r14, measured): the BM25 side is query-term-sized and
+    # the rerank touches embeddings for only the 20 candidates, so both
+    # spreads' exchanges were pure overhead (interleaved A/B: 3.21 vs
+    # 2.02 s median)
+    docs = load_table(spark, sf, "documents", spread=False)
+    emb = load_table(spark, sf, "embeddings", spread=False)
     cand = bm25_topk(docs, ["spark", "window", "merge"], k=20)
     return mmr_rerank(cand, emb, k=10, lam=0.7)
 
