@@ -961,7 +961,12 @@ def incremental_minhash_dedup(
             F.col("doc_id").alias(out_id), F.posexplode(band_sigs).alias("band", "band_sig")
         )
 
-    cand = (
+    # persisted (r14, guide §1.2): the candidate set feeds THREE plan
+    # branches (the two semi-join restrictions and the verify join) that
+    # share no physical subtree -- unpersisted, the minhash wide agg +
+    # band equi-join + distinct re-ran once per consumer (the dominant
+    # non-shingle cost of the whole operator)
+    cand = tracked_persist(
         _bands(sh_new_base, "new_id")
         .join(_bands(sh_old_base, "old_id"), ["band", "band_sig"])
         .select("new_id", "old_id")

@@ -409,6 +409,26 @@ def test_dedup_clusters_algorithm_knob_identical_labels(spark, sf_oracle):
         dedup_clusters(docs, algorithm="labelprop")
 
 
+def test_dedup_clusters_local_dispatch_identical_labels(spark, sf_oracle):
+    """The r14 size-adaptive dispatch is a performance knob, not a semantic
+    one: dedup_clusters under the default local_threshold (driver-local
+    union-find on this corpus's small contracted graph) must emit the same
+    labels as the forced distributed loop (local_threshold=None)."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_oracle, "documents")
+    local = {
+        (r.doc_id, r.cluster_id, r.is_keeper)
+        for r in dedup_clusters(docs, max_df=100).collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id, r.is_keeper)
+        for r in dedup_clusters(docs, max_df=100, local_threshold=None).collect()
+    }
+    assert local == dist
+
+
 def test_decode_image_real_pil_slot_in(spark):
     """Runs ONLY where PIL exists (skips in this container): proves the
     decode stub's contract -- decode_image returns a real Image, and a
