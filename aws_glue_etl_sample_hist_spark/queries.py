@@ -1725,9 +1725,12 @@ def q_embedding_two_level_agreement(spark: SparkSession, sf: str) -> DataFrame:
     runs with the engine's exact sequential cosine arithmetic -- so the
     EXACT oracle replays the selection chain and all three argmax
     stages."""
+    from .operators._cache import tracked_persist
     from .operators.similarity import ivf_assign, seeded_centroids, two_level_assign
 
-    emb = load_table(spark, sf, "embeddings")
+    # persist the loaded table (r14, guide §1.2/§5): the two assignment
+    # routes scanned embeddings 12x with no shared subtree
+    emb = tracked_persist(load_table(spark, sf, "embeddings"))
     fine = seeded_centroids(emb, 32)
     exact = ivf_assign(emb, 32, centroids=fine).select(
         "vec_id", F.col("cell").alias("cell_exact")
@@ -5705,9 +5708,12 @@ def q_embedding_matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
     MRL-trained, so truncation recall is near chance (the baseline an
     MRL-trained model must beat; measured values in PERF.md), floor 0.0.
     Contract oracle: exact (query x dims) keys, all-true flags."""
+    from .operators._cache import tracked_persist
     from .operators.similarity import cosine_topk, topk_recall
 
-    emb = load_table(spark, sf, "embeddings")
+    # persist the loaded table (r14, guide §1.2/§5): each prefix width's
+    # approx side plus the exact side re-scanned embeddings separately
+    emb = tracked_persist(load_table(spark, sf, "embeddings"))
     qids = [0, 1, 2, 3, 4]
     exact = cosine_topk(emb, qids, k=10)
     out = None
@@ -5855,9 +5861,12 @@ def q_embedding_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     contract row: every query's recall clears the pinned floor of 0.5 at
     a 2/8 probe budget -- measured 0.7-1.0 across sf0.01/sf0.1, floor
     pinned below with margin. PERF.md tracks recall vs nprobe."""
+    from .operators._cache import tracked_persist
     from .operators.similarity import cosine_topk, ivf_ann_topk, topk_recall
 
-    emb = load_table(spark, sf, "embeddings")
+    # persist the loaded table (r14, guide §1.2/§5): approx + exact sides
+    # scanned embeddings 12x with no shared subtree (same fix as pq_recall)
+    emb = tracked_persist(load_table(spark, sf, "embeddings"))
     qids = [0, 1, 2, 3, 4]
     approx = ivf_ann_topk(emb, qids, k=10, n_centroids=8, nprobe=2)
     exact = cosine_topk(emb, qids, k=10)
@@ -5873,9 +5882,13 @@ def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     the pinned 0.2 floor per query (measured 0.3-0.8 across
     sf0.01/sf0.1; quantization distortion, not randomness -- codebooks
     are deterministic). PERF.md tracks recall vs shortlist size."""
+    from .operators._cache import tracked_persist
     from .operators.similarity import cosine_topk, pq_rerank_topk, topk_recall
 
-    emb = load_table(spark, sf, "embeddings")
+    # persist the loaded table (r14, guide §1.2/§5): the approx and exact
+    # sides scan embeddings through 12 plan branches with no shared
+    # subtree -- one scan + cache reads replaces 12 scans (A/B 7.2->6.0 s)
+    emb = tracked_persist(load_table(spark, sf, "embeddings"))
     qids = [0, 1, 2, 3, 4]
     approx = pq_rerank_topk(emb, qids, k=10, shortlist=50)
     exact = cosine_topk(emb, qids, k=10)
