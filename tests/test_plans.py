@@ -5,10 +5,31 @@ silently degrades a plan fails CI -- not a 100 TB run."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_glue_etl_sample_hist_spark.catalog import load_table
 from aws_glue_etl_sample_hist_spark.queries import QUERIES
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache_state(spark):
+    """Plan-shape asserts must see the plan a FRESH session would produce.
+    Spark's CacheManager substitutes any persisted subtree left behind by an
+    earlier test in the shared session (the banded/ANN operators
+    tracked_persist shared inputs), and the injected InMemoryRelation embeds
+    that test's exchanges -- which made these guards order-dependent (an
+    ivf_assign plan read through a leaked cached embeddings scan and counted
+    its spread exchange). Release tracked frames and clear the cache before
+    every plan test."""
+    from aws_glue_etl_sample_hist_spark.operators._cache import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
+    spark.catalog.clearCache()
+    yield
 
 
 def _plan(df) -> str:
