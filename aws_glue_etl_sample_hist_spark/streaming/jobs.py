@@ -867,13 +867,17 @@ def stream_dedup_clusters(
     (the dedup_clusters recursive CTE, sans df guard) checks row for row.
 
     Replay safety: merging the same batch's edges again is a no-op (CC is
-    idempotent), and the shingle/size index state is OVERWRITE-BY-
-    BATCH-ID (state/batch_N per batch, the quantile monitor's additive-
-    state rule) with the CURRENT batch's directory excluded on read --
-    so neither a partial-append crash nor an at-least-once re-delivery
-    can leave duplicate index rows for any batch, past or present, and
-    no per-batch full-index distinct() is needed. Per-batch label frames
-    are written to fresh dirs (never read-and-overwrite the same path).
+    idempotent), and the shingle index state is OVERWRITE-BY-BATCH-ID
+    (state/batch_N per batch, the quantile monitor's additive-state rule)
+    with the CURRENT batch's directory excluded on read -- so neither a
+    partial-append crash nor an at-least-once re-delivery can leave
+    duplicate index rows for any batch, past or present, and no per-batch
+    full-index distinct() is needed. Per-batch label frames are written
+    to fresh dirs (never read-and-overwrite the same path). Index rows
+    carry (doc_id, shingle, n_sh): the per-doc shingle-set size rides
+    every row as metadata (guide §2.3), so the Jaccard filter reads both
+    sizes off the candidate join itself -- no separate size state, no
+    size joins per merge.
 
     ``timings`` (optional dict, filled in place) records the cost split
     the r8 verdict asked for: setup_sec (source staging), per-batch merge
@@ -882,23 +886,27 @@ def stream_dedup_clusters(
     measured split."""
     import time as _time
 
-    from ..operators.dedup import (
-        _distinct_shingles,
-        connected_components_incremental,
-    )
+    from ..operators.dedup import connected_components_incremental
 
     _t0 = _time.perf_counter()
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     src_dir = _mkscratch(prefix="cc_stream_src_")
-    for s in range(3):
+    # the three slice writes are independent jobs -- submit them from a
+    # small thread pool so the later writes back-fill the earlier ones'
+    # task tails instead of queueing behind them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_slice(s: int) -> None:
         docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(src_dir, f"s{s}"))
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_stage_slice, range(3)))
     if timings is not None:
         timings["setup_sec"] = round(_time.perf_counter() - _t0, 3)
     _state_root = _mkscratch(prefix="cc_stream_state_")
     sh_dir = os.path.join(_state_root, "sh")
-    sizes_dir = os.path.join(_state_root, "sizes")
     labels_root = _mkscratch(prefix="cc_stream_labels_")
     state = {"labels_path": None, "n_batches": 0}
 
@@ -906,11 +914,33 @@ def stream_dedup_clusters(
         if batch.isEmpty():
             return
         _bt0 = _time.perf_counter()
-        # persist the batch's shingle set: it feeds the candidate join,
-        # the size agg AND the two state writes -- without the persist the
-        # explode+distinct shuffle re-runs once per consumer (measured
-        # ~2 s/batch of the merge wall at sf0.1, pure recompute)
-        bsh = _distinct_shingles(batch, 3, "text", "doc_id", None).persist()
+        from ..operators.text import tokens, word_shingles
+
+        # (doc_id, shingle, n_sh) with NO extra shuffle: per-doc distinct
+        # shingles via array_distinct (same rows as _distinct_shingles
+        # with max_df=None) and the shingle-SET SIZE attached to every
+        # row. Carrying the size as row metadata (guide §2.3 "shuffle keys
+        # and metadata") lets the Jaccard filter read both set sizes
+        # straight off the candidate join's own rows -- the old shape
+        # aggregated sizes separately, joined them back on twice (more
+        # exchanges and AQE stage-jobs per merge: 12 -> 6 measured) and
+        # wrote a second per-batch state dir for them. n_sh is per-doc-
+        # bounded, so the index stays O(total shingles) at any corpus
+        # size. Two shape details that matter: the ARRAY frame is what
+        # gets persisted (tokenize+shingle runs once; the cheap explode
+        # re-runs per consumer from the cache), and size() is computed
+        # BELOW the explode so the Generate does not retain _shs --
+        # UnsafeRow stores arrays inline, so a retained array is copied
+        # into every exploded output row (measured +0.8 s/batch).
+        arr = batch.select(
+            F.col("doc_id"),
+            F.array_distinct(
+                word_shingles(tokens(F.col("text")), 3)
+            ).alias("_shs"),
+        ).persist()
+        bsh = arr.select(
+            "doc_id", F.size("_shs").alias("n_sh"), "_shs"
+        ).select("doc_id", "n_sh", F.explode("_shs").alias("shingle"))
 
         def _prev_dirs(root: str) -> list[str]:
             # every COMMITTED earlier batch's state dir; the current
@@ -935,7 +965,14 @@ def stream_dedup_clusters(
             all_sh = bsh.withColumn("_new", F.lit(True))
         a = bsh.alias("a")
         b = all_sh.alias("b")
-        inter = (
+        # n_common = plain count (each common shingle seen once via the
+        # a<b orientation rule); both set sizes come off the joined rows
+        # themselves -- per (doc_a, doc_b) group the a/b doc identities
+        # are constant, so a max(when(...)) picks each side's n_sh without
+        # any size join. The Jaccard expression is arithmetic-identical to
+        # the old two-join form (same ints, same round), so the pair set
+        # -- and therefore the CC labels -- cannot move.
+        pairs = (
             a.join(
                 b,
                 (F.col("a.shingle") == F.col("b.shingle"))
@@ -950,27 +987,19 @@ def stream_dedup_clusters(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
             )
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        # per-doc shingle-set sizes are STATIC (a doc's size never changes
-        # after its batch): compute over the batch only and accumulate at
-        # rest, replacing the old full-index groupBy per batch; same
-        # batch-keyed layout and current-batch exclusion as the index
-        bsizes = bsh.groupBy("doc_id").agg(F.count("shingle").alias("n_sh"))
-        prev_sizes = _prev_dirs(sizes_dir)
-        if prev_sizes:
-            sizes = spark.read.parquet(*prev_sizes).unionByName(bsizes)
-        else:
-            sizes = bsizes
-        sa = sizes.select(
-            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a")
-        )
-        sb = sizes.select(
-            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b")
-        )
-        pairs = (
-            inter.join(sa, "doc_a")
-            .join(sb, "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max(
+                    F.when(
+                        F.col("a.doc_id") <= F.col("b.doc_id"), F.col("a.n_sh")
+                    ).otherwise(F.col("b.n_sh"))
+                ).alias("size_a"),
+                F.max(
+                    F.when(
+                        F.col("a.doc_id") <= F.col("b.doc_id"), F.col("b.n_sh")
+                    ).otherwise(F.col("a.n_sh"))
+                ).alias("size_b"),
+            )
             .filter(
                 F.round(
                     F.col("n_common")
@@ -1019,15 +1048,12 @@ def stream_dedup_clusters(
         bsh.write.mode("overwrite").parquet(
             os.path.join(sh_dir, f"batch_{batch_id}")
         )
-        bsizes.write.mode("overwrite").parquet(
-            os.path.join(sizes_dir, f"batch_{batch_id}")
-        )
         if timings is not None:
             timings[f"batch_{batch_id}_statewrite_sec"] = round(
                 _time.perf_counter() - _wt0, 3
             )
         pairs.unpersist()
-        bsh.unpersist()
+        arr.unpersist()
         state["labels_path"] = out
         state["n_batches"] += 1
         if timings is not None:
