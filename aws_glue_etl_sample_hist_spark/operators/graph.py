@@ -13,10 +13,172 @@ north-star extension like the dedup/CC family.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ._cache import tracked_persist
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Bit-faithful twin of Spark's ``round()`` on DoubleType: Spark routes
+    the double through ``BigDecimal.valueOf`` (shortest decimal repr, same
+    value Python's ``repr`` produces -- both are shortest-roundtrip) and
+    ``setScale(scale, HALF_UP)``. Python's builtin ``round`` is banker's
+    rounding and differs on exact .5 boundaries, so the local graph twins
+    use this instead."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(f"1e-{scale}"), ROUND_HALF_UP)
+    )
+
+
+def _fetch_edges_local(
+    edges: DataFrame, cap: int, cols: tuple[str, str, str]
+):
+    """Bounded edge fetch for the adaptive local dispatch (the
+    connected-components pattern): ONE ``limit(cap + 1).toPandas()`` job
+    either hands back the whole (already persisted) edge frame -- driver
+    memory bounded by construction, Arrow path not Row objects -- or
+    proves it is too big (returns None). Null endpoints are a broken
+    graph upstream; raise rather than silently mis-ranking."""
+    pdf = edges.select(*cols).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        return None
+    if pdf[cols[0]].isna().any() or pdf[cols[1]].isna().any():
+        raise ValueError(
+            "graph local dispatch: null src/dst id in the edge frame"
+        )
+    return list(
+        zip(pdf[cols[0]].tolist(), pdf[cols[1]].tolist(), pdf[cols[2]].tolist())
+    )
+
+
+def _pagerank_local_rows(
+    edge_list: list[tuple], *, n_iter: int, damping: float
+) -> list[tuple]:
+    """Driver-local twin of ``weighted_pagerank``'s unrolled recurrence:
+    same per-round 12-dp quantization (HALF_UP, like Spark's round), same
+    leak-the-dangling-mass semantics. Float64 sum-order differences vs the
+    distributed partial aggregation sit ~1e-16 per term, far below the
+    1e-12 quantum -- the same partitioning-invariance argument the
+    operator's oracle already rests on."""
+    nodes = sorted({u for u, _, _ in edge_list} | {v for _, v, _ in edge_list})
+    n = len(nodes)
+    outw: dict = {}
+    for u, _, w in edge_list:
+        outw[u] = outw.get(u, 0.0) + float(w)
+    norm = [
+        (u, v, _round_half_up(float(w) / outw[u], 12)) for u, v, w in edge_list
+    ]
+    rank = {u: _round_half_up(1.0 / n, 12) for u in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        incoming: dict = {}
+        for u, v, p in norm:
+            incoming[v] = incoming.get(v, 0.0) + rank[u] * p
+        rank = {
+            u: _round_half_up(base + damping * incoming.get(u, 0.0), 12)
+            for u in nodes
+        }
+    return [(u, rank[u]) for u in nodes]
+
+
+def _pagerank_converged_local_rows(
+    edge_list: list[tuple],
+    *,
+    damping: float,
+    eps: float,
+    max_iter: int,
+    check_every: int,
+) -> tuple[list[tuple], int]:
+    """Driver-local twin of ``weighted_pagerank_converged``: dangling mass
+    redistributed uniformly, per-round 12-dp HALF_UP quantization, L1-delta
+    stop checked every ``check_every`` rounds against the LAST consecutive
+    round pair -- the exact loop the distributed path runs, minus the Spark
+    jobs. Returns (rows, n_rounds)."""
+    nodes = sorted({u for u, _, _ in edge_list} | {v for _, v, _ in edge_list})
+    n = len(nodes)
+    outw: dict = {}
+    for u, _, w in edge_list:
+        outw[u] = outw.get(u, 0.0) + float(w)
+    dangling = [u for u in nodes if u not in outw]
+    norm = [
+        (u, v, _round_half_up(float(w) / outw[u], 12)) for u, v, w in edge_list
+    ]
+    rank = {u: _round_half_up(1.0 / n, 12) for u in nodes}
+    # mirrors the distributed init exactly: the SCALAR seed uses Python's
+    # round (banker's) there, while per-round ranks quantize HALF_UP
+    dangling_mass = len(dangling) * round(1.0 / n, 12)
+    base = (1.0 - damping) / n
+    rounds = 0
+    while rounds < max_iter:
+        batch = min(check_every, max_iter - rounds)
+        prev = rank
+        for b in range(batch):
+            dm_over_n = (
+                dangling_mass / n
+                if b == 0
+                else sum(rank[u] for u in dangling) / float(n)
+            )
+            prev = rank
+            incoming: dict = {}
+            for u, v, p in norm:
+                incoming[v] = incoming.get(v, 0.0) + rank[u] * p
+            rank = {
+                u: _round_half_up(
+                    base + damping * (incoming.get(u, 0.0) + dm_over_n), 12
+                )
+                for u in nodes
+            }
+            rounds += 1
+        delta = sum(abs(rank[u] - prev[u]) for u in nodes)
+        dangling_mass = sum(rank[u] for u in dangling)
+        if delta < eps:
+            break
+    return [(u, rank[u]) for u in nodes], rounds
+
+
+def _label_prop_local_rows(
+    edge_list: list[tuple], *, n_iter: int
+) -> list[tuple]:
+    """Driver-local twin of ``label_propagation``: symmetrized weighted
+    votes, per-(node, label) sums quantized to 6 dp HALF_UP, argmax ties to
+    the SMALLEST label -- the same deterministic recurrence, no Spark jobs."""
+    sym = [(u, v, float(w)) for u, v, w in edge_list]
+    sym += [(v, u, w) for u, v, w in sym[: len(edge_list)]]
+    nodes = sorted({u for u, _, _ in sym})
+    label = {u: u for u in nodes}
+    for _ in range(n_iter):
+        votes: dict = {}
+        for u, v, w in sym:
+            key = (v, label[u])
+            votes[key] = votes.get(key, 0.0) + w
+        best: dict = {}
+        for (v, lbl), wsum in votes.items():
+            wsum = _round_half_up(wsum, 6)
+            cur = best.get(v)
+            if cur is None or (-wsum, lbl) < cur[0]:
+                best[v] = ((-wsum, lbl), lbl)
+        label = {u: best[u][1] if u in best else u for u in nodes}
+    return [(u, label[u]) for u in nodes]
+
+
+def _local_graph_result(
+    edges: DataFrame, rows: list[tuple], schema_cols: list[tuple]
+) -> DataFrame:
+    """Arrow-backed single-partition result frame for a local dispatch
+    (the connected-components pattern): a list-backed createDataFrame is a
+    Python-RDD local relation that re-pays Python worker launches on every
+    downstream action; the pandas path is evaluated once."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(name, dtype) for name, dtype in schema_cols]
+    )
+    pdf = pd.DataFrame(rows, columns=[name for name, _ in schema_cols])
+    return edges.sparkSession.createDataFrame(pdf, schema).coalesce(1)
 
 
 def weighted_pagerank(
@@ -27,6 +189,7 @@ def weighted_pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list: ``n_iter`` rounds of
     r'(v) = (1-d)/n + d * sum over u->v of r(u) * w(u,v) / outw(u),
@@ -51,8 +214,39 @@ def weighted_pagerank(
     selects over it), outw, and norm each re-execute the caller's whole
     edge-building subtree otherwise -- for the registered trade-graph rows
     that subtree is a fact-scale join+agg, and the plan audit measured it
-    recomputed ~5x per call (144 duplicate scans in one plan)."""
+    recomputed ~5x per call (144 duplicate scans in one plan).
+
+    ``local_threshold`` (r14, the connected-components adaptive-dispatch
+    pattern): when set and the materialized edge frame has <= that many
+    rows, the n_iter message-passing rounds -- each otherwise one shuffle
+    join + one agg + driver barriers -- are replaced by ONE bounded Arrow
+    fetch and a driver-local twin of the identical recurrence
+    (_pagerank_local_rows: same 12-dp HALF_UP per-round quantization, so
+    the values are the ones the distributed loop and the SQL oracle
+    produce). The fetch is limit(cap+1).toPandas() off the already-
+    persisted edge frame -- ~40 B/edge, and the probe itself proves the
+    bound before anything is pulled. Contracted/aggregated graphs (nation-
+    level trade, cluster summaries) are exactly this shape; above the cap
+    the distributed path runs unchanged."""
     edges = tracked_persist(edges.select(src, dst, weight))
+    if local_threshold is not None:
+        edge_list = _fetch_edges_local(
+            edges, local_threshold, (src, dst, weight)
+        )
+        if edge_list is not None:
+            rows = _pagerank_local_rows(
+                edge_list, n_iter=n_iter, damping=damping
+            )
+            from pyspark.sql import types as T
+
+            return _local_graph_result(
+                edges,
+                rows,
+                [
+                    ("node", edges.schema[src].dataType),
+                    ("rank", T.DoubleType()),
+                ],
+            )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -98,6 +292,7 @@ def weighted_pagerank_converged(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Production-parity weighted PageRank: dangling-node mass is
     REDISTRIBUTED uniformly (the true stochastic-matrix model, so ranks
@@ -148,6 +343,36 @@ def weighted_pagerank_converged(
     # re-execute it otherwise (the registered row's fact-scale join+agg ran
     # ~5x per call -- 74 duplicate scans in the audited plan)
     edges = tracked_persist(edges.select(src, dst, weight))
+    # adaptive local dispatch (r14, the CC pattern -- see weighted_pagerank):
+    # a convergence loop is the job-count-heaviest shape in the engine
+    # (per check: one keyed shuffle round + a bounded collect + periodic
+    # eager checkpoints); when the materialized graph fits the cap, ONE
+    # bounded Arrow fetch + _pagerank_converged_local_rows runs the
+    # IDENTICAL quantized recurrence (including the check_every batching
+    # semantics and the Python-round dangling seed) with zero Spark jobs.
+    if local_threshold is not None:
+        edge_list = _fetch_edges_local(
+            edges, local_threshold, (src, dst, weight)
+        )
+        if edge_list is not None:
+            rows, rounds = _pagerank_converged_local_rows(
+                edge_list,
+                damping=damping,
+                eps=eps,
+                max_iter=max_iter,
+                check_every=check_every,
+            )
+            from pyspark.sql import types as T
+
+            return _local_graph_result(
+                edges,
+                [(u, r, rounds) for u, r in rows],
+                [
+                    ("node", edges.schema[src].dataType),
+                    ("rank", T.DoubleType()),
+                    ("n_rounds", T.LongType()),
+                ],
+            )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -256,6 +481,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Weighted synchronous label propagation (Raghavan et al. 2007)
     community detection -- the cheap communities primitive beside
@@ -277,6 +503,22 @@ def label_propagation(
     # subtree through it (168 duplicate scans in the audited plan of the
     # registered trade-graph row); nodes joins into every round's output.
     # Both are graph-sized -- the same footprint pagerank already persists.
+    # adaptive local dispatch (r14, the CC pattern -- see weighted_pagerank):
+    # each round is one shuffle join + one agg + one per-node window; a
+    # cap-bounded graph instead runs _label_prop_local_rows, the identical
+    # 6-dp-quantized argmax recurrence, off ONE bounded Arrow fetch.
+    if local_threshold is not None:
+        edges_p = tracked_persist(edges.select(src, dst, weight))
+        edge_list = _fetch_edges_local(
+            edges_p, local_threshold, (src, dst, weight)
+        )
+        if edge_list is not None:
+            rows = _label_prop_local_rows(edge_list, n_iter=n_iter)
+            ntype = edges_p.schema[src].dataType
+            return _local_graph_result(
+                edges_p, rows, [("node", ntype), ("label", ntype)]
+            )
+        edges = edges_p
     sym = tracked_persist(
         edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")

@@ -4583,7 +4583,13 @@ def q_nations_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("weight")
         )
     )
-    ranks = weighted_pagerank(edges, n_iter=3, damping=0.85)
+    # local_threshold (r14): the rank loop runs over the NATION-contracted
+    # graph, <= 25x25 edges by construction at ANY fact scale -- the
+    # fact-scale work is the edge build above, which stays distributed;
+    # the bounded contracted loop dispatches driver-local (the CC pattern)
+    ranks = weighted_pagerank(
+        edges, n_iter=3, damping=0.85, local_threshold=100_000
+    )
     return ranks.select(
         F.col("node").alias("n_name"), F.round("rank", 6).alias("pagerank")
     ).orderBy("n_name")
@@ -4753,7 +4759,13 @@ def q_nations_pagerank_converged(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("weight")
         )
     )
-    ranks = weighted_pagerank_converged(edges, eps=1e-9, max_iter=50)
+    # local_threshold (r14): the convergence loop runs over the NATION-
+    # contracted graph (<= 25x25 edges at any fact scale); the fact-scale
+    # edge build stays distributed, the bounded loop dispatches driver-
+    # local -- the job-count-heaviest row drops its per-round barriers
+    ranks = weighted_pagerank_converged(
+        edges, eps=1e-9, max_iter=50, local_threshold=100_000
+    )
     # node-sized global window (25 nations): the sum-to-one witness
     total = F.sum("rank").over(Window.partitionBy())
     return ranks.select(
@@ -5619,7 +5631,11 @@ def q_nations_communities(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("weight")
         )
     )
-    return label_propagation(edges, n_iter=3).select(
+    # local_threshold (r14): nation-contracted graph, bounded by
+    # construction -- same adaptive dispatch note as nations_pagerank
+    return label_propagation(
+        edges, n_iter=3, local_threshold=100_000
+    ).select(
         F.col("node").alias("n_name"), F.col("label").alias("community")
     )
 

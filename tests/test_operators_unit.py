@@ -3665,3 +3665,80 @@ def test_luhn_checksum_known_vectors(spark):
     }
     for s, want in rows:
         assert got[s] == want, (s, got[s], want)
+
+
+def test_graph_local_dispatch_equals_distributed_exactly(spark):
+    """The r14 adaptive driver-local dispatch (the connected-components
+    pattern applied to the rank-propagation family) must return the SAME
+    values as the distributed loop -- same 12/6-dp HALF_UP quantization,
+    same tie rules, same n_rounds -- on graphs with dangling nodes, ties,
+    and multi-component structure. Exact equality, not tolerance: the
+    quantized recurrence is partitioning-invariant by construction, so a
+    local twin is just one more evaluation order."""
+    from aws_glue_etl_sample_hist_spark.operators.graph import (
+        label_propagation,
+        weighted_pagerank,
+        weighted_pagerank_converged,
+    )
+
+    graphs = [
+        [("a", "b", 2.0), ("a", "c", 1.0), ("c", "b", 1.0), ("c", "d", 3.0)],
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("c", "s", 4.0)],
+        # tie-heavy: equal weights force the label/argmax tie rules
+        [("a", "b", 1.0), ("b", "a", 1.0), ("c", "b", 1.0), ("x", "y", 5.0)],
+    ]
+    for edge_list in graphs:
+        edges = spark.createDataFrame(edge_list, ["src", "dst", "weight"])
+        for op, kwargs in (
+            (weighted_pagerank, {"n_iter": 3}),
+            (weighted_pagerank_converged, {"eps": 1e-9}),
+            (weighted_pagerank_converged, {"eps": 1e-9, "check_every": 3}),
+            (label_propagation, {"n_iter": 3}),
+        ):
+            dist = sorted(
+                tuple(r) for r in op(edges, **kwargs).collect()
+            )
+            local = sorted(
+                tuple(r)
+                for r in op(edges, local_threshold=100, **kwargs).collect()
+            )
+            assert dist == local, (op.__name__, kwargs, dist, local)
+        # above the cap the distributed path must be taken and still agree
+        over = sorted(
+            tuple(r)
+            for r in weighted_pagerank(
+                edges, n_iter=3, local_threshold=2
+            ).collect()
+        )
+        base = sorted(
+            tuple(r) for r in weighted_pagerank(edges, n_iter=3).collect()
+        )
+        assert over == base
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up must be bit-faithful to Spark's round() on doubles,
+    including exact .5-at-scale boundaries where Python's banker's
+    rounding differs (0.0000000000025 -> HALF_UP 0.000000000003)."""
+    from pyspark.sql import functions as F
+
+    from aws_glue_etl_sample_hist_spark.operators.graph import _round_half_up
+
+    vals = [
+        0.0000000000025,
+        0.0000000000035,
+        1.0 / 3.0,
+        0.1 + 0.2,
+        0.04,
+        123.4567894999,
+        2.5e-12,
+        7.5e-7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    for scale in (6, 12):
+        got = [
+            r[0]
+            for r in df.select(F.round("x", scale)).collect()
+        ]
+        want = [_round_half_up(v, scale) for v in vals]
+        assert got == want, (scale, list(zip(vals, got, want)))
