@@ -816,7 +816,10 @@ def ab_sprt_monitor(
         F.sum("x").over(wc).alias("x_cum"),
     )
     spark = events.sparkSession
-    cfg = spark.createDataFrame(
+    from ._local import arrow_local_frame
+
+    cfg = arrow_local_frame(
+        spark,
         [(name, float(p0), float(p1)) for name, p0, p1 in configs],
         "test string, p0 double, p1 double",
     )

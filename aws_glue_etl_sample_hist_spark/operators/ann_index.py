@@ -201,9 +201,14 @@ def query_ivf_index(
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
         F.col("cell").isin(cells)
     )
-    # one row per (query, probed cell) -> the cell join stays an EQUI join
+    # one row per (query, probed cell) -> the cell join stays an EQUI join;
+    # Arrow local relation (guide §4): a list-backed broadcast side re-pays
+    # a Python-RDD evaluation per consumer action
+    from ._local import arrow_local_frame
+
     q_df = F.broadcast(
-        spark.createDataFrame(
+        arrow_local_frame(
+            spark,
             [
                 (qid, qv, cell)
                 for qid, qv in queries
@@ -255,13 +260,18 @@ def build_pq_index(
 
     m = m if m is not None else PQ_SUBSPACES
     n_codes = n_codes if n_codes is not None else PQ_CODES
+    from ._local import arrow_local_frame
+
     cb = pq_codebook(emb, m, n_codes, id_col=id_col, vec_col=vec_col)
     spark = emb.sparkSession
     cb_rows = [
         (s, c, cb[s][c]) for s in range(len(cb)) for c in range(len(cb[s]))
     ]
-    spark.createDataFrame(
-        cb_rows, "subspace int, code_id int, cv array<double>"
+    # Arrow local relation (guide §4): the list-backed form paid a Python-
+    # RDD evaluation on the write (measured 2.4 s cold / 0.5 s warm vs
+    # 0.5 / 0.2 through Arrow)
+    arrow_local_frame(
+        spark, cb_rows, "subspace int, code_id int, cv array<double>"
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "codebook"))
     (
         pq_codes(emb, m, n_codes, codebook=cb, id_col=id_col, vec_col=vec_col)
@@ -312,12 +322,13 @@ def query_pq_index(
     distance expression as the in-plan search (`similarity.adc_distance`),
     so persisted and in-plan results are bit-identical for the same
     codebook."""
+    from ._local import arrow_local_frame
     from .similarity import adc_distance
 
     cb = _load_codebook(spark, index_dir)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     q_df = F.broadcast(
-        spark.createDataFrame(queries, "query_id long, qv array<float>")
+        arrow_local_frame(spark, queries, "query_id long, qv array<float>")
     )
     joined = q_df.join(
         codes.select(F.col("vec_id").alias("neighbor_id"), "codes"),

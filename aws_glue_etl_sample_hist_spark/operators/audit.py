@@ -481,7 +481,10 @@ def conformal_threshold(
         ).alias("n_covered"),
     )
     spark = scored.sparkSession
-    meta = spark.createDataFrame(
+    from ._local import arrow_local_frame
+
+    meta = arrow_local_frame(
+        spark,
         [(int(n_cal), int(rank), float(q_hat), round(1.0 - q_hat, 6))],
         "n_cal long, rank long, q_hat double, threshold double",
     )

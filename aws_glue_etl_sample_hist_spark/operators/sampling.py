@@ -571,7 +571,10 @@ def dsir_quality(
     kl_rand = float(partial.klr) + corr_r
     n_selected = sel_ids.count()
     spark = pool.sparkSession
-    return spark.createDataFrame(
+    from ._local import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         [
             (
                 float(fraction),

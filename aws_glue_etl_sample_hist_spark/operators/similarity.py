@@ -195,7 +195,13 @@ def kmeans_centroids(
         data = data.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(data)
     spark = emb.sparkSession
-    return spark.createDataFrame(
+    # Arrow local relation (r14, guide §4): this frame is the broadcast
+    # side of every downstream assignment; list-backed it re-paid a
+    # Python-RDD evaluation per consumer action
+    from ._local import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cent_id long, cv array<double>",
     )
@@ -1426,7 +1432,10 @@ def kmeans_parallel_centroids(
         recompute-against-all form -- but per-round work is O(n * l)
         instead of O(n * r * l), and the dots run through the slow
         higher-order-function path r times fewer."""
-        cent = spark.createDataFrame(
+        from ._local import arrow_local_frame
+
+        cent = arrow_local_frame(
+            spark,
             [(i, c) for i, c in enumerate(new_cands)],
             "cent_id long, cv array<double>",
         )
@@ -1532,8 +1541,10 @@ def kmeans_parallel_centroids(
 
     d.unpersist()
     # weight candidates by the population of their nearest-candidate cell
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
+    from ._local import arrow_local_frame
+
+    cent = arrow_local_frame(
+        spark, [(i, c) for i, c in enumerate(cands)], "cent_id long, cv array<double>"
     )
     # nearest-candidate per point as min_by (same double d2, same
     # cent_id tie-break as the old row_number window) so the train x cands
@@ -1636,7 +1647,10 @@ def kmeans_parallel_centroids(
         if np.allclose(newC, C):
             break
         C = newC
-    return spark.createDataFrame(
+    from ._local import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cent_id long, cv array<double>",
     )
@@ -1883,7 +1897,10 @@ def kcenter_coreset(
         centers.append(best[1])
 
     spark = emb.sparkSession
-    rank_map = spark.createDataFrame(
+    from ._local import arrow_local_frame
+
+    rank_map = arrow_local_frame(
+        spark,
         [(cid, i + 1) for i, cid in enumerate(centers)],
         f"{id_col} long, center_rank long",
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from .catalog import load_table
+from .operators._local import arrow_local_frame as _arrow_local_frame
 from .functions.datetime_fns import day_name, presto_day_of_week, with_date_parts, ymd
 from .operators.joins import left_join_drop_keys
 
@@ -4209,7 +4210,7 @@ def q_corpus_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.bpe import train_bpe
 
     merges, _ = train_bpe(load_table(spark, sf, "documents"), n_merges=3)
-    return spark.createDataFrame(
+    return _arrow_local_frame(spark, 
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "round long, merge_left string, merge_right string, pair_count long",
     )
@@ -4967,7 +4968,7 @@ def q_embedding_pca_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
         for i in range(4)
     ]
-    return spark.createDataFrame(
+    return _arrow_local_frame(spark, 
         rows,
         "component long, n_vectors long, eig_matches boolean, component_aligned boolean",
     ).filter(F.lit(ni == nf))
@@ -5096,7 +5097,7 @@ def q_embedding_kmeans_parallel(spark: SparkSession, sf: str) -> DataFrame:
     norms = [float(np.linalg.norm(r["cv"])) for r in rows]
     cost_par = mean_cost(par)
     cost_seeded = mean_cost(seeded_centroids(emb, k))
-    return spark.createDataFrame(
+    return _arrow_local_frame(spark, 
         [
             (
                 len(rows),
@@ -5659,7 +5660,7 @@ def q_embedding_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
     trained_err = (
         pq_codes(emb, codebook=cb).agg(F.sum("recon_err")).collect()[0][0]
     )
-    return spark.createDataFrame(
+    return _arrow_local_frame(spark, 
         [
             (
                 len(cb),
@@ -5804,7 +5805,7 @@ def q_corpus_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("c")
     ).collect()[0]
-    return spark.createDataFrame(
+    return _arrow_local_frame(spark, 
         [
             (
                 bool(diag["n_chars"] <= len(vocab) <= 96),

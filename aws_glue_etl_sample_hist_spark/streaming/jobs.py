@@ -727,7 +727,10 @@ def stream_pca_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(4)
     ]
-    return spark.createDataFrame(
+    from ..operators._local import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         rows,
         "component long, n_vectors long, n_batches long,"
         " eig_matches boolean, component_aligned boolean",
@@ -845,7 +848,10 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
+    from ..operators._local import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         sorted(results),
         "split int, n_events long, psi double, drifted boolean",
     )
@@ -1125,8 +1131,10 @@ def stream_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    cand = spark.createDataFrame(
-        [(int(u),) for u in sorted(state)], "user_id long"
+    from ..operators._local import arrow_local_frame
+
+    cand = arrow_local_frame(
+        spark, [(int(u),) for u in sorted(state)], "user_id long"
     )
     total = ev.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     return (
@@ -1287,8 +1295,10 @@ def stream_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.expr("percentile(_nt, array(0.25, 0.5, 0.75, 0.9))").alias("_ex")
     )
-    qs = spark.createDataFrame(
-        [(1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9)], "idx int, q double"
+    from ..operators._local import arrow_local_frame
+
+    qs = arrow_local_frame(
+        spark, [(1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9)], "idx int, q double"
     )
     j = (
         qs.crossJoin(F.broadcast(tot))
