@@ -974,17 +974,24 @@ def incremental_minhash_dedup(
     )
     sh_new = sh_new_base.select(F.col("doc_id").alias("new_id"), "shingle")
     sh_old = sh_old_base.select(F.col("doc_id").alias("old_id"), "shingle")
-    # exact verify only touches candidate docs' shingle sets
-    sh_new_c = sh_new.join(cand.select("new_id").distinct(), "new_id", "left_semi")
-    sh_old_c = sh_old.join(cand.select("old_id").distinct(), "old_id", "left_semi")
+    # exact verify only touches candidate docs' shingle sets. No distinct
+    # on the semi-join keys (r14): a left-semi probe is set-semantic
+    # already, the distinct only added an exchange + aggregate per side.
+    sh_new_c = sh_new.join(cand.select("new_id"), "new_id", "left_semi")
+    sh_old_c = sh_old.join(cand.select("old_id"), "old_id", "left_semi")
     inter = (
         sh_new_c.join(sh_old_c, "shingle")
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .join(cand, ["new_id", "old_id"])  # candidate pairs only
     )
-    size_new = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_new"))
-    size_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("size_old"))
+    # sizes from the candidate-RESTRICTED frames (r14): the semi-join keeps
+    # every shingle row of a kept doc, so per-doc counts are identical --
+    # but the aggregate is candidate-bounded instead of a full-corpus pass
+    # (the standing side of a 100 TB index would otherwise re-aggregate
+    # per batch)
+    size_new = sh_new_c.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_new"))
+    size_old = sh_old_c.groupBy("old_id").agg(F.count(F.lit(1)).alias("size_old"))
     verified = (
         inter.join(size_new, "new_id")
         .join(size_old, "old_id")
