@@ -52,7 +52,11 @@ def _distinct_shingles(
         # pass twice (measured ~2x the whole shingle-build cost at sf0.1,
         # r12) -- persist once, released with the operator caches
         sh = tracked_persist(sh)
-        df_counts = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
+        # plain count == count_distinct here BY CONSTRUCTION: the explode
+        # is over array_distinct, so (doc_id, shingle) rows are unique per
+        # doc -- the distinct variant paid a second expand/merge aggregate
+        # phase for nothing (r14, measured 0.74 -> 0.58 s on this agg)
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
             sh.join(F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
                     "shingle", "inner")
