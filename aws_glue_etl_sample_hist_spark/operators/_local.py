@@ -33,7 +33,9 @@ def arrow_local_frame(
     import pandas as pd
 
     if isinstance(schema, str):
-        schema = T._parse_datatype_string(schema)
+        # public DDL parser (ADVICE r14) -- the private
+        # T._parse_datatype_string can move across pyspark upgrades
+        schema = T.StructType.fromDDL(schema)
     pdf = pd.DataFrame(rows, columns=schema.fieldNames())
     df = spark.createDataFrame(pdf, schema)
     return df.coalesce(1) if single_partition else df

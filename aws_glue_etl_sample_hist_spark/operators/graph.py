@@ -27,7 +27,15 @@ def _round_half_up(x: float, scale: int) -> float:
     value Python's ``repr`` produces -- both are shortest-roundtrip) and
     ``setScale(scale, HALF_UP)``. Python's builtin ``round`` is banker's
     rounding and differs on exact .5 boundaries, so the local graph twins
-    use this instead."""
+    use this instead.
+
+    Runtime assumption (ADVICE r14): the repr-matches-Java claim needs
+    ``Double.toString`` to emit SHORTEST-roundtrip digits, true on
+    JDK >= 19 (JDK-4511638) and therefore on any Spark 4 runtime. A
+    backport to an older JVM (e.g. the Glue 3.0 / Spark 3.1 reference
+    target) can see Java emit non-shortest digit strings, moving HALF_UP
+    boundaries -- re-pin the grid test in test_operators_unit.py against
+    that JVM before trusting the exact-equality contract there."""
     return float(
         Decimal(repr(x)).quantize(Decimal(f"1e-{scale}"), ROUND_HALF_UP)
     )
@@ -41,13 +49,25 @@ def _fetch_edges_local(
     either hands back the whole (already persisted) edge frame -- driver
     memory bounded by construction, Arrow path not Row objects -- or
     proves it is too big (returns None). Null endpoints are a broken
-    graph upstream; raise rather than silently mis-ranking."""
+    graph upstream; raise rather than silently mis-ranking. Weights get
+    the same guard (ADVICE r14): a null weight becomes NaN through
+    pandas and would silently poison every local rank, where the
+    distributed path's F.sum simply drops the null contribution -- a
+    silent local-vs-distributed divergence on exactly the broken input
+    this helper exists to refuse."""
+    import numpy as np
+
     pdf = edges.select(*cols).limit(cap + 1).toPandas()
     if len(pdf) > cap:
         return None
     if pdf[cols[0]].isna().any() or pdf[cols[1]].isna().any():
         raise ValueError(
             "graph local dispatch: null src/dst id in the edge frame"
+        )
+    w = pdf[cols[2]].astype("float64", copy=False)
+    if not np.isfinite(w.to_numpy()).all():
+        raise ValueError(
+            "graph local dispatch: null/NaN/inf weight in the edge frame"
         )
     return list(
         zip(pdf[cols[0]].tolist(), pdf[cols[1]].tolist(), pdf[cols[2]].tolist())
