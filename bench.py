@@ -322,6 +322,7 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    timings_trials: dict[str, list[float]] = {}
     # per-row Spark JOB COUNTS (VERDICT r13 item 1): jobs-per-trial from
     # the DAGScheduler counter delta across the row's trials. Rows whose
     # wall is mostly jobs x per-job scheduling latency (streaming drains,
@@ -388,6 +389,18 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
+            # release BETWEEN trials, not after the row (VERDICT r14
+            # item 2): Spark's CacheManager substitutes any still-
+            # persisted subtree from trial 1 into trials 2-3's plans
+            # (the mechanism behind the r14 test_plans order-dependence
+            # fix), so rows with tracked persists were reading partially
+            # cached medians. Releasing the tracked operator caches AND
+            # clearing the catalog cache before the next trial makes
+            # every trial a cold execution -- the median now measures
+            # per-execution cost. The release sits OUTSIDE the timed
+            # window on both sides.
+            release_operator_caches()
+            spark.catalog.clearCache()
         j1 = _next_job_id(spark)
         if j0 is not None and j1 is not None:
             jobs[name] = round((j1 - j0) / n_trials, 1)
@@ -396,11 +409,11 @@ def main() -> None:
         # MEDIAN inflates while its MIN matches the local run is transient
         # machine load, not a code regression (bench_result.json only)
         timings_min[name] = round(min(trials), 3)
+        # per-trial walls (bench_result.json only): with cold-per-trial
+        # semantics these expose residual warm effects (JVM JIT, page
+        # cache) without guessing
+        timings_trials[name] = [round(t, 3) for t in trials]
         query_pos[name] = qi
-        # banded operators tracked-persist intermediates; release per query
-        # so 48 queries x 3 trials don't accumulate cache blocks and skew
-        # later timings with eviction pressure
-        release_operator_caches()
         if (qi + 1) % interleave == 0:
             s = _sentinel_trial(spark, sf_dir)
             sentinel_track.append((qi, s))
@@ -438,6 +451,7 @@ def main() -> None:
             }
         query_pos[name] = pipe_pos
         release_operator_caches()
+        spark.catalog.clearCache()
         s = _sentinel_trial(spark, sf_dir)
         sentinel_track.append((pipe_pos, s))
         track_singles.append(s)
@@ -522,6 +536,9 @@ def main() -> None:
                     spark.read.parquet(os.path.join(tmp, "bpairs")),
                 ).write.format("noop").mode("overwrite").save()
                 trials.append(time.perf_counter() - t0)
+                # same cold-per-trial rule as the headline loop
+                release_operator_caches()
+                spark.catalog.clearCache()
             # report the median like the headline rows; _pipeline_row
             # re-times the whole fn, so overwrite with the median after
             return {"merge_median_of_trials": statistics.median(trials)}
@@ -587,6 +604,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": timings_min,
+        "queries_trials": timings_trials,
         "sentinel_sec": sentinel_sec,
         "job_overhead_sec": job_overhead_sec,
         # [ratio_to_nearest_interleaved_sentinel, that_sentinel_sec] per
@@ -667,6 +685,7 @@ def main() -> None:
     # is what makes a mid-run load window attributable from the driver's
     # record alone
     del line["queries_min"]
+    del line["queries_trials"]
     del line["ratios_to_nearest_sentinel"]
     del line["pipeline_stages"]
     # compact gate verdict for the driver record; full checks live in
@@ -675,11 +694,17 @@ def main() -> None:
     kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
     while True:
         line["queries"] = kept
-        # job counts ride the driver line for exactly the kept (slowest)
-        # rows -- the overhead-bound suspects are always among them, and
-        # without jobs ON the graded artifact the normalization can't be
-        # applied across driver rounds (VERDICT r13 item 1)
-        line["jobs"] = {k: jobs[k] for k in kept if k in jobs}
+        # job counts ride the driver line for the kept rows that are slow
+        # enough for job-count normalization to matter (>= 2 s), as INTS
+        # (VERDICT r14 item 2: the full-float jobs dict ate the line
+        # budget and halved the kept rows to 23; sub-2 s rows are at the
+        # per-job floor anyway). Full float jobs for every row stay in
+        # bench_result.json (VERDICT r13 item 1).
+        line["jobs"] = {
+            k: int(round(jobs[k]))
+            for k in kept
+            if k in jobs and timings[k] >= 2.0
+        }
         line["queries_omitted"] = len(timings) - len(kept)
         s = json.dumps(line, separators=(",", ":"))
         if len(s) <= 1800 or not kept:
