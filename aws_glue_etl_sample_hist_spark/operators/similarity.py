@@ -1366,6 +1366,138 @@ def hard_negatives(
 # ---------------------------------------------------------------- k-means||
 
 
+def _kmeans_wkpp_lloyd_frame(
+    spark, cands: list, wts_arr, k: int, lloyd_iters: int
+) -> DataFrame:
+    """Shared driver-side reduction of the k-means|| candidate sketch:
+    weighted k-means++ seeding + Lloyd on numpy, returned as the
+    (cent_id, cv) Arrow local frame. Split out of kmeans_parallel_centroids
+    (r15) so the bounded local dispatch and the distributed path run the
+    IDENTICAL reduction -- they may only differ in how the sketch and its
+    weights were computed."""
+    import numpy as np
+
+    from ._local import arrow_local_frame
+
+    X = np.asarray(cands, dtype=np.float64)
+    wts = np.asarray(wts_arr, dtype=np.float64)
+
+    # driver-side weighted k-means++ then Lloyd on the tiny sketch.
+    # Seeding keeps a RUNNING min-distance folded with np.minimum against
+    # only the newest center -- bit-identical to re-minimizing over all
+    # centers (each per-center d2 array is computed the same way; min is
+    # exact) but O(k * |X| * d) instead of the old O(k^2 * |X| * d) loop
+    # that dominated the sf1 trained-row wall (~19G flops at k=313).
+    rng = np.random.default_rng(0)
+    first_c = X[int(np.argmax(wts))]
+    centers = [first_c]
+    d2min = np.sum((X - first_c) ** 2, axis=1)
+    for _ in range(1, min(k, len(X))):
+        p = wts * d2min
+        if p.sum() <= 0:
+            break
+        nxt = X[rng.choice(len(X), p=p / p.sum())]
+        centers.append(nxt)
+        d2min = np.minimum(d2min, np.sum((X - nxt) ** 2, axis=1))
+    C = np.asarray(centers)
+
+    def _assign_chunked(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # same per-element ((x - c)^2).sum arithmetic as the one-shot
+        # broadcast (bit-identical argmins), chunked so the temporary is
+        # chunk x k x d instead of |X| x k x d (~500 MB at the sf1 sketch
+        # size -- allocator + cache churn, not compute, was the cost)
+        step = max(1, 2_000_000 // max(1, C.shape[0] * C.shape[1]))
+        out = np.empty(len(X), dtype=np.int64)
+        for s in range(0, len(X), step):
+            e = min(s + step, len(X))
+            out[s:e] = np.argmin(
+                ((X[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+        return out
+
+    for _ in range(lloyd_iters):
+        a = _assign_chunked(X, C)
+        newC = np.array(
+            [
+                np.average(X[a == j], axis=0, weights=wts[a == j])
+                if wts[a == j].sum() > 0
+                else C[j]
+                for j in range(len(C))
+            ]
+        )
+        # spherical: renormalize means back onto the unit sphere (cosine
+        # assignment downstream; an interior mean's direction is the center)
+        newC = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return arrow_local_frame(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cent_id long, cv array<double>",
+    )
+
+
+def _kmeans_parallel_local_frame(
+    spark, pdf, k: int, *, rounds: int, l: int, lloyd_iters: int, salt: str
+) -> DataFrame:
+    """Driver-local twin of the k-means|| init for the bounded dispatch
+    (guide §5, the graph/CC local-dispatch pattern): the ENTIRE sketch
+    pass -- per-round min-distance fold, md5 sampling draws, candidate
+    weights -- runs in numpy over the ONE bounded Arrow fetch the caller
+    already paid, replacing ~4 driver-coordinated Spark jobs per round
+    (the r14 trained-SemDeDup row ran 47 jobs for a 2000-row training
+    frame; its 8-vs-32-core scaling read 0.84 because the wall was pure
+    job floor). The sampling draws replicate the engine's md5 expression
+    EXACTLY (md5(salt:id:round) first 8 hex digits % 1e6 / 1e6), so the
+    draw *rule* is the same; d2 values come from one whole-matrix numpy
+    matmul instead of per-Arrow-batch matmuls, which selects a DIFFERENT
+    equally-valid init than the distributed vectorized path -- exactly
+    the freedom vectorized mode already declares (layout-dependent d2),
+    which is why only vectorized callers may dispatch here."""
+    import hashlib
+
+    import numpy as np
+
+    ids = pdf["_id"].to_numpy()
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_nv"]])
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    # first candidate: the min-id vector, like the distributed
+    # normed.orderBy("_id").first()
+    cands = [V[0].copy()]
+    d2 = 2.0 - 2.0 * (V @ np.asarray([cands[0]]).T).max(axis=1)
+    for r in range(rounds):
+        phi = float(d2.sum())
+        if phi <= 0:
+            break
+        u = np.asarray(
+            [
+                (
+                    int(
+                        hashlib.md5(
+                            f"{salt}:{int(i)}:{r}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 1_000_000
+                )
+                / 1_000_000.0
+                for i in ids
+            ]
+        )
+        new = V[u < (float(l) * d2 / phi)]
+        cands.extend(row.copy() for row in new)
+        if len(new) and r < rounds - 1:
+            d2 = np.minimum(d2, 2.0 - 2.0 * (V @ new.T).max(axis=1))
+    Call = np.asarray(cands)
+    best = np.argmin(2.0 - 2.0 * (V @ Call.T), axis=1)
+    wts = np.bincount(best, minlength=len(cands))
+    return _kmeans_wkpp_lloyd_frame(spark, cands, wts, k, lloyd_iters)
+
+
 def kmeans_parallel_centroids(
     emb: DataFrame,
     k: int,
@@ -1374,6 +1506,7 @@ def kmeans_parallel_centroids(
     oversample: int | None = None,
     lloyd_iters: int = 10,
     vectorized: bool = False,
+    local_threshold: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "kmpar",
@@ -1405,21 +1538,38 @@ def kmeans_parallel_centroids(
     (md5) but the ulp-different d2 values select a DIFFERENT valid init,
     so only quantizer-agnostic callers (witness-oracle rows) may opt in;
     the default stays fold-exact for the `embedding_kmeans_parallel`
-    contract row."""
+    contract row.
+
+    ``local_threshold`` (r15, guide §5 -- the graph/CC bounded-dispatch
+    pattern): vectorized callers train on a BOUNDED sample by contract
+    (the trained-SemDeDup row caps its training frame at 65 536 rows at
+    ANY corpus scale), so when the training frame fits under the cap --
+    ONE ``limit(cap+1).toPandas()`` probe-and-fetch, ~8 B x d per row
+    through Arrow -- the whole sketch pass runs driver-local
+    (_kmeans_parallel_local_frame) instead of ~4 Spark jobs per round
+    over a sample-sized frame. Over the cap, or in fold-exact mode
+    (whose oracle replays the JVM fold arithmetic the numpy twin cannot
+    reproduce bit-for-bit), the distributed path runs unchanged."""
     import numpy as np
 
     l = oversample or 2 * k
-    normed = tracked_persist(
-        emb.select(
-            F.col(id_col).alias("_id"),
-            F.transform(
-                F.col(vec_col),
-                lambda x: x.cast("double")
-                / F.greatest(norm(F.col(vec_col)), F.lit(1e-12)),
-            ).alias("_nv"),
-        )
-    )
     spark = emb.sparkSession
+    normed_plan = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.greatest(norm(F.col(vec_col)), F.lit(1e-12)),
+        ).alias("_nv"),
+    )
+    if vectorized and local_threshold is not None:
+        pdf = normed_plan.limit(local_threshold + 1).toPandas()
+        if len(pdf) <= local_threshold:
+            return _kmeans_parallel_local_frame(
+                spark, pdf, k, rounds=rounds, l=l,
+                lloyd_iters=lloyd_iters, salt=salt,
+            )
+    normed = tracked_persist(normed_plan)
 
     def dist2_update_exact(
         prev: DataFrame | None, new_cands: list[list[float]]
@@ -1593,67 +1743,8 @@ def kmeans_parallel_centroids(
             .collect()
         )
     wmap = {r["cent_id"]: r["w"] for r in weights_rows}
-    X = np.asarray(cands, dtype=np.float64)
-    wts = np.asarray([wmap.get(i, 0) for i in range(len(cands))], dtype=np.float64)
-
-    # driver-side weighted k-means++ then Lloyd on the tiny sketch.
-    # Seeding keeps a RUNNING min-distance folded with np.minimum against
-    # only the newest center -- bit-identical to re-minimizing over all
-    # centers (each per-center d2 array is computed the same way; min is
-    # exact) but O(k * |X| * d) instead of the old O(k^2 * |X| * d) loop
-    # that dominated the sf1 trained-row wall (~19G flops at k=313).
-    rng = np.random.default_rng(0)
-    first_c = X[int(np.argmax(wts))]
-    centers = [first_c]
-    d2min = np.sum((X - first_c) ** 2, axis=1)
-    for _ in range(1, min(k, len(X))):
-        p = wts * d2min
-        if p.sum() <= 0:
-            break
-        nxt = X[rng.choice(len(X), p=p / p.sum())]
-        centers.append(nxt)
-        d2min = np.minimum(d2min, np.sum((X - nxt) ** 2, axis=1))
-    C = np.asarray(centers)
-
-    def _assign_chunked(X: np.ndarray, C: np.ndarray) -> np.ndarray:
-        # same per-element ((x - c)^2).sum arithmetic as the one-shot
-        # broadcast (bit-identical argmins), chunked so the temporary is
-        # chunk x k x d instead of |X| x k x d (~500 MB at the sf1 sketch
-        # size -- allocator + cache churn, not compute, was the cost)
-        step = max(1, 2_000_000 // max(1, C.shape[0] * C.shape[1]))
-        out = np.empty(len(X), dtype=np.int64)
-        for s in range(0, len(X), step):
-            e = min(s + step, len(X))
-            out[s:e] = np.argmin(
-                ((X[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
-            )
-        return out
-
-    for _ in range(lloyd_iters):
-        a = _assign_chunked(X, C)
-        newC = np.array(
-            [
-                np.average(X[a == j], axis=0, weights=wts[a == j])
-                if wts[a == j].sum() > 0
-                else C[j]
-                for j in range(len(C))
-            ]
-        )
-        # spherical: renormalize means back onto the unit sphere (cosine
-        # assignment downstream; an interior mean's direction is the center)
-        newC = newC / np.maximum(
-            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12
-        )
-        if np.allclose(newC, C):
-            break
-        C = newC
-    from ._local import arrow_local_frame
-
-    return arrow_local_frame(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
-        "cent_id long, cv array<double>",
-    )
+    wts = [wmap.get(i, 0) for i in range(len(cands))]
+    return _kmeans_wkpp_lloyd_frame(spark, cands, wts, k, lloyd_iters)
 
 
 # ------------------------------------------------------------ ANN recall@k

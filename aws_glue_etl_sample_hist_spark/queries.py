@@ -1690,8 +1690,15 @@ def q_embedding_semantic_dedup_trained(spark: SparkSession, sf: str) -> DataFram
     # vectorized trainer: the witness contract is quantizer-agnostic, so
     # this row may take the Arrow/BLAS distance passes (~10x on the
     # trainer, which dominated the sf1 wall); the embedding_kmeans_parallel
-    # contract row keeps the fold-exact default
-    cents = kmeans_parallel_centroids(train, k, vectorized=True)
+    # contract row keeps the fold-exact default. local_threshold (r15,
+    # guide §5): the training frame is <= 65 536 rows BY CONSTRUCTION at
+    # any corpus scale (n_train cap above), so the bounded driver-local
+    # sketch replaces ~4 Spark jobs per k-means|| round; 131 072 = 2x the
+    # cap (hash_sample is binomial around its rate) with the distributed
+    # path as the over-cap fallback.
+    cents = kmeans_parallel_centroids(
+        train, k, vectorized=True, local_threshold=131_072
+    )
     if k > 256:
         import math
 
