@@ -38,13 +38,57 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _distinct_shingles(
-    docs: DataFrame, n: int, text_col: str, id_col: str, max_df: int | None
+def doc_shingles(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct per doc, with high-DF shingles dropped."""
-    sh = docs.select(
+    """RAW per-doc distinct (doc_id, shingle) pairs -- the pre-max_df
+    shingle index, exposed as a tier ARTIFACT contract (r15, guide §6 --
+    VERDICT r14 item 3): a pipeline stage may write this frame to parquet
+    once and later stages feed it back through the ``shingles=`` parameter
+    of ngram_jaccard_pairs / dedup_clusters / cluster_best_keeper, so the
+    corpus is tokenized+shingled ONCE per pipeline instead of once per
+    consuming stage. Values are byte-identical to the inline path by
+    construction (same expressions, materialized through exact
+    string/long parquet columns)."""
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(word_shingles(tokens(F.col(text_col)), n))).alias("shingle"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        ).alias("shingle"),
+    )
+
+
+def _distinct_shingles(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_df: int | None,
+    *,
+    precomputed: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc, with high-DF shingles dropped.
+
+    PRECONDITION (ADVICE r14): ``docs`` must carry one row per doc_id.
+    The max_df document-frequency count below is a plain ``count`` --
+    equal to count_distinct(doc_id) only because the explode over
+    array_distinct emits each (doc_id, shingle) pair at most once PER
+    INPUT ROW; a caller passing duplicate doc_id rows (e.g. an un-deduped
+    union) would silently double-count df and shift the max_df cut.
+    Every current caller passes a per-doc frame; keep it that way.
+
+    ``precomputed`` (r15): a `doc_shingles`-contract frame -- RAW per-doc
+    distinct (doc_id, shingle) pairs, pre-max_df -- typically read back
+    from a tier artifact; the same uniqueness precondition applies (one
+    row per (doc, shingle)), or the df counts silently shift."""
+    sh = (
+        precomputed
+        if precomputed is not None
+        else doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
     )
     if max_df is not None:
         # the exploded base feeds BOTH the df-count aggregate and the
@@ -72,14 +116,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     Inverted-index plan: distinct (doc, shingle) -> self-join on shingle
     (candidate generation; only docs sharing >= 1 shingle ever pair) ->
     intersection counts -> join per-doc shingle counts -> Jaccard filter.
+
+    ``shingles`` (r15): optional precomputed `doc_shingles`-contract frame
+    (RAW pre-max_df per-doc distinct pairs, e.g. a tier artifact read back
+    from parquet) -- skips the tokenize+shingle pass; max_df filtering and
+    everything downstream run unchanged.
     """
-    sh = tracked_persist(_distinct_shingles(docs, n, text_col, id_col, max_df))
+    sh = tracked_persist(
+        _distinct_shingles(
+            docs, n, text_col, id_col, max_df, precomputed=shingles
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("shingle").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -777,6 +831,7 @@ def dedup_clusters(
     max_df: int | None = None,
     algorithm: str = "minlabel",
     local_threshold: int | None = 100_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup resolution: n-gram Jaccard pairs -> connected components
     -> keeper flag (cluster representative = min doc_id). The output one
@@ -795,6 +850,9 @@ def dedup_clusters(
     path MUST set it, or one corpus-wide shingle turns candidate generation
     into the ~n^2/8 pair bomb the module docstring warns about.
 
+    ``shingles`` (r15) forwards a precomputed `doc_shingles`-contract frame
+    to the candidate generation (cross-stage tier-artifact reuse).
+
     ``algorithm`` picks the CC backend: ``minlabel`` (default -- O(diameter)
     rounds, right for the shallow clique-ish graphs near-dup thresholds
     produce) or ``star`` (large-star/small-star, O(log diameter) -- pick it
@@ -804,7 +862,8 @@ def dedup_clusters(
     if algorithm not in ("minlabel", "star"):
         raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
     pairs = ngram_jaccard_pairs(
-        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col, max_df=max_df
+        docs, n=n, threshold=threshold, text_col=text_col, id_col=id_col,
+        max_df=max_df, shingles=shingles,
     )
     if algorithm == "minlabel":
         cc = connected_components(
@@ -1520,6 +1579,8 @@ def cluster_best_keeper(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster CANONICALIZATION: one row per near-dup cluster naming the
     member to keep -- the longest document, ties to the smallest id (the
@@ -1540,6 +1601,14 @@ def cluster_best_keeper(
     id-type agnostic by construction (the negation sits on the token
     count, never the id).
 
+    ``shingles`` / ``token_counts`` (r15, guide §6 -- cross-stage artifact
+    reuse): ``shingles`` forwards a `doc_shingles`-contract frame to the
+    clustering (skips re-tokenizing the corpus); ``token_counts`` is an
+    (id_col, n_tokens) frame whose values must equal
+    ``token_count(text_col)`` -- e.g. the quality-stats tier's n_tokens
+    column, which is the SAME F.size(tokens(...)) expression -- so the
+    keeper choice is unchanged by construction.
+
     Returns (cluster_id, n_members, keeper_doc_id, keeper_n_tokens,
     n_dropped)."""
     from .text import token_count
@@ -1551,9 +1620,14 @@ def cluster_best_keeper(
         text_col=text_col,
         id_col=id_col,
         max_df=max_df,
+        shingles=shingles,
     ).select(id_col, "cluster_id")
-    toks = docs.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    toks = (
+        token_counts.select(F.col(id_col), F.col("n_tokens"))
+        if token_counts is not None
+        else docs.select(
+            F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+        )
     )
     return (
         labels.join(toks, id_col)

@@ -6,6 +6,8 @@ engine's corpus operators into the same materialized-tier architecture:
 
     C0 (parallel)  doc_stats   per-doc quality statistics, partitioned by lang
                    benchmark   the held-out eval docs (the decontamination list)
+                   shingles    raw (doc_id, shingle) index -- C1's clustering
+                               input, tokenized ONCE here (r15, guide §6)
     C1             cleaned     quality filter AND near-dup cluster keepers,
                                TEXT carried forward (the tier later stages scan)
     C2             released    C1 minus benchmark-contaminated docs (5-gram scrub)
@@ -70,23 +72,41 @@ def run_curation(
             p(out_dir, "c0", "benchmark"),
         )
 
+    def c0_shingles() -> None:
+        # shingle index as a C0 SIDE ARTIFACT (r15, guide §6 -- VERDICT
+        # r14 item 3): the raw pre-max_df (doc_id, shingle) pairs, written
+        # once so C1's clustering never re-tokenizes the corpus. An
+        # artifact, not a cache: C1 reads it from parquet like every other
+        # tier input, preserving per-tier restartability; values are
+        # byte-identical to the inline path (exact string/long columns).
+        from ..operators.dedup import doc_shingles
+
+        write_partitioned(
+            doc_shingles(docs, n=3), p(out_dir, "c0", "shingle_index")
+        )
+
     def c1_cleaned() -> None:
         from ..operators.dedup import cluster_best_keeper
 
         stats = spark.read.parquet(p(out_dir, "c0", "doc_stats")).select(
-            "doc_id", "quality_score"
+            "doc_id", "quality_score", "n_tokens"
         )
+        shingle_index = spark.read.parquet(p(out_dir, "c0", "shingle_index"))
         # RefinedWeb-style canonicalization (r9 VERDICT item 7): each
         # near-dup cluster keeps its LONGEST member (ties to smallest id)
         # -- a content-aware keeper, not dedup_clusters' min-id accident.
         # Same clustering config (n=3, threshold 0.2, max_df=100); pinned
-        # by the registered `corpus_release` row's exact oracle.
+        # by the registered `corpus_release` row's exact oracle. The
+        # shingle index and the keeper's token counts come from the C0
+        # tier artifacts (r15): same expressions, tokenized once in C0.
         keepers = cluster_best_keeper(
-            docs, n=3, threshold=0.2, max_df=100
+            docs, n=3, threshold=0.2, max_df=100,
+            shingles=shingle_index,
+            token_counts=stats.select("doc_id", "n_tokens"),
         ).select(F.col("keeper_doc_id").alias("doc_id"), "cluster_id")
         cleaned = (
             docs.join(keepers, "doc_id")
-            .join(stats, "doc_id")
+            .join(stats.select("doc_id", "quality_score"), "doc_id")
             .filter(F.col("quality_score") >= quality_min)
             .filter(F.col("doc_id") >= BENCH_MAX_DOC_ID)  # eval set never trains
         )
@@ -128,7 +148,12 @@ def run_curation(
 
     pipe = (
         Pipeline()
-        .add_stage("c0", doc_stats=c0_doc_stats, benchmark=c0_benchmark)
+        .add_stage(
+            "c0",
+            doc_stats=c0_doc_stats,
+            benchmark=c0_benchmark,
+            shingles=c0_shingles,
+        )
         .add_stage("c1", cleaned=c1_cleaned)
         .add_stage("c2", released=c2_released)
         .add_stage("c3", training=c3_training, manifest=c3_manifest)
