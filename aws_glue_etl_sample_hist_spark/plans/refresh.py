@@ -137,7 +137,12 @@ def run_corpus_refresh(
         .add_stage("r1", dedup=r1_dedup)
         .add_stage("r2", append=r2_append)
         .add_stage("r3", publish_v2=r3_publish)
-        .add_stage("r4", scratch_twin=r4_scratch_twin)
+        # the task key carries the audit_only stamp (VERDICT r14 item 8):
+        # R4 is the by-design from-scratch audit truth side, NOT a
+        # production cost -- consumers of the per-stage wall split
+        # (bench_result.json pipeline_stages, PERF.md) grade the
+        # production wall as r0-r3 and report r4 separately
+        .add_stage("r4", scratch_twin_audit_only=r4_scratch_twin)
         .run()
     )
 
