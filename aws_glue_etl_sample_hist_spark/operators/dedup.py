@@ -44,22 +44,38 @@ def doc_shingles(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
-    """RAW per-doc distinct (doc_id, shingle) pairs -- the pre-max_df
-    shingle index, exposed as a tier ARTIFACT contract (r15, guide §6 --
-    VERDICT r14 item 3): a pipeline stage may write this frame to parquet
-    once and later stages feed it back through the ``shingles=`` parameter
-    of ngram_jaccard_pairs / dedup_clusters / cluster_best_keeper, so the
+    """Per-doc distinct (doc_id, shingle) pairs -- the shingle index,
+    exposed as a tier ARTIFACT contract (r15, guide §6 -- VERDICT r14
+    item 3): a pipeline stage may write this frame to parquet once and
+    later stages feed it back through the ``shingles=`` parameter of
+    ngram_jaccard_pairs / dedup_clusters / cluster_best_keeper, so the
     corpus is tokenized+shingled ONCE per pipeline instead of once per
     consuming stage. Values are byte-identical to the inline path by
     construction (same expressions, materialized through exact
-    string/long parquet columns)."""
-    return docs.select(
+    string/long parquet columns).
+
+    ``max_df`` bakes the document-frequency cut INTO the artifact (the
+    producing stage then owns the df aggregate too, in parallel with its
+    sibling tasks). The cut is IDEMPOTENT -- dropping every row of an
+    over-df shingle leaves the surviving shingles' df unchanged, so a
+    consumer may pass the artifact with EITHER max_df=None (skip the
+    re-count; the composed result is identical) or the original max_df
+    (recomputes the same df values); any OTHER max_df would compose a
+    different query. Consumers of a filtered artifact must use the same
+    n/tokenizer the producer pinned -- the plan wiring states both."""
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
         ).alias("shingle"),
     )
+    if max_df is not None:
+        sh = _distinct_shingles(
+            docs, n, text_col, id_col, max_df, precomputed=sh
+        )
+    return sh
 
 
 def _distinct_shingles(

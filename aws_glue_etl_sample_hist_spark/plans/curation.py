@@ -74,15 +74,20 @@ def run_curation(
 
     def c0_shingles() -> None:
         # shingle index as a C0 SIDE ARTIFACT (r15, guide §6 -- VERDICT
-        # r14 item 3): the raw pre-max_df (doc_id, shingle) pairs, written
-        # once so C1's clustering never re-tokenizes the corpus. An
-        # artifact, not a cache: C1 reads it from parquet like every other
-        # tier input, preserving per-tier restartability; values are
-        # byte-identical to the inline path (exact string/long columns).
+        # r14 item 3): the (doc_id, shingle) pairs WITH the clustering
+        # config's max_df=100 cut baked in (n=3 -- C1's pinned config),
+        # written once so C1's clustering neither re-tokenizes the corpus
+        # nor re-runs the df aggregate; the df work runs here, in parallel
+        # with doc_stats. An artifact, not a cache: C1 reads it from
+        # parquet like every other tier input, preserving per-tier
+        # restartability; values are byte-identical to the inline path
+        # (exact string/long columns; the max_df cut is idempotent, see
+        # doc_shingles).
         from ..operators.dedup import doc_shingles
 
         write_partitioned(
-            doc_shingles(docs, n=3), p(out_dir, "c0", "shingle_index")
+            doc_shingles(docs, n=3, max_df=100),
+            p(out_dir, "c0", "shingle_index"),
         )
 
     def c1_cleaned() -> None:
@@ -97,10 +102,15 @@ def run_curation(
         # -- a content-aware keeper, not dedup_clusters' min-id accident.
         # Same clustering config (n=3, threshold 0.2, max_df=100); pinned
         # by the registered `corpus_release` row's exact oracle. The
-        # shingle index and the keeper's token counts come from the C0
-        # tier artifacts (r15): same expressions, tokenized once in C0.
+        # shingle index (n=3, max_df=100 ALREADY applied by C0 -- hence
+        # max_df=None here: re-counting df on the filtered index is the
+        # identity, see doc_shingles) and the keeper's token counts come
+        # from the C0 tier artifacts (r15): same expressions, tokenized
+        # once in C0; the composed keeper set is identical by
+        # construction and re-checked end-to-end by test_curation's
+        # materialized-vs-in-memory equality.
         keepers = cluster_best_keeper(
-            docs, n=3, threshold=0.2, max_df=100,
+            docs, n=3, threshold=0.2, max_df=None,
             shingles=shingle_index,
             token_counts=stats.select("doc_id", "n_tokens"),
         ).select(F.col("keeper_doc_id").alias("doc_id"), "cluster_id")

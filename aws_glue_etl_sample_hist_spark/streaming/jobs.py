@@ -860,6 +860,7 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _local_cluster_merge(
     spark: SparkSession,
     cluster_ids: set,
+    chase: dict,
     old_labels: DataFrame | None,
     pairs: DataFrame,
     arr: DataFrame,
@@ -867,55 +868,34 @@ def _local_cluster_merge(
     cap: int = 100_000,
 ):
     """Bounded driver-local twin of ``connected_components_incremental``
-    for the streaming merge (r15, guide §5): with the distinct standing
-    cluster ids already ON the driver (maintained by the previous merge),
-    the contracted-graph fixpoint needs exactly two bounded fetches --
-    the label-mapped candidate pairs and the batch's doc ids (off the
-    persisted shingle-array frame) -- plus the same ``_cc_local_rows``
-    union-find the distributed merge's local dispatch runs. The composed
-    output frame is value-identical to the distributed merge's
-    old_final-union-new_final by the same contraction argument (old
-    endpoints map through their cluster label, every contracted node is
-    a seed, min-seed == min-label fixpoint), and the registered row's
-    from-scratch-recompute oracle re-checks the equality end to end.
+    for the streaming merge (r15, guide §5/§2.3): the distinct standing
+    cluster ids and the stale-label chase map already live ON the driver
+    (maintained by the previous merge), and every fetched pair carries
+    its endpoints' merge sources (the batch doc id, or the index doc's
+    written label) -- so the contracted-graph fixpoint needs exactly two
+    bounded fetches (the pairs, and the batch's doc ids off the persisted
+    shingle-array frame) and ZERO joins against the standing labels for
+    edge mapping; the labels parquet is read once, for the remap rewrite.
+    Endpoint mapping is exact: a written label chased through every later
+    remap equals the doc's current cluster label (labels only shrink),
+    so the union-find runs over the identical contracted graph the
+    distributed merge builds, and the composed output frame is
+    value-identical by the same contraction argument. The registered
+    row's from-scratch-recompute oracle re-checks the equality end to
+    end.
 
     Caps (driver-memory honesty, the r14 ADVICE arithmetic): ids through
     Arrow are ~16 B/row -- ``cap`` nodes plus ``4 * cap`` un-symmetrized
     edges (union-find needs no orientation, so half the distributed
     dispatch's symmetrized fetch) is <= ~10 MB at the 100k default.
-    Returns (label_frame, new_cluster_ids) or None when any bound trips
-    -- the caller then runs the distributed merge unchanged."""
+    Returns (label_frame, new_cluster_ids, remap, new_final) or None
+    when any bound trips -- the caller then runs the distributed merge
+    unchanged and retires both driver mirrors."""
     from ..operators._local import arrow_local_frame
     from ..operators.dedup import _cc_local_rows, _exact_id_list
 
     edge_cap = 4 * cap
-    if old_labels is not None:
-        m = old_labels.select(
-            F.col("doc_id").alias("_n"), F.col("cluster_id").alias("_l")
-        )
-        mapped = (
-            pairs.join(
-                m.withColumnRenamed("_n", "doc_a").withColumnRenamed(
-                    "_l", "_la"
-                ),
-                "doc_a",
-                "left",
-            )
-            .join(
-                m.withColumnRenamed("_n", "doc_b").withColumnRenamed(
-                    "_l", "_lb"
-                ),
-                "doc_b",
-                "left",
-            )
-            .select(
-                F.coalesce("_la", F.col("doc_a")).alias("doc_a"),
-                F.coalesce("_lb", F.col("doc_b")).alias("doc_b"),
-            )
-        )
-    else:
-        mapped = pairs.select("doc_a", "doc_b")
-    edge_pdf = mapped.limit(edge_cap + 1).toPandas()
+    edge_pdf = pairs.select("src_a", "src_b").limit(edge_cap + 1).toPandas()
     if len(edge_pdf) > edge_cap:
         return None
     bid_pdf = arr.select("doc_id").limit(cap + 1).toPandas()
@@ -927,12 +907,13 @@ def _local_cluster_merge(
         return None
     rows = _cc_local_rows(
         sorted(seeds),
-        list(
-            zip(
-                _exact_id_list(edge_pdf["doc_a"], "doc_a"),
-                _exact_id_list(edge_pdf["doc_b"], "doc_b"),
+        [
+            (chase.get(u, u), chase.get(v, v))
+            for u, v in zip(
+                _exact_id_list(edge_pdf["src_a"], "src_a"),
+                _exact_id_list(edge_pdf["src_b"], "src_b"),
             )
-        ),
+        ],
     )
     lbl = dict(rows)
     new_final = arrow_local_frame(
@@ -940,21 +921,23 @@ def _local_cluster_merge(
         [(d, lbl[d]) for d in batch_ids],
         "doc_id long, cluster_id long",
     )
+    remap = {c: lbl[c] for c in cluster_ids if lbl[c] != c}
     if old_labels is None:
         frame = new_final
+    elif remap:
+        rm = arrow_local_frame(
+            spark, list(remap.items()), "_l long, _nl long"
+        )
+        frame = old_labels.join(
+            F.broadcast(rm), old_labels["cluster_id"] == F.col("_l"), "left"
+        ).select(
+            "doc_id", F.coalesce("_nl", "cluster_id").alias("cluster_id")
+        ).unionByName(new_final)
     else:
-        remap = [(c, lbl[c]) for c in cluster_ids if lbl[c] != c]
-        if remap:
-            rm = arrow_local_frame(spark, remap, "_l long, _nl long")
-            old_final = old_labels.join(
-                F.broadcast(rm), old_labels["cluster_id"] == F.col("_l"), "left"
-            ).select(
-                "doc_id", F.coalesce("_nl", "cluster_id").alias("cluster_id")
-            )
-        else:
-            old_final = old_labels.select("doc_id", "cluster_id")
-        frame = old_final.unionByName(new_final)
-    return frame, {label for _, label in rows}
+        frame = old_labels.select("doc_id", "cluster_id").unionByName(
+            new_final
+        )
+    return frame, {label for _, label in rows}, remap, new_final
 
 
 def stream_dedup_clusters(
@@ -980,10 +963,15 @@ def stream_dedup_clusters(
     duplicate index rows for any batch, past or present, and no per-batch
     full-index distinct() is needed. Per-batch label frames are written
     to fresh dirs (never read-and-overwrite the same path). Index rows
-    carry (doc_id, shingle, n_sh): the per-doc shingle-set size rides
-    every row as metadata (guide §2.3), so the Jaccard filter reads both
-    sizes off the candidate join itself -- no separate size state, no
-    size joins per merge.
+    carry (doc_id, shingle, n_sh, lbl): the per-doc shingle-set size AND
+    the doc's label at write time ride every row as metadata (guide
+    §2.3), so the Jaccard filter reads both set sizes off the candidate
+    join itself (no separate size state, no size joins per merge) and
+    the driver-local merge reads each endpoint's merge source off the
+    pair aggregate (no standing-labels joins per merge; staleness is
+    resolved by the driver's chase map -- labels only shrink, so a
+    written label composed through every later remap IS the current
+    label).
 
     ``timings`` (optional dict, filled in place) records the cost split
     the r8 verdict asked for: setup_sec (source staging), per-batch merge
@@ -997,18 +985,26 @@ def stream_dedup_clusters(
     _t0 = _time.perf_counter()
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     src_dir = _mkscratch(prefix="cc_stream_src_")
-    # the three slice writes are independent jobs -- submit them from a
-    # small thread pool so the later writes back-fill the earlier ones'
-    # task tails instead of queueing behind them (guide §2.6)
     from concurrent.futures import ThreadPoolExecutor
 
-    def _stage_slice(s: int) -> None:
-        docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src_dir, f"s{s}"))
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(pool.map(_stage_slice, range(3)))
+    # ONE pass stages all three slices (r15, guide §2.4/§6: the old shape
+    # scanned documents three times, once per filtered coalesce(1) write):
+    # partitionBy splits rows by slice value regardless of task layout, and
+    # the 3-way repartition keeps it to one file per slice dir so the
+    # 1-file-per-trigger source still sees exactly three micro-batches.
+    # The k=v partition dirs are renamed to the reader's s0/s1/s2 layout --
+    # a filesystem move, no data pass.
+    (
+        docs.withColumn("_slice", F.col("doc_id") % 3)
+        .repartition(3, "_slice")
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(src_dir)
+    )
+    for s in range(3):
+        os.rename(
+            os.path.join(src_dir, f"_slice={s}"), os.path.join(src_dir, f"s{s}")
+        )
     if timings is not None:
         timings["setup_sec"] = round(_time.perf_counter() - _t0, 3)
     _state_root = _mkscratch(prefix="cc_stream_state_")
@@ -1024,11 +1020,22 @@ def stream_dedup_clusters(
     # bounded by the SAME local-dispatch cap the distributed merge already
     # uses for its contracted-graph fetch, so driver memory honesty is
     # unchanged; at 100 TB the caps trip on batch 0 and nothing is held.
-    state = {"labels_path": None, "n_batches": 0, "cluster_ids": set()}
+    # chase: stale-label resolution map -- state rows carry the label
+    # their doc had AT WRITE TIME; chase.get(s, s) is that label's CURRENT
+    # value (labels only shrink, so the composition below is exact). Both
+    # mirrors die together when a merge exceeds the caps.
+    state = {
+        "labels_path": None,
+        "n_batches": 0,
+        "cluster_ids": set(),
+        "chase": {},
+    }
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() guard (r15): it cost one Spark job per micro-batch
+        # and this file source never delivers empty batches; if one ever
+        # arrives, the merge below is a correct (if wasteful) no-op --
+        # zero pairs, zero batch nodes, labels rewritten unchanged.
         _bt0 = _time.perf_counter()
         from ..operators.text import tokens, word_shingles
 
@@ -1072,13 +1079,19 @@ def stream_dedup_clusters(
             )
 
         prev_sh = _prev_dirs(sh_dir)
+        # batch rows carry no label yet (they get one in THIS merge);
+        # index rows carry the label their doc had when its batch was
+        # merged (possibly stale -- the driver's chase map below resolves
+        # staleness, guide §2.3: 8 B of metadata per row replaces two
+        # standing-labels joins per merge)
+        bshu = bsh.withColumn("_new", F.lit(True)).withColumn(
+            "lbl", F.lit(None).cast("long")
+        )
         if prev_sh:
             seen = spark.read.parquet(*prev_sh)
-            all_sh = seen.withColumn("_new", F.lit(False)).unionByName(
-                bsh.withColumn("_new", F.lit(True))
-            )
+            all_sh = seen.withColumn("_new", F.lit(False)).unionByName(bshu)
         else:
-            all_sh = bsh.withColumn("_new", F.lit(True))
+            all_sh = bshu
         a = bsh.alias("a")
         b = all_sh.alias("b")
         # n_common = plain count (each common shingle seen once via the
@@ -1115,6 +1128,22 @@ def stream_dedup_clusters(
                         F.col("a.doc_id") <= F.col("b.doc_id"), F.col("b.n_sh")
                     ).otherwise(F.col("a.n_sh"))
                 ).alias("size_b"),
+                # each endpoint's MERGE SOURCE for the driver-local path
+                # (r15): the b-side doc's carried (possibly stale) label
+                # when that endpoint is an index doc, else NULL -- per
+                # group the side identities are constant, the same
+                # max(when(...)) trick as the sizes. The a-side row is
+                # always a batch doc (no label).
+                F.max(
+                    F.when(
+                        F.col("a.doc_id") > F.col("b.doc_id"), F.col("b.lbl")
+                    )
+                ).alias("_lbl_a"),
+                F.max(
+                    F.when(
+                        F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.lbl")
+                    )
+                ).alias("_lbl_b"),
             )
             .filter(
                 F.round(
@@ -1124,7 +1153,13 @@ def stream_dedup_clusters(
                 )
                 >= 0.2
             )
-            .select("doc_a", "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                # NULL label = a batch doc: its merge source is itself
+                F.coalesce("_lbl_a", F.col("doc_a")).alias("src_a"),
+                F.coalesce("_lbl_b", F.col("doc_b")).alias("src_b"),
+            )
         )
         # persist the candidate pairs in BOTH modes (r14, guide §1.2): the
         # CC merge consumes them through the two-orientation edge union,
@@ -1145,36 +1180,73 @@ def stream_dedup_clusters(
         )
         dlog: dict | None = {} if timings is not None else None
         out = os.path.join(labels_root, f"v{batch_id}")
-        # bounded driver-local merge (r15, guide §5/§2.6 -- VERDICT r14
-        # item 1): when the driver cluster mirror is alive and the
+        # bounded driver-local merge (r15, guide §5/§2.3/§2.6 -- VERDICT
+        # r14 item 1): when the driver mirrors are alive and the
         # contracted graph fits the caps, the whole merge needs THREE
-        # bounded actions (mapped-pairs fetch, batch-id fetch off the
-        # cached array frame, one labels write) instead of the
-        # distributed merge's per-batch distinct + seed fetch + edge
-        # fetch + remap-join write (~19 driver-coordinated jobs -> ~8
-        # per batch measured; the fixpoint is the same _cc_local_rows
-        # union-find the distributed path's local dispatch already runs,
-        # so the labels are identical by construction and the registered
-        # row's full-recompute oracle re-checks them every round).
+        # bounded actions (the pair fetch -- whose endpoint merge sources
+        # ride the aggregate itself, so the standing labels are never
+        # joined for mapping -- a batch-id fetch off the cached array
+        # frame, and one labels write) instead of the distributed merge's
+        # per-batch distinct + seed fetch + edge fetch + two label-map
+        # joins (~19 driver-coordinated jobs -> ~8 per batch measured;
+        # the fixpoint is the same _cc_local_rows union-find the
+        # distributed path's local dispatch already runs, so the labels
+        # are identical by construction and the registered row's
+        # full-recompute oracle re-checks them every round).
         merged_local = None
         if state["cluster_ids"] is not None:
             merged_local = _local_cluster_merge(
-                spark, state["cluster_ids"], old_labels, pairs, arr
+                spark, state["cluster_ids"], state["chase"], old_labels,
+                pairs, arr,
             )
         if merged_local is not None:
-            label_frame, state["cluster_ids"] = merged_local
+            label_frame, new_clusters, remap, new_final = merged_local
+            # fold this merge's remap into the stale-label chase map:
+            # current(s) = remap(chase(s)) for every label value any
+            # state row may still carry
+            new_chase = {}
+            for s in set(state["chase"]) | set(remap):
+                v = state["chase"].get(s, s)
+                v = remap.get(v, v)
+                if v != s:
+                    new_chase[s] = v
+            state["chase"] = new_chase
+            state["cluster_ids"] = new_clusters
+            if len(new_chase) > 4 * 100_000:
+                # chase-map memory cap (same honesty rule as the fetch
+                # caps): labels already written stay valid -- later
+                # merges just run distributed and ignore row labels
+                state["chase"] = None
+                state["cluster_ids"] = None
+            # label rows for THIS batch ride its state rows (broadcast of
+            # the batch-bounded local label frame -- never a corpus join)
+            state_rows = bsh.join(
+                F.broadcast(
+                    new_final.withColumnRenamed("cluster_id", "lbl")
+                ),
+                "doc_id",
+                "left",
+            )
             if dlog is not None:
                 dlog["cc_path"] = "stream_driver_local"
-                dlog["cc_nodes"] = len(state["cluster_ids"])
+                dlog["cc_nodes"] = len(new_clusters)
         else:
-            state["cluster_ids"] = None  # mirror no longer derivable
+            # mirror no longer derivable -- every later merge runs the
+            # distributed path, and state rows carry no label (consistent:
+            # the local path never resumes once disabled)
+            state["cluster_ids"] = None
+            state["chase"] = None
             if old_labels is None:
                 old_labels = spark.createDataFrame(
                     [], "doc_id long, cluster_id long"
                 )
             label_frame = connected_components_incremental(
-                old_labels, batch.select("doc_id"), pairs, dispatch_log=dlog
+                old_labels,
+                batch.select("doc_id"),
+                pairs.select("doc_a", "doc_b"),
+                dispatch_log=dlog,
             )
+            state_rows = bsh.withColumn("lbl", F.lit(None).cast("long"))
         # the labels write and the shingle-index state write are
         # independent terminal jobs -- overlap them from a 2-thread pool
         # (guide §2.6) so the second write back-fills the first's task
@@ -1186,7 +1258,7 @@ def stream_dedup_clusters(
 
         def _write_state() -> None:
             _st = _time.perf_counter()
-            bsh.write.mode("overwrite").parquet(
+            state_rows.write.mode("overwrite").parquet(
                 os.path.join(sh_dir, f"batch_{batch_id}")
             )
             if timings is not None:

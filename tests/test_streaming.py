@@ -185,3 +185,46 @@ def test_stream_quality_quantiles_replay_idempotent(spark, sf_small):
         .collect()[0][0]
     )
     assert merged == docs.filter(F.col("doc_id") % 3 == 0).count()
+
+
+def test_stream_dedup_local_merge_paths_agree(spark, sf_small, monkeypatch):
+    """The r15 driver-local streaming merge, its distributed fallback, and
+    a mid-stream cap trip (local batch 0, distributed afterwards -- the
+    disable-and-never-resume transition) all produce the SAME labels as
+    the batch dedup_clusters fixpoint."""
+    import aws_glue_etl_sample_hist_spark.streaming.jobs as sj
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_small, "documents")
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(docs, n=3, threshold=0.2).collect()
+    }
+    real = sj._local_cluster_merge
+
+    def run():
+        return {
+            (r.doc_id, r.cluster_id)
+            for r in sj.stream_dedup_clusters(spark, sf_small).collect()
+        }
+
+    # 1. local path (the default)
+    assert run() == want
+
+    # 2. full distributed fallback (every merge refuses the local path;
+    #    state rows then carry NULL labels and must still compose)
+    monkeypatch.setattr(sj, "_local_cluster_merge", lambda *a, **k: None)
+    assert run() == want
+
+    # 3. mid-stream disable: batch 0 merges locally (labeled state rows),
+    #    later batches run distributed over that mixed state
+    calls = {"n": 0}
+
+    def trip_after_first(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k) if calls["n"] == 1 else None
+
+    monkeypatch.setattr(sj, "_local_cluster_merge", trip_after_first)
+    assert run() == want
+    assert calls["n"] == 2  # batch 1 tripped; batch 2 never re-probed
