@@ -106,6 +106,25 @@ def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
+# the encoder always writes the SAME canonical DC/AC tables -- build the
+# symbol->(length, code) maps once at import instead of twice per encoded
+# tile (guide §4.5: heavyweight init amortized over every row of a task;
+# these were ~10% of per-tile encode time in the batch profile)
+_DC_CODES = _huffman_codes(DC_BITS, DC_VALS)
+_AC_CODES = _huffman_codes(AC_BITS, AC_VALS)
+# quality-scaled quant tables, keyed by quality (callers use one quality
+# for a whole corpus pass)
+_SCALED_QUANT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _scaled_quant_cached(table: np.ndarray, quality: int) -> np.ndarray:
+    key = (id(table), int(quality))
+    got = _SCALED_QUANT_CACHE.get(key)
+    if got is None:
+        got = _SCALED_QUANT_CACHE.setdefault(key, _scaled_quant(table, quality))
+    return got
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -176,19 +195,19 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
     h, w = arr.shape[:2]
     if grey:
         planes = [arr.astype(np.float64)]
-        quant = [_scaled_quant(LUM_QUANT, quality)]
+        quant = [_scaled_quant_cached(LUM_QUANT, quality)]
         comp_q = [0]
     else:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., i] for i in range(3)]
         quant = [
-            _scaled_quant(LUM_QUANT, quality),
-            _scaled_quant(CHROMA_QUANT, quality),
+            _scaled_quant_cached(LUM_QUANT, quality),
+            _scaled_quant_cached(CHROMA_QUANT, quality),
         ]
         comp_q = [0, 1, 1]
 
-    dc_codes = _huffman_codes(DC_BITS, DC_VALS)
-    ac_codes = _huffman_codes(AC_BITS, AC_VALS)
+    dc_codes = _DC_CODES
+    ac_codes = _AC_CODES
 
     # quantized zigzag coefficients per component: (by, bx, 64) int arrays
     coeffs = []
@@ -303,6 +322,12 @@ class _HuffTable:
         self.fixed_len = lengths.pop() if len(lengths) == 1 else None
 
 
+# decoded _HuffTable structures memoized by the DHT segment's raw bytes
+# (guide §4.5); bounded by the number of DISTINCT table definitions a task
+# ever sees (one canonical set for this encoder)
+_DHT_CACHE: dict[bytes, _HuffTable] = {}
+
+
 def _decode_symbol(br: _BitReader, table: _HuffTable) -> int:
     if table.fixed_len is not None:
         sym = table.codes.get((table.fixed_len, br.read(table.fixed_len)))
@@ -362,13 +387,27 @@ def decode_jpeg(payload: bytes):
                 tc, th = data[at] >> 4, data[at] & 0xF
                 bits = list(data[at + 1 : at + 17])
                 nv = sum(bits)
-                vals = list(data[at + 17 : at + 17 + nv])
-                huff[(tc, th)] = _HuffTable(
-                    {
-                        (length, code): sym
-                        for sym, (length, code) in _huffman_codes(bits, vals).items()
-                    }
-                )
+                # tables are still read from THIS stream's own segment --
+                # the derived decode structure is just memoized on the
+                # segment's raw bytes (guide §4.5), since a corpus encoded
+                # with one canonical table set otherwise rebuilds the
+                # identical _HuffTable per decoded tile
+                seg = bytes(data[at : at + 17 + nv])
+                table = _DHT_CACHE.get(seg)
+                if table is None:
+                    vals = list(data[at + 17 : at + 17 + nv])
+                    table = _DHT_CACHE.setdefault(
+                        seg,
+                        _HuffTable(
+                            {
+                                (length, code): sym
+                                for sym, (length, code) in _huffman_codes(
+                                    bits, vals
+                                ).items()
+                            }
+                        ),
+                    )
+                huff[(tc, th)] = table
                 at += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)

@@ -918,9 +918,17 @@ def kn_doc_perplexity_bucket_cuts(
         salt=salt,
         eval_only=False,
     )
-    per_doc = scored.groupBy(id_col, "lang").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.exp(-F.avg(F.log("p_kn"))), 4).alias("ppl_kn"),
+    from ._cache import tracked_persist
+
+    # per_doc feeds BOTH the sketch aggregate and the bucket-assignment
+    # join (r15, guide §1.2): unpersisted, the whole KN scoring pass --
+    # the expensive corpus tokenize + bigram explode + three broadcast
+    # joins -- executed once per consumer
+    per_doc = tracked_persist(
+        scored.groupBy(id_col, "lang").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(F.log("p_kn"))), 4).alias("ppl_kn"),
+        )
     )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = per_doc.groupBy("lang").agg(

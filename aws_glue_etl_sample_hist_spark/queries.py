@@ -4172,7 +4172,11 @@ def q_part_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import connected_components, prefix_filter_jaccard_join
 
     part = load_table(spark, sf, "part")
-    profiled = part.select(
+    # spread=True on the SSJoin branch only (r15, same rationale as
+    # part_set_similarity_join: the tokenize+explode+self-join pipeline is
+    # exact int/string math); the price-aggregating members branch keeps
+    # the unspread load so avg(p_retailprice)'s sum order is unchanged
+    profiled = load_table(spark, sf, "part", spread=True).select(
         "p_partkey",
         F.concat_ws(
             " ", "p_name", "p_brand", "p_type", F.col("p_size").cast("string")
@@ -4186,6 +4190,12 @@ def q_part_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
         pairs,
         node_col="p_partkey",
         pair_cols=("id_a", "id_b"),
+        # the size-adaptive dispatch every other CC caller ships (r15 --
+        # this row ran the distributed loop's ~180 driver-coordinated
+        # jobs on a 20k-node graph): under the cap, one bounded Arrow
+        # fetch + driver union-find; a 100 TB part catalog exceeds it
+        # and runs the distributed loop unchanged
+        local_threshold=100_000,
     )
     members = cc.join(
         part.select("p_partkey", "p_retailprice"), "p_partkey"
@@ -6134,8 +6144,12 @@ def q_corpus_ccnet_buckets_cuts(spark: SparkSession, sf: str) -> DataFrame:
     # balance slack must absorb them (a degenerate-doc-heavy language can
     # put a large tied cohort exactly on a cut -- a data property, not an
     # operator defect; flat 2% alone would go red on such a corpus)
+    # both joins below pair the corpus-bounded hist/ties frames with the
+    # n_langs-row per_lang frame -- broadcast the tiny side explicitly
+    # (r15, guide §3.1): the planner was picking SortMergeJoin (exchange +
+    # sort on BOTH sides) because cached-frame stats are unknown
     ties = hist.join(
-        per_lang.select("lang", "_maxh", "_maxm"), "lang"
+        F.broadcast(per_lang.select("lang", "_maxh", "_maxm")), "lang"
     ).groupBy("lang").agg(
         F.sum(
             F.when(
@@ -6145,7 +6159,7 @@ def q_corpus_ccnet_buckets_cuts(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(0)
         ).alias("_tie_mass")
     )
-    per_lang = per_lang.join(ties, "lang")
+    per_lang = per_lang.join(F.broadcast(ties), "lang")
     third = F.col("n_docs") / 3.0
     # slack: sample-exact sketch leaves only cut-value ties; 2 docs or 2%
     # plus the measured tie mass at the two boundary values

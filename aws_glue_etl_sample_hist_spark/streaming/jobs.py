@@ -806,10 +806,7 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     src_dir = _mkscratch(prefix="drift_stream_src_")
-    for s in range(3):
-        ev.filter(F.col("split") == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src_dir, f"s{s}"))
+    _stage_slices(ev, F.col("split"), src_dir)
 
     results: list[tuple[int, int, float, bool]] = []
 
@@ -855,6 +852,29 @@ def stream_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(results),
         "split int, n_events long, psi double, drifted boolean",
     )
+
+
+def _stage_slices(df: DataFrame, slice_col, src_dir: str, n: int = 3) -> None:
+    """Stage a drain's n deterministic source slices in ONE pass (r15,
+    guide §2.4/§6): the old shape ran one filtered coalesce(1) write per
+    slice -- n full scans of the source. partitionBy splits rows by slice
+    value regardless of task layout, and the n-way repartition keeps it to
+    one file per slice dir so a 1-file-per-trigger source still sees
+    exactly n micro-batches; the k=v partition dirs are renamed to the
+    readers' s0..s{n-1} layout (a filesystem move, no data pass). The
+    partition column is synthetic and dropped by partitionBy, so the
+    staged files carry exactly the input schema."""
+    (
+        df.withColumn("_slice", slice_col.cast("int"))
+        .repartition(n, "_slice")
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(src_dir)
+    )
+    for s in range(n):
+        os.rename(
+            os.path.join(src_dir, f"_slice={s}"), os.path.join(src_dir, f"s{s}")
+        )
 
 
 def _local_cluster_merge(
@@ -987,24 +1007,7 @@ def stream_dedup_clusters(
     src_dir = _mkscratch(prefix="cc_stream_src_")
     from concurrent.futures import ThreadPoolExecutor
 
-    # ONE pass stages all three slices (r15, guide §2.4/§6: the old shape
-    # scanned documents three times, once per filtered coalesce(1) write):
-    # partitionBy splits rows by slice value regardless of task layout, and
-    # the 3-way repartition keeps it to one file per slice dir so the
-    # 1-file-per-trigger source still sees exactly three micro-batches.
-    # The k=v partition dirs are renamed to the reader's s0/s1/s2 layout --
-    # a filesystem move, no data pass.
-    (
-        docs.withColumn("_slice", F.col("doc_id") % 3)
-        .repartition(3, "_slice")
-        .write.mode("overwrite")
-        .partitionBy("_slice")
-        .parquet(src_dir)
-    )
-    for s in range(3):
-        os.rename(
-            os.path.join(src_dir, f"_slice={s}"), os.path.join(src_dir, f"s{s}")
-        )
+    _stage_slices(docs, F.col("doc_id") % 3, src_dir)
     if timings is not None:
         timings["setup_sec"] = round(_time.perf_counter() - _t0, 3)
     _state_root = _mkscratch(prefix="cc_stream_state_")
@@ -1328,10 +1331,7 @@ def stream_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = int(2.0 / phi)
     ev = spark.read.parquet(table_path(sf_dir, "events"))
     src_dir = _mkscratch(prefix="hh_stream_src_")
-    for s in range(3):
-        ev.filter(F.col("event_id") % 3 == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src_dir, f"s{s}"))
+    _stage_slices(ev, F.col("event_id") % 3, src_dir)
     state: dict[int, int] = {}
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
@@ -1384,10 +1384,7 @@ def stream_events_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(table_path(sf_dir, "events"))
     src_dir = _mkscratch(prefix="ab_stream_src_")
-    for s in range(3):
-        ev.filter(F.col("event_id") % 3 == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src_dir, f"s{s}"))
+    _stage_slices(ev, F.col("event_id") % 3, src_dir)
     state_dir = _mkscratch(prefix="ab_stream_state_")
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
@@ -1458,10 +1455,7 @@ def stream_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WIDTH, NBINS = 16, 64
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
     src_dir = _mkscratch(prefix="qq_stream_src_")
-    for s in range(3):
-        docs.filter(F.col("doc_id") % 3 == s).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src_dir, f"s{s}"))
+    _stage_slices(docs, F.col("doc_id") % 3, src_dir)
     state_dir = _mkscratch(prefix="qq_stream_state_")
 
     bin_col = F.least(
