@@ -1058,11 +1058,22 @@ def incremental_minhash_dedup(
     # already, the distinct only added an exchange + aggregate per side.
     sh_new_c = sh_new.join(cand.select("new_id"), "new_id", "left_semi")
     sh_old_c = sh_old.join(cand.select("old_id"), "old_id", "left_semi")
+    # candidate-FIRST intersection (r15, guide §2.3/§3.3): the old shape
+    # joined the two restricted shingle sides on the shingle alone and
+    # only intersected with the candidate PAIRS after the aggregate, so
+    # the join enumerated sum-over-shingles(df_new * df_old) rows -- a
+    # hot shingle (this operator's default is max_df=None) multiplies
+    # freely, and none of it is bounded by the band join's output.
+    # Attaching the pair list first bounds the intermediate at
+    # |cand| x per-doc shingles by construction. Value-identical: same
+    # shared-shingle count per pair, same pair set (exceptAll-checked
+    # both ways at sf1: 0/0); measured 6.6 -> 4.2 s on the sf1 verify,
+    # 35.1M -> 22.1M intermediate rows.
     inter = (
-        sh_new_c.join(sh_old_c, "shingle")
+        cand.join(sh_new_c, "new_id")
+        .join(sh_old_c, ["old_id", "shingle"])
         .groupBy("new_id", "old_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cand, ["new_id", "old_id"])  # candidate pairs only
     )
     # sizes from the candidate-RESTRICTED frames (r14): the semi-join keeps
     # every shingle row of a kept doc, so per-doc counts are identical --

@@ -6251,17 +6251,17 @@ def q_stream_quality_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------- registry
 
-QUERIES = {
-    # registry order IS driver recording order; the driver records exactly
-    # the FIRST 50 entries. Round-14 rotation (VERDICT r13 item 2): slot 1
-    # the round-14 composition addition (corpus-refresh DAG,
-    # never-checked), slots 2-9 the eight remaining r8-stale rows (the
-    # whole Athena-SQL-twin surface first), slots 10-50 the 41 oldest
-    # r9-stale rows. Past slot 50, blocks stay ordered
-    # oldest-evidence-first (the 9 remaining r9-stale rows queued FIRST
-    # for r15, then the r10, r11, r12, r13 blocks). Everything past
-    # slot 50 stays oracle-checked every round via
-    # tests/test_oracle_parity.py.
+_QUERIES_LITERAL = {
+    # registry order (after the round-15 rotation below) IS driver
+    # recording order; the driver records exactly the FIRST 50 entries.
+    # Round-14 rotation (VERDICT r13 item 2): slot 1 the round-14
+    # composition addition (corpus-refresh DAG, never-checked), slots 2-9
+    # the eight remaining r8-stale rows (the whole Athena-SQL-twin
+    # surface first), slots 10-50 the 41 oldest r9-stale rows. Past slot
+    # 50, blocks stay ordered oldest-evidence-first (the 9 remaining
+    # r9-stale rows queued FIRST for r15, then the r10, r11, r12, r13
+    # blocks). Everything past slot 50 stays oracle-checked every round
+    # via tests/test_oracle_parity.py.
     # --- round-14 addition: composed incremental corpus-refresh DAG (1) ---
     "corpus_refresh_pipeline": q_corpus_refresh_pipeline,
     # --- r8-stale rows, the last of their class (8) ---
@@ -6528,6 +6528,22 @@ QUERIES = {
     "multimodal_thumbnail": q_multimodal_thumbnail,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "sql_monthly_revenue": q_sql_monthly_revenue,
+}
+
+# Round-15 window rotation (VERDICT r14 item 9): the r14-verified head
+# block (the literal's first 50 entries) rotates to the TAIL, promoting
+# the next-oldest 50 (the r9-stale remainder + the r9-late block) into
+# the driver's recording window. The rotation is a rotation, not a
+# re-sort, so the "oldest-evidence-first past slot 50" invariant is
+# preserved for every future round: after the r15 driver run the
+# registry reads r10-stale ... r13 blocks, then the r14-verified block
+# (newest evidence) last. Every entry stays oracle-checked every round
+# via tests/test_oracle_parity.py regardless of window position.
+_R14_WINDOW = 50
+_names = list(_QUERIES_LITERAL)
+QUERIES = {
+    k: _QUERIES_LITERAL[k]
+    for k in _names[_R14_WINDOW:] + _names[:_R14_WINDOW]
 }
 
 
