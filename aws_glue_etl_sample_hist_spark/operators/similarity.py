@@ -941,6 +941,60 @@ def pq_codes(
     )
 
 
+def pq_codes_arrow(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+    *,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy twin of `pq_codes` (r15, guide §4.2 -- the
+    `assign_cells_arrow` pattern applied to PQ encoding): one batched
+    ((V_s - C_s)^2).sum matmul-shaped pass per subspace instead of the
+    Catalyst lambda fold per (vector x code x dim), which measured ~1.5 s
+    per corpus pass at sf0.1 against ~0.1 s here. Same argmin-ties-to-
+    lowest-code rule (np.argmin first index == array_position first
+    match); float sums differ from the JVM fold in the last ulp, so ONLY
+    callers whose contract has margin (the recall-flag and
+    err-improvement rows) may use it -- every exact-oracle surface
+    (embedding_pq_codes, embedding_pq_topk, the persisted index builds)
+    stays on the fold-exact `pq_codes`. Returns (vec_id, codes,
+    recon_err) -- no code_md5: the twin is never hashed."""
+    import numpy as np
+    import pandas as pd
+
+    C = [np.asarray(cb_s, dtype=np.float64) for cb_s in codebook]
+    sub = C[0].shape[1]
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(V), m), dtype=np.int64)
+            err = np.zeros(len(V), dtype=np.float64)
+            for s in range(m):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                d = ((Vs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1)
+                err += d[np.arange(len(V)), codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "recon_err": np.round(err, 6),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        enc, "vec_id long, codes array<long>, recon_err double"
+    )
+
+
 def adc_distance(cb: list[list[list[float]]], qv: Column, codes: Column) -> Column:
     """The ADC estimator as one literal-codebook expression: sum over
     subspaces of L2^2(query sub-vector, codebook[code]). Shared by the
@@ -965,6 +1019,7 @@ def pq_adc_topk(
     m: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     *,
+    vectorized: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -979,9 +1034,76 @@ def pq_adc_topk(
     bounded nested-loop contract as `cosine_topk` (O(queries) rows), and
     the per-row distance is a literal-codebook lookup via element_at --
     no join against a codebook table, no shuffle before the top-k
-    window."""
+    window.
+
+    ``vectorized=True`` (r15, guide §4.2): encode through `pq_codes_arrow`
+    and evaluate ADC as per-query LUT lookups inside one mapInPandas pass
+    -- the classic ADC serving trick (the query's m x n_codes distance
+    table is precomputed once on the driver from the |Q|-bounded query
+    fetch, and each corpus row pays m table lookups). Last-ulp float
+    differences vs the fold make this legal only for margin-contract
+    callers (the recall-flag rows); `embedding_pq_topk`'s exact-oracle
+    surface stays fold-exact."""
     cb = pq_codebook(emb, m, n_codes, id_col=id_col, vec_col=vec_col)
     sub = len(cb[0][0])
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        codes = pq_codes_arrow(
+            emb, m, n_codes, codebook=cb, id_col=id_col, vec_col=vec_col
+        )
+        q_pdf = (
+            emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+            .toPandas()
+        )  # |Q|-bounded driver fetch, the cosine_topk broadcast contract
+        C = [np.asarray(cb_s, dtype=np.float64) for cb_s in cb]
+        luts = {}
+        for qid, qv in zip(q_pdf["query_id"], q_pdf["qv"]):
+            qv = np.asarray(qv, dtype=np.float64)
+            luts[int(qid)] = np.stack(
+                [
+                    ((qv[s * sub : (s + 1) * sub][None, :] - C[s]) ** 2).sum(
+                        axis=1
+                    )
+                    for s in range(m)
+                ]
+            )  # (m, n_codes)
+
+        def adc_rows(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes_mat = np.asarray(list(pdf["codes"]), dtype=np.int64)
+                nid = pdf["vec_id"].to_numpy()
+                for qid, lut in luts.items():
+                    d = np.zeros(len(pdf), dtype=np.float64)
+                    for s in range(m):
+                        d += lut[s][codes_mat[:, s]]
+                    keep = nid != qid
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(keep.sum(), qid, dtype=np.int64),
+                            "neighbor_id": nid[keep],
+                            "adc_raw": d[keep],
+                        }
+                    )
+
+        scored = codes.mapInPandas(
+            adc_rows, "query_id long, neighbor_id long, adc_raw double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_raw").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank",
+                F.round("adc_raw", 6).alias("adc_dist"),
+            )
+        )
     codes = pq_codes(emb, m, n_codes, codebook=cb, id_col=id_col, vec_col=vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -1804,6 +1926,7 @@ def pq_rerank_topk(
     m: int = PQ_SUBSPACES,
     n_codes: int = PQ_CODES,
     *,
+    vectorized: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1817,10 +1940,12 @@ def pq_rerank_topk(
     (nothing corpus-sized; at rest this is a point-lookup join against
     the id-partitioned vector table).
 
-    Returns (query_id, neighbor_id, rank, cosine) like cosine_topk."""
+    Returns (query_id, neighbor_id, rank, cosine) like cosine_topk.
+    ``vectorized`` forwards to the ADC shortlist (see pq_adc_topk); the
+    exact rerank math over the shortlist is identical either way."""
     short = pq_adc_topk(
         emb, query_ids, k=shortlist, m=m, n_codes=n_codes,
-        id_col=id_col, vec_col=vec_col,
+        vectorized=vectorized, id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")

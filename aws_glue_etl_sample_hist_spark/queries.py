@@ -5669,13 +5669,25 @@ def q_embedding_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
     init, fixed Lloyd rounds), so the flags are stable facts."""
     import math as _math
 
-    from .operators.similarity import pq_codebook_trained, pq_codes
+    from .operators.similarity import (
+        pq_codebook,
+        pq_codebook_trained,
+        pq_codes_arrow,
+    )
 
     emb = load_table(spark, sf, "embeddings")
-    seeded_err = pq_codes(emb).agg(F.sum("recon_err")).collect()[0][0]
+    # Arrow-encoded error sums (r15, guide §4.2): this row's contract is
+    # trained_err < seeded_err (real margin -- training genuinely cuts
+    # reconstruction error) + finiteness, not the err VALUES, so the
+    # numpy encoding pass replaces two Catalyst-lambda corpus passes;
+    # the exact-oracle embedding_pq_codes row keeps fold-exact pq_codes
+    seeded_err = (
+        pq_codes_arrow(emb, codebook=pq_codebook(emb))
+        .agg(F.sum("recon_err")).collect()[0][0]
+    )
     cb = pq_codebook_trained(emb)
     trained_err = (
-        pq_codes(emb, codebook=cb).agg(F.sum("recon_err")).collect()[0][0]
+        pq_codes_arrow(emb, codebook=cb).agg(F.sum("recon_err")).collect()[0][0]
     )
     return _arrow_local_frame(spark, 
         [
@@ -5924,7 +5936,13 @@ def q_embedding_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     # subtree -- one scan + cache reads replaces 12 scans (A/B 7.2->6.0 s)
     emb = tracked_persist(load_table(spark, sf, "embeddings"))
     qids = [0, 1, 2, 3, 4]
-    approx = pq_rerank_topk(emb, qids, k=10, shortlist=50)
+    # vectorized ADC shortlist (r15, guide §4.2): this row's oracle is the
+    # recall-floor contract (flags with 0.1+ margin, keys quantizer-
+    # independent), so it may take the numpy LUT path -- the Catalyst
+    # lambda ADC measured ~2.8 s warm of this row's 4.4 s. The fold-exact
+    # path stays on embedding_pq_topk, whose oracle replays the ADC
+    # values; both paths' rank agreement is covered by the unit test.
+    approx = pq_rerank_topk(emb, qids, k=10, shortlist=50, vectorized=True)
     exact = cosine_topk(emb, qids, k=10)
     return topk_recall(approx, exact, k=10, floor=0.2).drop("recall")
 

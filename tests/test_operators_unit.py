@@ -3742,3 +3742,38 @@ def test_round_half_up_matches_spark_round(spark):
         ]
         want = [_round_half_up(v, scale) for v in vals]
         assert got == want, (scale, list(zip(vals, got, want)))
+
+
+def test_pq_arrow_twin_agrees_with_fold_exact(spark, sf_small):
+    """The r15 Arrow/numpy PQ twin (pq_codes_arrow + vectorized
+    pq_adc_topk) must agree with the fold-exact path: identical code
+    assignments (argmin ties break to the lowest code in both), and the
+    identical ADC shortlist membership + order on this corpus (no ulp
+    tie sits on a rank boundary at sf0.01)."""
+    from aws_glue_etl_sample_hist_spark.catalog import load_table
+    from aws_glue_etl_sample_hist_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_codes,
+        pq_codes_arrow,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cb = pq_codebook(emb)
+    exact = {
+        r.vec_id: tuple(r.codes) for r in pq_codes(emb, codebook=cb).collect()
+    }
+    arrow = {
+        r.vec_id: tuple(r.codes)
+        for r in pq_codes_arrow(emb, codebook=cb).collect()
+    }
+    assert exact == arrow
+    fold_rank = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in pq_adc_topk(emb, [0, 1, 2], k=10).collect()
+    ]
+    vec_rank = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in pq_adc_topk(emb, [0, 1, 2], k=10, vectorized=True).collect()
+    ]
+    assert sorted(fold_rank) == sorted(vec_rank)
