@@ -688,21 +688,29 @@ def main() -> None:
     del line["queries_trials"]
     del line["ratios_to_nearest_sentinel"]
     del line["pipeline_stages"]
+    # LINE-only precision trims (VERDICT r14 item 2 -- kept-row count
+    # beats the third decimal): query walls at 2 dp and track readings
+    # at 2 dp on the stdout line; bench_result.json keeps 3 dp
+    line["sentinel_track"] = [[i, round(s, 2)] for i, s in sentinel_track]
     # compact gate verdict for the driver record; full checks live in
     # bench_result.json (when written) and on stderr
     line["probe_gate"] = gate_ok
-    kept = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])))
+    kept = dict(
+        (k, round(v, 2))
+        for k, v in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    )
     while True:
         line["queries"] = kept
-        # job counts ride the driver line for the kept rows that are slow
-        # enough for job-count normalization to matter (>= 2 s), as INTS
-        # (VERDICT r14 item 2: the full-float jobs dict ate the line
-        # budget and halved the kept rows to 23; sub-2 s rows are at the
-        # per-job floor anyway). Full float jobs for every row stay in
+        # job counts ride the driver line as INTS for the 12 slowest kept
+        # rows at >= 2 s only (VERDICT r14 item 2: the full-float
+        # all-rows jobs dict ate the line budget and halved the kept rows
+        # to 23 -- the kept-ROW count now has priority over jobs
+        # coverage, and the overhead-bound suspects are by construction
+        # among the slowest rows). Full float jobs for every row stay in
         # bench_result.json (VERDICT r13 item 1).
         line["jobs"] = {
             k: int(round(jobs[k]))
-            for k in kept
+            for k in list(kept)[:10]
             if k in jobs and timings[k] >= 2.0
         }
         line["queries_omitted"] = len(timings) - len(kept)
